@@ -75,8 +75,12 @@ def replace_nulls(raw: str) -> str:
     error list. Order of replacements preserves reference output."""
     if not raw:
         return ""
-    if "\r" in raw:
-        raw = raw.replace("\r\n", "\n").replace("\r", "\n")
+    # C fast path (1412-1419): if no NULs AND output length == input
+    # length (i.e. no CRLF pair anywhere), the input is copied UNCHANGED —
+    # lone \r characters survive unnormalized. Bug-compatible.
+    if "\x00" not in raw and "\r\n" not in raw:
+        return raw
+    raw = raw.replace("\r\n", "\n").replace("\r", "\n")
     if "\x00" in raw:
         raw = raw.replace("\x00", "�")
     return raw
@@ -766,9 +770,11 @@ class Tokenizer:
                     state = ST_SELF_CLOSING
                     self.pos += 1
                 else:
+                    # C quirk (src/tokenizer.c:1261-1266): the attr_name
+                    # buffer is NOT reset here, so the next name appends
+                    # onto the previous one ("face" + "class" ->
+                    # "faceclass"). Only ST_BEFORE_ATTR_NAME resets it.
                     self._append_attr(out, "".join(attr_name), "")
-                    attr_name = []
-                    attr_value = []
                     state = ST_ATTR_NAME
             elif state == ST_BEFORE_ATTR_VALUE:
                 if c in _WS:

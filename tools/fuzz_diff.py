@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Differential fuzzing: random HTML-ish inputs through the C reference
+and the Python kernel; compare ASCII dumps byte-for-byte.
+
+Usage: python3 tools/fuzz_diff.py [N] [--seed S] [--fragment]
+Writes failing inputs to /tmp/fuzz_fail_*.html for triage.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from html_parser_spark.kernel.api import parse_document, parse_fragment  # noqa: E402
+
+REFBUILD = "/tmp/refbuild"
+
+TAGS = [
+    "div", "p", "b", "i", "a", "span", "table", "tr", "td", "th", "tbody",
+    "thead", "tfoot", "caption", "colgroup", "col", "li", "ul", "ol", "dl",
+    "dt", "dd", "h1", "h2", "select", "option", "optgroup", "form", "input",
+    "button", "textarea", "title", "script", "style", "svg", "math", "mi",
+    "mtext", "template", "head", "body", "html", "br", "img", "em", "strong",
+    "nobr", "font", "small", "big", "code", "u", "s", "tt", "strike",
+    "marquee", "object", "applet", "noscript", "plaintext", "xmp", "iframe",
+    "pre", "blockquote", "foreignObject", "desc", "annotation-xml", "circle",
+    "path", "clipPath", "textPath",
+]
+ATTRS = ["id", "class", "href", "type", "charset", "color", "face", "size",
+         "encoding", "name", "value", "definitionurl", "viewbox", "refx"]
+ENTS = ["&amp;", "&lt;", "&not", "&notin;", "&nbsp;", "&hellip;", "&x;",
+        "&#65;", "&#x41;", "&#0;", "&#xD800;", "&#x10FFFF;", "&#xFDD0;",
+        "&#13;", "&copy", "&copyright;", "&am", "&ampx", "&#", "&#x;",
+        "&CounterClockwiseContourIntegral;"]
+SNIPPETS = [
+    "<!-->", "<!--->", "<!-- x --!>", "<!-- <!-- -->", "<![CDATA[x]]>",
+    "</>", "</ x>", "<!doctype html>", "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01//EN\">",
+    "<?php ?>", "<!x y>", "<a a=1 a=2>", "<b/>", "text<b><i>x</b>y</i>",
+    "<table><tr><td>", "</table>", "</td>", "</p>", "</li>", "</body>",
+    "</html>", "<p>", "<li>", "<dd>", "<dt>", "<hr>", "\r\n", "\r", "\t",
+    "<script><!--<script>x</script>--></script>", "</script >", "</style/>",
+    "<select><option>a<option>b", "<template><tr><td>x",
+    "<svg><title>x</title></svg>", "<math><mi>y</mi></math>",
+    "<svg><foreignObject><p>z</p></foreignObject></svg>",
+    "<font color=red>", "<font unknown=1>", "= \" ' ` <",
+]
+CONTEXTS = ["div", "table", "tr", "td", "select", "template", "title",
+            "script", "head", "tbody", "caption", "p", "b"]
+
+
+def gen(rng: random.Random) -> str:
+    parts = []
+    for _ in range(rng.randint(1, 40)):
+        r = rng.random()
+        if r < 0.30:
+            tag = rng.choice(TAGS)
+            attrs = ""
+            for _ in range(rng.randint(0, 3)):
+                a = rng.choice(ATTRS)
+                q = rng.choice(['"', "'", "", " "])
+                v = rng.choice(["x", "1", "hidden", "text/html", "red",
+                                "Content-Type", "&amp;x", "a b"])
+                if q == " ":
+                    attrs += f" {a}"
+                else:
+                    attrs += f" {a}={q}{v}{q}"
+            close = rng.choice(["", "", "", "/"])
+            parts.append(f"<{tag}{attrs}{close}>")
+        elif r < 0.50:
+            parts.append(f"</{rng.choice(TAGS)}>")
+        elif r < 0.70:
+            parts.append(rng.choice(SNIPPETS))
+        elif r < 0.85:
+            parts.append(rng.choice(ENTS))
+        else:
+            parts.append(
+                "".join(
+                    rng.choice("ab <>&;=\"'/!-x\n\t")
+                    for _ in range(rng.randint(1, 12))
+                )
+            )
+    return "".join(parts)
+
+
+def ref_dump(data: bytes, context: str | None):
+    path = "/tmp/fuzz_case.html"
+    with open(path, "wb") as f:
+        f.write(data)
+    if context is None:
+        p = subprocess.run(["./parse_html", path], cwd=REFBUILD,
+                           capture_output=True, timeout=30)
+        out = p.stdout.decode("utf-8", errors="surrogateescape")
+        lines = out.split("\n")
+        dump = "\n".join(lines[1:])
+        if dump.endswith("\n"):
+            dump = dump[:-1]
+        return p.returncode, dump
+    p = subprocess.run(["./parse_fragment_demo", context, path],
+                       cwd=REFBUILD, capture_output=True, timeout=30)
+    out = p.stdout.decode("utf-8", errors="surrogateescape")
+    lines = out.split("\n")
+    return p.returncode, "\n".join(lines[1:])
+
+
+def main():
+    n = 2000
+    seed = 1
+    fragment = "--fragment" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        n = int(args[0])
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    rng = random.Random(seed)
+    fails = 0
+    for i in range(n):
+        text = gen(rng)
+        data = text.encode("utf-8", errors="surrogateescape")
+        context = rng.choice(CONTEXTS) if fragment else None
+        rc, want = ref_dump(data, context)
+        if rc != 0:
+            continue
+        try:
+            if context is None:
+                mine = parse_document(data).dump()
+            else:
+                mine = parse_fragment(data, context).dump()
+        except Exception as e:  # noqa: BLE001
+            mine = f"<exception: {e!r}>"
+        if mine != want:
+            fails += 1
+            fn = f"/tmp/fuzz_fail_{seed}_{i}{'_' + context if context else ''}.html"
+            with open(fn, "wb") as f:
+                f.write(data)
+            print(f"MISMATCH case {i} ctx={context} -> {fn}")
+            wl, ml = want.split("\n"), mine.split("\n")
+            for j in range(max(len(wl), len(ml))):
+                a = wl[j] if j < len(wl) else "<missing>"
+                b = ml[j] if j < len(ml) else "<missing>"
+                if a != b:
+                    print(f"  line {j+1}:\n    ref: {a!r}\n    py : {b!r}")
+                    break
+            if fails >= 10:
+                break
+    print(f"{n} cases, {fails} mismatches (seed={seed})")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
