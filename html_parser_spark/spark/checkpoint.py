@@ -1,0 +1,88 @@
+"""Partition-level checkpoint manifest + idempotent resume.
+
+North-rule requirement: "checkpointed per Iceberg partition with
+lineage and per-partition extraction metrics so the pipeline resumes
+idempotently after failure."
+
+Local realization (no Iceberg catalog in this sandbox, same mechanics):
+  - work is keyed by a PARTITION KEY column (e.g. bucket of conv_id);
+  - each completed partition writes a manifest row
+    (part_key, turns, parse_errors, extracted_chars, status=done);
+  - resume = left_anti join of input partitions against done manifest
+    rows, so a restarted job only processes missing partitions;
+  - output written partitioned by part_key -> a re-run overwrites a
+    partition atomically (dynamic partition overwrite), making resume
+    idempotent rather than duplicating.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_part_key(df: DataFrame, buckets: int = 64) -> DataFrame:
+    """Stable partition key: hash-bucket of conv_id. All turns of one
+    conversation land in one bucket (lineage unit)."""
+    return df.withColumn(
+        "part_key", (F.abs(F.xxhash64("conv_id")) % buckets).cast("int")
+    )
+
+
+def manifest_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "manifest")
+
+
+def read_done_keys(spark, checkpoint_dir: str) -> DataFrame:
+    path = manifest_path(checkpoint_dir)
+    try:
+        m = spark.read.parquet(path)
+        return m.where(F.col("status") == "done").select("part_key").distinct()
+    except Exception:
+        return spark.createDataFrame([], "part_key int")
+
+
+def pending_partitions(df_with_key: DataFrame, spark,
+                       checkpoint_dir: str) -> DataFrame:
+    """Idempotent resume: drop partitions already marked done."""
+    done = read_done_keys(spark, checkpoint_dir)
+    return df_with_key.join(done, on="part_key", how="left_anti")
+
+
+def write_manifest(extracted_with_key: DataFrame, spark,
+                   checkpoint_dir: str) -> None:
+    """Append per-partition metrics + done markers (lineage record)."""
+    metrics = (
+        extracted_with_key.groupBy("part_key")
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum("parse_errors").alias("parse_errors"),
+            F.sum(F.length("extracted_text")).alias("extracted_chars"),
+            F.countDistinct("conv_id").alias("conversations"),
+        )
+        .withColumn("status", F.lit("done"))
+    )
+    metrics.write.mode("append").parquet(manifest_path(checkpoint_dir))
+
+
+def run_with_checkpoint(spark, transcripts: DataFrame, out_dir: str,
+                        checkpoint_dir: str, buckets: int = 64,
+                        mode: str = "fragment", context: str = "div"):
+    """End-to-end resumable extraction: key -> resume-filter -> extract
+    -> write partitioned by part_key -> manifest append."""
+    from .pipeline import extract_turns
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    keyed = with_part_key(transcripts, buckets)
+    todo = pending_partitions(keyed, spark, checkpoint_dir)
+    extracted = extract_turns(todo.drop("part_key"), mode, context)
+    extracted = with_part_key(extracted, buckets)
+    (extracted.write.mode("overwrite")
+     .partitionBy("part_key")
+     .parquet(os.path.join(out_dir, "extracted")))
+    done = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    new_keys = todo.select("part_key").distinct()
+    write_manifest(done.join(new_keys, "part_key"), spark, checkpoint_dir)
+    return os.path.join(out_dir, "extracted")

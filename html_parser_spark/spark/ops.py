@@ -1,0 +1,405 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+Design rule: JVM-side built-ins first (whole-stage codegen), Arrow-
+batched numpy only where Spark SQL genuinely can't express the math
+(simhash bit-voting). Every operator that ANSI SQL can express has a
+DuckDB oracle in __spark_entry__.py.
+
+Operators:
+  exact dedup        — md5-groupBy, keep min doc_id            [SQL oracle]
+  ngram shingles     — 3-word shingles via transform/sequence  [SQL oracle]
+  minhash-LSH        — k minhashes from xxhash64, banded       [rows-only]
+  simhash            — 64-bit bit-voting over token hashes     [rows-only]
+  ngram-jaccard      — exact pairwise jaccard on shingle sets  [rows-only]
+  token stats        — counts/lengths                          [SQL oracle]
+  quality score      — length/punct/stopword ratios            [SQL oracle]
+  lang id            — stopword-hit heuristic                  [SQL oracle]
+  fingerprint        — md5 of ws-normalized lowercased text    [SQL oracle]
+  ANN brute force    — cosine top-k via aggregate/zip_with     [SQL oracle]
+  ANN LSH            — random-hyperplane bucketed cosine       [rows-only]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text): canonical doc + dup count."""
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + array of n-word shingles (distinct), JVM-side only."""
+    words = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    return documents.select(
+        "doc_id",
+        F.when(F.size(words) >= n, shingles)
+        .otherwise(F.array(F.concat_ws(" ", words)))
+        .alias("shingles"),
+    )
+
+
+def shingle_stats(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-gram shingle count per document (SQL-oracled)."""
+    sh = word_shingles(documents, n)
+    return sh.select(
+        "doc_id", F.size("shingles").cast("int").alias("n_shingles")
+    ).orderBy("doc_id")
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per doc: k minima of xxhash64(shingle, seed_k).
+    Entirely JVM-side (no UDF): shingle -> transform -> aggregate-min."""
+    sh = word_shingles(documents, shingle_n)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, k=k: F.xxhash64(s, F.lit(k)),
+            )
+        ).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.select("doc_id", F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
+                           bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+    Scale path: the band explode + groupBy is a single shuffle keyed by
+    (band_id, band_hash); no pairwise cross join ever materializes."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature",
+                                             b * rows_per_band + r + 1)
+                                .cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
+                        threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact jaccard over shingle sets. With `candidates` (e.g. from
+    minhash_lsh_candidates) only verifies those pairs — the 100TB path;
+    without, verifies all pairs (test scale only)."""
+    sh = word_shingles(documents, shingle_n)
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("shingles").alias("sh_b"))
+    if candidates is not None:
+        joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    else:
+        joined = a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "doc_a", "doc_b",
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per token hash, vote +1/-1 per bit, sign ->
+    fingerprint. Vectorized numpy inside an Arrow batch (the 64-way
+    bit-voting has no reasonable Spark SQL form)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts):
+        import numpy as np
+        import pandas as pd
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            tokens = text.split()
+            if not tokens:
+                continue
+            hashes = np.fromiter(
+                (hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+            )
+            bits_m = (
+                (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            ).astype(np.int64)
+            votes = (2 * bits_m - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    def hash64(token: str) -> int:
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(),
+            "little",
+        )
+
+    return documents.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "zh": ["的", "是", "不", "了", "在"],
+}
+
+
+def _word_hits(col, words):
+    """Count of tokens equal to any of `words` (token-exact, not
+    substring) — expressible identically in Spark and ANSI SQL."""
+    toks = F.split(col, " ")
+    return F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count, char count, distinct-token count,
+    avg token length (SQL-oracled)."""
+    toks = F.split(F.col("text"), " ")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length band + stopword ratio +
+    alpha ratio. Deterministic closed-form (SQL-oracled)."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_hits = _word_hits(F.col("text"), _STOPWORDS["en"])
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    alpha_ratio = alpha_chars / F.greatest(F.length("text"), F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    len_score = F.when(
+        (F.length("text") >= 100) & (F.length("text") <= 2000), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return documents.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        len_score.alias("length_score"),
+        F.round(
+            (alpha_ratio + stop_ratio + len_score) / 3.0, 6
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language ID over {en,es,fr,de,zh}: argmax of
+    token-exact stopword hits, 'und' when all zero (SQL-oracled)."""
+    hit_cols = [
+        _word_hits(F.col("text"), words).alias(f"hits_{lang}")
+        for lang, words in _STOPWORDS.items()
+    ]
+    scored = documents.select("doc_id", "lang", *hit_cols)
+    langs = list(_STOPWORDS.keys())
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # first-wins tie break, fixed order
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over lowercased, whitespace-collapsed
+    text (SQL-oracled; the stable-normalization dedup key)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return documents.select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """L2 norm per vector — JVM-side aggregate/transform (SQL-oracled)."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return embeddings.select(
+        "vec_id", F.round(_norm(vec), 4).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
+                   k: int = 5) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side against the
+    corpus — the baseline the LSH variant is judged against. The corpus
+    side streams; only the query side is broadcast."""
+    from pyspark.sql import Window
+
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = embeddings.select(
+        F.col("vec_id").alias("corpus_id"), vec_d.alias("cvec")
+    )
+    queries = embeddings.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), vec_d.alias("qvec")
+    )
+    joined = corpus.join(F.broadcast(queries),
+                         F.col("corpus_id") != F.col("query_id"))
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    scored = joined.select(
+        "query_id", "corpus_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+            n_planes: int = 8, seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket by sign pattern, exact cosine
+    within bucket. The scale path — the candidate join is keyed by
+    bucket, not a cross join. Planes are a deterministic seeded
+    broadcast literal."""
+    import random as _random
+
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select("embedding").first()[0])
+    rng = _random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def bucket_expr(vec):
+        bits = [
+            F.when(
+                _dot(vec, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1)
+            ).otherwise(F.lit(0)).cast("string")
+            for plane in planes
+        ]
+        return F.concat(*bits)
+
+    base = embeddings.select("vec_id", vec_d.alias("vec")).withColumn(
+        "bucket", bucket_expr(F.col("vec"))
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("corpus_id"), F.col("vec").alias("cvec"),
+        "bucket",
+    )
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = corpus.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("corpus_id") != F.col("query_id")),
+    )
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    scored = joined.select(
+        "query_id", "corpus_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

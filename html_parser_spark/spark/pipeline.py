@@ -1,0 +1,131 @@
+"""The extraction job: transcripts DataFrame -> extracted text + spans.
+
+Scale design (north rule / SURVEY.md §2.7, §4):
+  - Tier 0 (pure JVM, no Python): turns whose text contains none of
+    '<' '&' '\\r' '\\x00' need no parsing at all — extracted = text
+    (or '' if whitespace-only), one span, zero errors. On real
+    transcript corpora this is the majority of turns; it never leaves
+    whole-stage codegen.
+  - Tier 1 (Arrow batch kernel): everything else goes through the
+    fused tokenizer+tree-builder kernel via mapInArrow (one JVM<->Python
+    crossing per record batch).
+  - The split is a cheap JVM-side predicate; the union preserves the
+    EXTRACT schema, and output ordering is re-established with a window
+    over (conv_id, turn_idx) — stable per-turn ordering per the north
+    rule.
+  - Per-conversation aggregations use SALTED two-stage aggregation so a
+    mega-conversation cannot pin a single reducer; AQE skew-join is the
+    backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .udfs import EXTRACT_SPARK_SCHEMA, _calibrate, make_extract_map_in_arrow
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "ts"]
+
+# characters that force the Python kernel: markup, charrefs, CR (the
+# reference's CR fast-path quirk), NUL
+_NEEDS_KERNEL = "(text LIKE '%<%' OR text LIKE '%&%' OR text LIKE '%\r%' OR instr(text, chr(0)) > 0)"
+_WS_ONLY_RE = r"^[ \n\t\f]*$"
+
+
+def extract_turns(df: DataFrame, mode: str = "fragment",
+                  context: str = "div", ordered: bool = True) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) ->
+    + extracted_text, spans, parse_errors, node_count, doc_encoding.
+
+    Equality contract: per-turn byte equality with the reference parser
+    (kernel is golden-tested; tier split is semantics-preserving and
+    property-tested in tests/test_fastpath.py)."""
+    # calibration constants for the trivial JVM tier (context-dependent)
+    (k_empty, n_empty, enc), (k_ws, n_ws), (k_x, n_x, path) = _calibrate(
+        mode, context
+    )
+
+    needs_kernel = F.expr(_NEEDS_KERNEL) & F.col("text").isNotNull()
+    trivial = df.where(~needs_kernel | F.col("text").isNull())
+    hard = df.where(needs_kernel)
+
+    is_null = F.col("text").isNull()
+    is_empty = F.col("text") == ""
+    is_ws = F.col("text").rlike(_WS_ONLY_RE)
+
+    trivial_out = trivial.select(
+        *PASSTHROUGH,
+        F.when(is_null | is_ws, F.lit("")).otherwise(F.col("text"))
+         .alias("extracted_text"),
+        F.when(is_null | is_ws,
+               F.expr("array()").cast(
+                   "array<struct<start:int,end:int,path:string>>"))
+         .otherwise(F.array(F.struct(
+             F.lit(0).alias("start"),
+             F.length("text").cast("int").alias("end"),
+             F.lit(path).alias("path"))))
+         .alias("spans"),
+        F.when(is_null, F.lit(0))
+         .when(is_empty, F.lit(k_empty))
+         .when(is_ws, F.lit(k_ws))
+         .otherwise(F.lit(k_x)).cast("int").alias("parse_errors"),
+        F.when(is_null, F.lit(0))
+         .when(is_empty, F.lit(n_empty))
+         .when(is_ws, F.lit(n_ws))
+         .otherwise(F.lit(n_x)).cast("int").alias("node_count"),
+        F.lit(enc).alias("doc_encoding"),
+    )
+
+    out_schema = ", ".join(
+        f"{c} {t}" for c, t in [
+            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("tool", "string"), ("ts", "timestamp"),
+        ]
+    ) + ", " + EXTRACT_SPARK_SCHEMA
+    kernel_fn = make_extract_map_in_arrow(PASSTHROUGH, mode, context)
+    hard_out = hard.select(*PASSTHROUGH, "text").mapInArrow(
+        kernel_fn, out_schema
+    )
+
+    out = trivial_out.unionByName(hard_out)
+    if ordered:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        out = out.withColumn("turn_rank", F.row_number().over(w))
+    return out
+
+
+def conversation_stats(extracted: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Per-conversation rollup with SALTED two-stage aggregation:
+    stage 1 aggregates (conv_id, salt) partials, stage 2 merges — a
+    mega-conversation spreads over `salt_buckets` reducers first."""
+    salted = extracted.withColumn(
+        "salt", (F.crc32(F.col("turn_idx").cast("string")) % salt_buckets)
+    )
+    partial = salted.groupBy("conv_id", "salt").agg(
+        F.count("*").alias("c"),
+        F.sum(F.length("extracted_text")).alias("chars"),
+        F.sum("parse_errors").alias("errs"),
+        F.max("turn_idx").alias("max_turn"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("c").cast("bigint").alias("n_turns"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+        F.sum("errs").cast("bigint").alias("n_parse_errors"),
+        F.max("max_turn").cast("int").alias("max_turn_idx"),
+    )
+
+
+def partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition extraction metrics (north rule: turns parsed,
+    parse-error counts, bytes) for the checkpoint manifest."""
+    return (
+        extracted.withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum("parse_errors").alias("parse_errors"),
+            F.sum(F.length("extracted_text")).alias("extracted_chars"),
+        )
+    )

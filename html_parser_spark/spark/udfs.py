@@ -1,0 +1,197 @@
+"""Vectorized Arrow parse kernels (no per-row Python UDFs).
+
+The fused tokenize+tree-build kernel is inherently per-row sequential
+(tokenizer<->builder feedback, SURVEY.md §3.4), so it runs inside
+``mapInArrow`` batches: one JVM<->Python crossing per record batch,
+row-sequential inside. Module-level imports load the entity/encoding
+tables once per Python worker (mirror of entities_load_once,
+src/tokenizer.c:304) — never per row.
+
+Fast path: turns whose text contains no '<' can skip the parser
+entirely — in fragment mode the whole text is one CHARACTER token whose
+charref-decoded value either becomes the single TEXT node (non-ws) or
+is dropped (ws-only). ``fast_extract`` reproduces that exactly;
+test_kernel_equivalence.py property-checks it against the full parse.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from ..kernel.api import parse_document, parse_fragment
+from ..kernel.charref import decode_character_references
+from ..kernel.tokenizer import replace_nulls
+
+_WS_ONLY = frozenset(" \n\t\r\f")
+
+# Arrow output schema of the parse kernel (append-only contract)
+SPAN_TYPE = pa.list_(
+    pa.struct([
+        pa.field("start", pa.int32()),
+        pa.field("end", pa.int32()),
+        pa.field("path", pa.string()),
+    ])
+)
+
+EXTRACT_FIELDS = [
+    pa.field("extracted_text", pa.string()),
+    pa.field("spans", SPAN_TYPE),
+    pa.field("parse_errors", pa.int32()),
+    pa.field("node_count", pa.int32()),
+    pa.field("doc_encoding", pa.string()),
+]
+
+EXTRACT_SPARK_SCHEMA = (
+    "extracted_text string, "
+    "spans array<struct<start:int,end:int,path:string>>, "
+    "parse_errors int, node_count int, doc_encoding string"
+)
+
+
+# contexts whose initial tokenizer state decodes charrefs like DATA;
+# RAWTEXT/script/plaintext contexts must take the full parser even for
+# '<'-free text (they do NOT decode character references).
+_FAST_OK_CONTEXTS = None  # filled lazily; RCDATA (title/textarea) is fine
+
+_RAW_CONTEXTS = frozenset(
+    ("script", "style", "xmp", "iframe", "noembed", "noframes", "plaintext")
+)
+
+_CALIBRATION: dict = {}
+
+
+def _calibrate(mode: str, context: str):
+    """Constants of a '<'-free parse for this (mode, context): the text
+    itself only contributes charref decoding; everything else — EOF
+    parse errors, node counts, the span path, encoding — is fixed by
+    the context. Derived by running the full parser on probes."""
+    key = (mode, context)
+    cached = _CALIBRATION.get(key)
+    if cached is not None:
+        return cached
+    if mode == "document":
+        probe = lambda s: parse_document(s)  # noqa: E731
+    else:
+        probe = lambda s: parse_fragment(s, context)  # noqa: E731
+    r_empty = probe("")
+    r_ws = probe(" ")
+    r_x = probe("x")
+    _, spans = r_x.extract_text()
+    path = spans[0]["path"] if spans else ""
+    cal = (
+        (r_empty.error_count, r_empty.node_count, r_empty.encoding or "UTF-8"),
+        (r_ws.error_count, r_ws.node_count),
+        (r_x.error_count, r_x.node_count, path),
+    )
+    _CALIBRATION[key] = cal
+    return cal
+
+
+def fast_extract(text: str, mode: str = "fragment", context: str = "div"):
+    """Extraction result for a '<'-free turn, byte-equal to the full
+    parse: charref-decode the single CHARACTER run; ws-only runs are
+    dropped (B23). Returns (extracted_text, spans, errors, nodes, enc)."""
+    (k_empty, n_empty, enc), (k_ws, n_ws), (k_x, n_x, path) = _calibrate(
+        mode, context
+    )
+    nulls = text.count("\x00")
+    clean = replace_nulls(text)
+    if not clean:
+        return "", [], k_empty, n_empty, enc
+    errors: list = []
+    decoded = decode_character_references(clean, False, errors)
+    if all(c in _WS_ONLY for c in decoded):
+        return "", [], k_ws + nulls + len(errors), n_ws, enc
+    return (
+        decoded,
+        [{"start": 0, "end": len(decoded), "path": path}],
+        k_x + nulls + len(errors),
+        n_x,
+        enc,
+    )
+
+
+def parse_turn(text: str, mode: str = "fragment", context: str = "div"):
+    """Full parse of one turn. Returns the 5-tuple matching
+    EXTRACT_FIELDS."""
+    if text is None:
+        return "", [], 0, 0, "UTF-8"
+    if "<" not in text and context not in _RAW_CONTEXTS:
+        return fast_extract(text, mode, context)
+    if mode == "document":
+        res = parse_document(text)
+    else:
+        res = parse_fragment(text, context)
+    ext, spans = res.extract_text()
+    return ext, spans, res.error_count, res.node_count, res.encoding or "UTF-8"
+
+
+def make_extract_map_in_arrow(passthrough: list[str], mode: str = "fragment",
+                              context: str = "div"):
+    """Build a mapInArrow function: passthrough columns + text ->
+    passthrough columns + EXTRACT_FIELDS."""
+
+    def _fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            ext_l, spans_l, errs_l, nodes_l, enc_l = [], [], [], [], []
+            for text in texts:
+                ext, spans, errs, nodes, enc = parse_turn(text, mode, context)
+                ext_l.append(ext)
+                spans_l.append(spans)
+                errs_l.append(errs)
+                nodes_l.append(nodes)
+                enc_l.append(enc)
+            arrays = [batch.column(c) for c in passthrough]
+            fields = [batch.schema.field(c) for c in passthrough]
+            arrays += [
+                pa.array(ext_l, pa.string()),
+                pa.array(spans_l, SPAN_TYPE),
+                pa.array(errs_l, pa.int32()),
+                pa.array(nodes_l, pa.int32()),
+                pa.array(enc_l, pa.string()),
+            ]
+            fields += EXTRACT_FIELDS
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    return _fn
+
+
+def make_dump_map_in_arrow(passthrough: list[str], mode: str = "fragment",
+                           context: str = "div"):
+    """Debug/equality variant: adds dump + serialized columns (used by
+    the golden-equality tests; too heavy for the production path)."""
+
+    def _fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            dumps, sers, exts, errs = [], [], [], []
+            for text in texts:
+                text = text or ""
+                if mode == "document":
+                    res = parse_document(text)
+                else:
+                    res = parse_fragment(text, context)
+                dumps.append(res.dump())
+                sers.append(res.serialize())
+                exts.append(res.extract_text()[0])
+                errs.append(res.error_count)
+            arrays = [batch.column(c) for c in passthrough]
+            fields = [batch.schema.field(c) for c in passthrough]
+            arrays += [
+                pa.array(dumps, pa.string()),
+                pa.array(sers, pa.string()),
+                pa.array(exts, pa.string()),
+                pa.array(errs, pa.int32()),
+            ]
+            fields += [
+                pa.field("dump", pa.string()),
+                pa.field("serialized_html", pa.string()),
+                pa.field("extracted_text", pa.string()),
+                pa.field("parse_errors", pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    return _fn
