@@ -1,38 +1,443 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: HTML extraction over a deterministic
+                 synthetic transcripts table (schema per BASELINE.json
+                 input_hint), fragment mode, stable (conv_id, turn_idx)
+                 ordering.
+queries()      — operators from SURVEY.md §2 + the training-data ops;
+                 each callable takes (spark, sf_dir).
+oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                 query (same column names; aggregates decimal-cast so
+                 value hashes are order-insensitive-stable). Kernel
+                 parse queries are rows-only here; their byte-level
+                 correctness gate is tests/ (506 golden cases vs the
+                 reference binaries).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extract text+spans from a 2,000-turn synthetic transcripts table
+    (seeded, includes the reference fixture HTML as golden rows),
+    fragment mode, window-ordered output."""
+    from html_parser_spark.spark.pipeline import extract_turns
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    out = extract_turns(df, mode="fragment", context="div")
+    return out.select(
+        "conv_id", "turn_idx", "turn_rank", "role", "extracted_text",
+        "spans", "parse_errors", "node_count", "doc_encoding",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_ordering_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("turn_rank", F.row_number().over(w))
+        .where(F.col("turn_rank") <= 3)
+        .select("user_id", "event_id", "turn_rank")
+        .orderBy("user_id", "turn_rank")
+    )
+
+
+def _q_resume_antijoin(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_metrics_rollup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_events_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from html_parser_spark.spark.ops import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark, sf_dir):
+    from html_parser_spark.spark.ops import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    from html_parser_spark.spark.ops import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from html_parser_spark.spark.ops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from html_parser_spark.spark.ops import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_shingles(spark, sf_dir):
+    from html_parser_spark.spark.ops import shingle_stats
+
+    return shingle_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_embedding_norms(spark, sf_dir):
+    from html_parser_spark.spark.ops import embedding_norms
+
+    return embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_bruteforce(spark, sf_dir):
+    from html_parser_spark.spark.ops import ann_bruteforce
+
+    return ann_bruteforce(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    ).select("query_id", "corpus_id", "rank")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from html_parser_spark.spark.ops import ann_lsh
+
+    return ann_lsh(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    ).select("query_id", "corpus_id", "rank")
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from html_parser_spark.spark.ops import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from html_parser_spark.spark.ops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_a", "doc_b")
+
+
+def _q_simhash(spark, sf_dir):
+    from html_parser_spark.spark.ops import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _q_extract_transcripts(spark, sf_dir):
+    return entry(spark)
+
+
+def _q_conversation_stats(spark, sf_dir):
+    from html_parser_spark.spark.pipeline import (
+        conversation_stats, extract_turns,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return conversation_stats(extract_turns(df, ordered=False)).orderBy(
+        "conv_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue": _q_top_revenue,
+        "ordering_window": _q_ordering_window,
+        "resume_antijoin": _q_resume_antijoin,
+        "metrics_rollup": _q_metrics_rollup,
+        "events_agg": _q_events_agg,
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "shingle_stats": _q_shingles,
+        "embedding_norms": _q_embedding_norms,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,
+        "minhash_lsh": _q_minhash_lsh,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "extract_transcripts": _q_extract_transcripts,
+        "conversation_stats": _q_conversation_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_EN_STOP = "('the','a','of','and','to')"
+_LANG_STOP = {
+    "en": "('the','a','of','and','to')",
+    "es": "('el','la','de','que','y')",
+    "fr": "('le','la','de','et','un')",
+    "de": "('der','die','das','und','zu')",
+    "zh": "('的','是','不','了','在')",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hits = {
+        lg: (
+            "len(list_filter(string_split(text, ' '), "
+            f"t -> t in {words}))"
+        )
+        for lg, words in _LANG_STOP.items()
+    }
+    lang_pred = (
+        "case when greatest({en},{es},{fr},{de},{zh}) = 0 then 'und' "
+        "when {en} = greatest({en},{es},{fr},{de},{zh}) then 'en' "
+        "when {es} = greatest({en},{es},{fr},{de},{zh}) then 'es' "
+        "when {fr} = greatest({en},{es},{fr},{de},{zh}) then 'fr' "
+        "when {de} = greatest({en},{es},{fr},{de},{zh}) then 'de' "
+        "else 'zh' end"
+    ).format(**hits)
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+                   sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
+                   sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_revenue": """
+            SELECT o_orderkey,
+                   sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "ordering_window": """
+            SELECT user_id, event_id, turn_rank FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC)
+                           AS turn_rank
+                FROM events
+            ) WHERE turn_rank <= 3
+            ORDER BY user_id, turn_rank
+        """,
+        "resume_antijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "metrics_rollup": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS sum_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "events_agg": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(cast(value as decimal(18,2))) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS canonical_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   cast(len(string_split(text, ' ')) as int) AS n_tokens,
+                   cast(length(text) as int) AS n_chars,
+                   cast(len(list_distinct(string_split(text, ' '))) as int)
+                       AS n_distinct_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(len(list_filter(string_split(text, ' '),
+                                         t -> t in {_EN_STOP}))
+                         / greatest(len(string_split(text, ' ')), 1), 6)
+                       AS stopword_ratio,
+                   cast(case when length(text) between 100 and 2000
+                        then 1.0 else 0.5 end as double) AS length_score,
+                   round((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          / greatest(length(text), 1)
+                          + len(list_filter(string_split(text, ' '),
+                                            t -> t in {_EN_STOP}))
+                          / greatest(len(string_split(text, ' ')), 1)
+                          + case when length(text) between 100 and 2000
+                                 then 1.0 else 0.5 end) / 3.0, 6) AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            SELECT doc_id, lang AS labeled_lang,
+                   {lang_pred} AS predicted_lang
+            FROM documents ORDER BY doc_id
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                       AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "shingle_stats": """
+            SELECT doc_id,
+                   cast(case when len(string_split(text, ' ')) >= 3 then
+                       len(list_distinct(list_transform(
+                           generate_series(0, len(string_split(text, ' ')) - 3),
+                           i -> array_to_string(
+                               string_split(text, ' ')[i+1:i+3], ' '))))
+                   else 1 end as int) AS n_shingles
+            FROM documents ORDER BY doc_id
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                              x -> cast(x as double) * cast(x as double)))), 4)
+                       AS l2_norm
+            FROM embeddings ORDER BY vec_id
+        """,
+        "ann_bruteforce": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> cast(x as double)) AS vec
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, vec AS qvec FROM v
+                WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+            ), scored AS (
+                SELECT q.query_id, v.vec_id AS corpus_id,
+                       list_sum(list_transform(generate_series(1, len(qvec)),
+                                i -> qvec[i] * vec[i]))
+                       / (sqrt(list_sum(list_transform(qvec, x -> x*x)))
+                          * sqrt(list_sum(list_transform(vec, x -> x*x))))
+                           AS cosine
+                FROM q, v WHERE v.vec_id <> q.query_id
+            )
+            SELECT query_id, corpus_id, rank FROM (
+                SELECT query_id, corpus_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, corpus_id ASC)
+                           AS rank
+                FROM scored
+            ) WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        # ann_lsh, minhash_lsh, ngram_jaccard, simhash: algorithm-specific
+        # hashing/bucketing (xxhash64 seeds, blake2b, seeded hyperplanes)
+        # has no ANSI-SQL equivalent -> rows-only checks.
+        # extract_transcripts, conversation_stats: the HTML parse kernel is
+        # not SQL-expressible; byte-level correctness is gated by
+        # tests/test_goldens.py against the reference binaries.
+    }
