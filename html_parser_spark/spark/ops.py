@@ -68,19 +68,26 @@ def shingle_stats(documents: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                        shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per doc: k minima of xxhash64(shingle, seed_k).
-    Entirely JVM-side (no UDF): shingle -> transform -> aggregate-min."""
+    """MinHash signature per doc, single-pass at scale:
+    explode shingles -> ONE string xxhash64 per shingle -> k fixed-width
+    rehashes xxhash64(h, k) aggregated with min. The variable-length
+    string hashing cost is paid once, not k times (the naive k-column
+    form re-inlines the whole shingle expression k-fold in codegen),
+    and the rehash is overflow-free under ANSI mode."""
     sh = word_shingles(documents, shingle_n)
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s, k=k: F.xxhash64(s, F.lit(k)),
-            )
-        ).alias(f"mh_{k}")
+    rows = sh.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
-    return sh.select("doc_id", F.array(*sig_cols).alias("signature"))
+    grouped = rows.groupBy("doc_id").agg(*aggs)
+    return grouped.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{k}") for k in range(num_hashes)])
+        .alias("signature"),
+    )
 
 
 def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
