@@ -35,13 +35,33 @@ _WS_ONLY_RE = r"^[ \n\t\f]*$"
 
 
 def extract_turns(df: DataFrame, mode: str = "fragment",
-                  context: str = "div", ordered: bool = True) -> DataFrame:
+                  context: str = "div", ordered: bool = True,
+                  boilerplate: bool = False) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) ->
     + extracted_text, spans, parse_errors, node_count, doc_encoding.
 
-    Equality contract: per-turn byte equality with the reference parser
-    (kernel is golden-tested; tier split is semantics-preserving and
-    property-tested in tests/test_fastpath.py)."""
+    Equality contract (boilerplate=False, the default): per-turn byte
+    equality with the reference parser (kernel is golden-tested; the
+    tier split is semantics-preserving and property-tested).
+
+    boilerplate=True applies the DOM block-scoring strip; every row
+    takes the kernel path (scoring needs the block structure), with the
+    Python-level '<'-free fast path still active inside the kernel."""
+    if boilerplate:
+        out_schema = ", ".join(
+            f"{c} {t}" for c, t in [
+                ("conv_id", "string"), ("turn_idx", "int"),
+                ("role", "string"), ("tool", "string"), ("ts", "timestamp"),
+            ]
+        ) + ", " + EXTRACT_SPARK_SCHEMA
+        kernel_fn = make_extract_map_in_arrow(PASSTHROUGH, mode, context,
+                                              boilerplate=True)
+        out = df.select(*PASSTHROUGH, "text").mapInArrow(kernel_fn, out_schema)
+        if ordered:
+            w = Window.partitionBy("conv_id").orderBy("turn_idx")
+            out = out.withColumn("turn_rank", F.row_number().over(w))
+        return out
+
     # calibration constants for the trivial JVM tier (context-dependent)
     (k_empty, n_empty, enc), (k_ws, n_ws), (k_x, n_x, path) = _calibrate(
         mode, context

@@ -21,6 +21,7 @@ from typing import Iterator
 import pyarrow as pa
 
 from ..kernel.api import parse_document, parse_fragment
+from ..kernel.boilerplate import strip_boilerplate, _Block, _score
 from ..kernel.charref import decode_character_references
 from ..kernel.tokenizer import replace_nulls
 
@@ -113,23 +114,45 @@ def fast_extract(text: str, mode: str = "fragment", context: str = "div"):
     )
 
 
-def parse_turn(text: str, mode: str = "fragment", context: str = "div"):
+def parse_turn(text: str, mode: str = "fragment", context: str = "div",
+               boilerplate: bool = False):
     """Full parse of one turn. Returns the 5-tuple matching
-    EXTRACT_FIELDS."""
+    EXTRACT_FIELDS. With boilerplate=True the extraction applies the
+    DOM block-scoring strip (kernel/boilerplate.py) instead of verbatim
+    TEXT-node concatenation."""
     if text is None:
         return "", [], 0, 0, "UTF-8"
     if "<" not in text and context not in _RAW_CONTEXTS:
-        return fast_extract(text, mode, context)
+        if not boilerplate:
+            return fast_extract(text, mode, context)
+        return _fast_extract_boilerplate(text, mode, context)
     if mode == "document":
         res = parse_document(text)
     else:
         res = parse_fragment(text, context)
-    ext, spans = res.extract_text()
+    if boilerplate:
+        ext, spans, _, _ = strip_boilerplate(res.doc)
+    else:
+        ext, spans = res.extract_text()
     return ext, spans, res.error_count, res.node_count, res.encoding or "UTF-8"
 
 
+def _fast_extract_boilerplate(text: str, mode: str, context: str):
+    """'<'-free turn under boilerplate mode: the document is a single
+    text block; apply the same block scoring as strip_boilerplate."""
+    ext, spans, errs, nodes, enc = fast_extract(text, mode, context)
+    if not ext:
+        return ext, spans, errs, nodes, enc
+    block = _Block()
+    block.add(ext, spans[0]["path"] if spans else "", False)
+    if _score(block):
+        return ext, spans, errs, nodes, enc
+    return "", [], errs, nodes, enc
+
+
 def make_extract_map_in_arrow(passthrough: list[str], mode: str = "fragment",
-                              context: str = "div"):
+                              context: str = "div",
+                              boilerplate: bool = False):
     """Build a mapInArrow function: passthrough columns + text ->
     passthrough columns + EXTRACT_FIELDS."""
 
@@ -138,7 +161,8 @@ def make_extract_map_in_arrow(passthrough: list[str], mode: str = "fragment",
             texts = batch.column("text").to_pylist()
             ext_l, spans_l, errs_l, nodes_l, enc_l = [], [], [], [], []
             for text in texts:
-                ext, spans, errs, nodes, enc = parse_turn(text, mode, context)
+                ext, spans, errs, nodes, enc = parse_turn(
+                    text, mode, context, boilerplate)
                 ext_l.append(ext)
                 spans_l.append(spans)
                 errs_l.append(errs)

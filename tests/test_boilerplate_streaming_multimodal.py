@@ -1,0 +1,163 @@
+"""Tests for the graft extensions: boilerplate strip, streaming
+extraction, multimodal plumbing."""
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+NAV_PAGE = (
+    "<div class='nav'><a href='/'>Home</a> <a href='/a'>About</a> "
+    "<a href='/b'>More</a></div>"
+    "<article><p>This is the actual article content, a long paragraph of "
+    "prose that any boilerplate scorer should retain in the output.</p>"
+    "<p>And here is a second paragraph with enough stopwords to look "
+    "like honest text.</p></article>"
+    "<footer>© 2020 <a href='#'>terms</a> <a href='#'>privacy</a></footer>"
+)
+
+
+class TestBoilerplate:
+    def test_nav_and_footer_stripped(self):
+        from html_parser_spark.kernel.api import parse_fragment
+        from html_parser_spark.kernel.boilerplate import strip_boilerplate
+
+        res = parse_fragment(NAV_PAGE, "div")
+        text, spans, kept, total = strip_boilerplate(res.doc)
+        assert "actual article content" in text
+        assert "Home" not in text
+        assert "privacy" not in text
+        assert kept >= 2
+        # spans reconstruct the text
+        rebuilt = "".join(
+            text[s["start"]:s["end"]] for s in spans
+        )
+        assert rebuilt == text.replace("\n", "")
+
+    def test_script_style_pruned(self):
+        from html_parser_spark.kernel.api import parse_fragment
+        from html_parser_spark.kernel.boilerplate import strip_boilerplate
+
+        html = ("<script>var x = 'a lot of javascript text here';</script>"
+                "<p>Keep this sentence because it is the real page "
+                "content and long.</p>"
+                "<style>.c { color: red }</style>")
+        res = parse_fragment(html, "div")
+        text, _, _, _ = strip_boilerplate(res.doc)
+        assert "javascript" not in text and "color" not in text
+        assert "Keep this sentence" in text
+
+    def test_off_by_default_equality_preserved(self):
+        from html_parser_spark.spark.udfs import parse_turn
+
+        plain = parse_turn(NAV_PAGE, "fragment", "div", boilerplate=False)
+        assert "Home" in plain[0]  # verbatim extraction keeps everything
+
+    def test_pipeline_boilerplate_mode(self, spark):
+        import datetime
+
+        from html_parser_spark.spark.pipeline import extract_turns
+
+        df = spark.createDataFrame(
+            [("c0", 0, "user", NAV_PAGE, None,
+              datetime.datetime(2020, 1, 1)),
+             ("c0", 1, "user", "short", None,
+              datetime.datetime(2020, 1, 1))],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        rows = {r.turn_idx: r.extracted_text
+                for r in extract_turns(df, boilerplate=True).collect()}
+        assert "actual article content" in rows[0]
+        assert "Home" not in rows[0]
+        assert rows[1] == ""  # short, no stopwords -> scored out
+
+
+class TestStreaming:
+    def test_stream_extraction_matches_batch(self, spark, tmp_path):
+        from html_parser_spark.spark.pipeline import extract_turns
+        from html_parser_spark.spark.streaming import run_stream_to_parquet
+        from html_parser_spark.spark.transcripts import transcripts_df
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        df = transcripts_df(spark, 150, seed=11, partitions=3)
+        df.write.parquet(src)
+
+        run_stream_to_parquet(spark, src, out, ckpt)
+        stream_rows = {
+            (r.conv_id, r.turn_idx): (r.extracted_text, r.parse_errors)
+            for r in spark.read.parquet(out).collect()
+        }
+        batch_rows = {
+            (r.conv_id, r.turn_idx): (r.extracted_text, r.parse_errors)
+            for r in extract_turns(
+                spark.read.parquet(src), ordered=False
+            ).collect()
+        }
+        assert stream_rows == batch_rows
+
+    def test_watermarked_rolling_stats_plan(self, spark, tmp_path):
+        from html_parser_spark.spark.streaming import (
+            conversation_rolling_stats, extract_stream,
+            read_transcripts_stream,
+        )
+        from html_parser_spark.spark.transcripts import transcripts_df
+
+        src_dir = str(tmp_path / "wm_in")
+        transcripts_df(spark, 30, seed=5, partitions=1).write.parquet(src_dir)
+        src = read_transcripts_stream(spark, src_dir)
+        agg = conversation_rolling_stats(extract_stream(src))
+        assert agg.isStreaming
+        assert "window" in agg.columns
+
+
+class TestMultimodal:
+    def test_decode_strict_raises_at_kernel(self, spark):
+        from html_parser_spark.spark.multimodal import (
+            decode_media, synth_media_df,
+        )
+
+        df = synth_media_df(spark, 8)
+        with pytest.raises(Exception) as ei:
+            decode_media(df, strict=True).collect()
+        assert "NotImplementedError" in str(ei.value) or \
+            "media codecs" in str(ei.value)
+
+    def test_decode_fake_deterministic(self, spark):
+        from html_parser_spark.spark.multimodal import (
+            decode_media, synth_media_df,
+        )
+
+        df = synth_media_df(spark, 12)
+        first = decode_media(df).collect()
+        a = {r.media_id: (r.sha, tuple(r.features)) for r in first}
+        b = {r.media_id: (r.sha, tuple(r.features))
+             for r in decode_media(df).collect()}
+        assert a == b and len(a) == 12
+        assert all(len(r.features) == 64 for r in first)
+
+    def test_resize_schema_and_size(self, spark):
+        from html_parser_spark.spark.multimodal import (
+            resize_images, synth_media_df,
+        )
+
+        df = synth_media_df(spark, 9)
+        rows = resize_images(df, 16, 8).collect()
+        assert rows and all(len(bytes(r.payload)) == 16 * 8 for r in rows)
+
+    def test_frame_sampling_counts(self, spark):
+        from html_parser_spark.spark.multimodal import (
+            sample_frames, synth_media_df,
+        )
+
+        df = synth_media_df(spark, 9)
+        rows = sample_frames(df, every_ms=1000, max_frames=4).collect()
+        by_media = {}
+        for r in rows:
+            by_media.setdefault(r.media_id, []).append(r.frame_idx)
+        assert by_media
+        for mid, idxs in by_media.items():
+            assert sorted(idxs) == list(range(len(idxs)))
+            assert len(idxs) <= 4
