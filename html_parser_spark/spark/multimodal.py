@@ -33,7 +33,7 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id bigint, kind string, n_bytes int, sha int, "
+    "media_id bigint, kind string, n_bytes int, sha bigint, "
     "features array<float>"
 )
 
