@@ -238,6 +238,23 @@ def _q_conversation_stats(spark, sf_dir):
     )
 
 
+def _q_extract_boilerplate(spark, sf_dir):
+    from html_parser_spark.spark.pipeline import extract_turns
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 1000, seed=42, partitions=8)
+    return extract_turns(df, boilerplate=True).select(
+        "conv_id", "turn_idx", "turn_rank", "extracted_text",
+        "parse_errors",
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    from html_parser_spark.spark.multimodal import decode_media, synth_media_df
+
+    return decode_media(synth_media_df(spark, 64)).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -259,7 +276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "extract_transcripts": _q_extract_transcripts,
+        "extract_boilerplate": _q_extract_boilerplate,
         "conversation_stats": _q_conversation_stats,
+        "media_features": _q_media_features,
     }
 
 
