@@ -46,6 +46,49 @@ def _transcripts_path(spark, n_turns: int) -> str:
     return path
 
 
+def _dense_corpus_path(spark, sf: str):
+    """Markup-dense document corpus: the reference fixture HTML files
+    replicated to ~5/50 MB (by SF). Returns (path, total_mb)."""
+    import glob
+
+    reps = {"sf0.001": 1, "sf0.01": 8, "sf0.1": 64}.get(sf, 8)
+    path = f"/tmp/spark_graft_bench/dense_v3_{reps}"
+    meta = path + ".mb"
+    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and os.path.exists(meta)):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        # the SAME content behind BASELINE.md's 9.77 MB/s single-thread
+        # figure (500x tests/big_test.html): ~108 KB documents of
+        # 50x big_test each, 10 distinct shells
+        body = open("/root/reference/tests/big_test.html",
+                    encoding="utf-8").read() * 50
+        docs = [
+            "<!DOCTYPE html><html><head><title>doc%d</title></head>"
+            "<body>%s</body></html>" % (off, body)
+            for off in range(10)
+        ]
+        base = spark.createDataFrame(
+            [(f"doc{i:05d}", 0, "user", d, None,
+              datetime.datetime(2020, 1, 1)) for i, d in enumerate(docs)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+        amplified = (
+            base.withColumn(
+                "rep", F.explode(F.sequence(F.lit(1), F.lit(reps))))
+            .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
+            .drop("rep")
+            .repartition(max(CPUS * 2, 16))
+        )
+        amplified.write.mode("overwrite").parquet(path)
+        mb = sum(len(d.encode("utf-8")) for d in docs) * reps / 1e6
+        with open(meta, "w") as f:
+            f.write(str(mb))
+    return path, float(open(meta).read())
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -63,8 +106,12 @@ def main() -> int:
     tpath = _transcripts_path(spark, n_turns)
     transcripts = spark.read.parquet(tpath)
 
-    # warmup: spin up Python workers + codegen so timings measure the
-    # steady state, not JVM/worker cold start
+    # prep phase (untimed): materialize corpora, free driver heap, warm
+    # Python workers + codegen so timings measure the steady state
+    dense_path, dense_mb = _dense_corpus_path(spark, sf)
+    import gc
+
+    gc.collect()
     extract_turns(transcripts.limit(512), ordered=False).count()
 
     queries: dict[str, float] = {}
@@ -84,6 +131,16 @@ def main() -> int:
     stats = conversation_stats(extract_turns(transcripts, ordered=False))
     n_convs = stats.count()
     queries["conversation_stats"] = round(time.time() - t0, 3)
+
+    # -- markup-dense corpus: apples-to-apples with the reference's
+    #    9.77 MB/s single-thread document-parse baseline ------------------
+    dense = spark.read.parquet(dense_path)
+    t0 = time.time()
+    extract_turns(dense, mode="document", ordered=False).write.format(
+        "noop").mode("overwrite").save()
+    t_dense = time.time() - t0
+    queries["extract_html_dense"] = round(t_dense, 3)
+    dense_mb_per_sec = round(dense_mb / t_dense, 2) if t_dense else 0.0
 
     # -- representative SF-table queries -------------------------------------
     qs = se.queries()
@@ -118,6 +175,9 @@ def main() -> int:
         "turns_per_sec": turns_per_sec,
         "transcript_mb": round(text_mb, 2),
         "mb_per_sec": round(text_mb / t_extract, 2) if t_extract else 0.0,
+        "dense_html_mb": round(dense_mb, 2),
+        "dense_html_mb_per_sec": dense_mb_per_sec,
+        "reference_single_thread_mb_per_sec": 9.77,
         "conversations": n_convs,
         "cpus": CPUS,
     }))

@@ -141,6 +141,7 @@ _BLOCK_LIKE = frozenset(
 _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 _SELECT_CHILDREN = frozenset(("option", "optgroup"))
 _WS_ONLY = frozenset(" \n\t\r\f")
+_WS_STR = " \n\t\r\f"
 
 # quirks-mode public-id prefixes (determine_doc_mode, 1349-1448)
 _QUIRKS_PUBLIC_PREFIXES = (
@@ -466,7 +467,9 @@ class TreeBuilder:
         return -1
 
     def _reconstruct_formatting(self, parent):
-        # reconstruct_active_formatting (731-767)
+        # reconstruct_active_formatting (731-767). Stack membership via
+        # an id() set: nodes in fl are kept alive by fl, so ids are
+        # stable; turns the O(|fl|*|st|) scan into O(|fl|+|st|).
         fl = self.fmt
         if not fl:
             return
@@ -474,12 +477,13 @@ class TreeBuilder:
         last_tag, last_el = fl[-1]
         if last_tag is MARKER:
             return
-        if last_el is not None and any(x is last_el for x in st):
+        stack_ids = {id(x) for x in st}
+        if last_el is not None and id(last_el) in stack_ids:
             return
         first = 0
         for i in range(len(fl) - 1, 0, -1):
             etag, eel = fl[i - 1]
-            if etag is MARKER or (eel is not None and any(x is eel for x in st)):
+            if etag is MARKER or (eel is not None and id(eel) in stack_ids):
                 first = i
                 break
         for i in range(first, len(fl)):
@@ -883,7 +887,7 @@ class TreeBuilder:
         ttype = t.type
         if ttype == TOKEN_CHARACTER:
             if t.data:
-                if all(c in _WS_ONLY for c in t.data):
+                if not t.data.strip(_WS_STR):
                     return True, False
                 self._template_mode_replace(IN_BODY)
                 self.mode = IN_BODY
@@ -1212,7 +1216,7 @@ class TreeBuilder:
         if self.mode == IN_TABLE_TEXT:
             if t.type == TOKEN_CHARACTER and t.data:
                 self.table_text.append(t.data)
-                if not all(c in _WS_ONLY for c in t.data):
+                if t.data.strip(_WS_STR):
                     self.table_text_non_ws = True
                 return _BREAK
             if self.table_text:
@@ -1261,7 +1265,7 @@ class TreeBuilder:
             self._current().append_child(Node(COMMENT, None, t.data or ""))
             return _BREAK
         if ttype == TOKEN_CHARACTER:
-            if t.data is not None and all(c in _WS_ONLY for c in t.data):
+            if t.data is not None and not t.data.strip(_WS_STR):
                 return _BREAK
             self._err("char-in-head-noscript")
             if self.st:
@@ -1842,7 +1846,7 @@ class TreeBuilder:
         data = t.data
         if not data:
             return _CHECK
-        if all(c in _WS_ONLY for c in data):
+        if not data.strip(_WS_STR):
             if self.mode == IN_BODY:
                 if not self._in_template_context():
                     self._ensure_body()
@@ -1863,7 +1867,7 @@ class TreeBuilder:
         if self.mode == IN_TABLE:
             self.mode = IN_TABLE_TEXT
             self.table_text.append(data)
-            if not all(c in _WS_ONLY for c in data):
+            if data.strip(_WS_STR):
                 self.table_text_non_ws = True
             return _CHECK
         if self.mode in _TABLE_MODES:
@@ -2223,7 +2227,7 @@ class TreeBuilder:
         data = t.data
         if not data:
             return _CHECK
-        if all(c in _WS_ONLY for c in data):
+        if not data.strip(_WS_STR):
             if self.mode == IN_BODY:
                 parent = self._current()
                 if parent is not None:
@@ -2232,7 +2236,7 @@ class TreeBuilder:
         if self.mode == IN_TABLE:
             self.mode = IN_TABLE_TEXT
             self.table_text.append(data)
-            if not all(c in _WS_ONLY for c in data):
+            if data.strip(_WS_STR):
                 self.table_text_non_ws = True
             return _CHECK
         if self.mode in _TABLE_MODES:

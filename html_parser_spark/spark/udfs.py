@@ -26,6 +26,7 @@ from ..kernel.charref import decode_character_references
 from ..kernel.tokenizer import replace_nulls
 
 _WS_ONLY = frozenset(" \n\t\r\f")
+_WS_STR = " \n\t\r\f"
 
 # Arrow output schema of the parse kernel (append-only contract)
 SPAN_TYPE = pa.list_(
@@ -103,7 +104,7 @@ def fast_extract(text: str, mode: str = "fragment", context: str = "div"):
         return "", [], k_empty, n_empty, enc
     errors: list = []
     decoded = decode_character_references(clean, False, errors)
-    if all(c in _WS_ONLY for c in decoded):
+    if not decoded.strip(_WS_STR):
         return "", [], k_ws + nulls + len(errors), n_ws, enc
     return (
         decoded,
