@@ -578,11 +578,82 @@ def _jis0208_table():
     return _JIS0208
 
 
+# glibc-iconv parity shims. The diff tables were generated by feeding
+# every structurally-plausible byte sequence through the reference
+# binary per charset and recording where Python's codec disagrees
+# (tools/probe_codec_tables.py -> _iconv_diffs.py; 600+ sequences:
+# shift_jis yen/overline, Big5 ETen area, EUC C1 passthrough, ...).
+from ._iconv_diffs import ICONV_DIFFS  # noqa: E402
+
+# single-byte codecs: applied as char translations (each differing char
+# has a unique source byte, verified by the probe)
+_POST_TRANSLATE = {
+    "mac_roman": {0x2206: 0x0394, 0xF8FF: 0xE01E},
+    "mac_cyrillic": {0x20AC: 0xA4},
+    "cp874": {c: 0xFFFD for c in (0x20AC, 0x2026, 0x2018, 0x2019, 0x201C,
+                                  0x201D, 0x2022, 0x2013, 0x2014, 0xA0)},
+}
+
+# multi-byte codecs: boundary-aware sequence overrides
+_SEQ_DIFF_CODECS = ("shift_jis", "big5", "gbk", "euc_kr", "euc_jp")
+_SEQ_DIFFS_BY_FIRST: dict = {}
+for _codec in _SEQ_DIFF_CODECS:
+    _by_first: dict = {}
+    for _seq, _rep in ICONV_DIFFS.get(_codec, {}).items():
+        _by_first.setdefault(_seq[0], []).append((_seq, _rep))
+    for _lst in _by_first.values():
+        _lst.sort(key=lambda x: -len(x[0]))  # longest match first
+    _SEQ_DIFFS_BY_FIRST[_codec] = (_by_first, frozenset(_by_first))
+
+
+def _decode_with_seq_diffs(raw: bytes, pycodec: str, by_first) -> str:
+    """Char-boundary decode applying glibc override sequences. Only runs
+    when the input actually contains a potential first byte."""
+    out = []
+    i = 0
+    n = len(raw)
+    while i < n:
+        cands = by_first.get(raw[i])
+        if cands is not None:
+            matched = False
+            for seq, rep in cands:
+                if raw.startswith(seq, i):
+                    out.append(rep)
+                    i += len(seq)
+                    matched = True
+                    break
+            if matched:
+                continue
+        # decode exactly one character (these codecs are <=2 bytes/char;
+        # gb-style 4-byte is not in the diff set)
+        decoded = None
+        for length in (1, 2, 3, 4):
+            try:
+                decoded = raw[i:i + length].decode(pycodec)
+                i += length
+                break
+            except UnicodeDecodeError:
+                continue
+        if decoded is None:
+            out.append("�")  # iconv EILSEQ: U+FFFD + skip one byte
+            i += 1
+        else:
+            out.append(decoded)
+    return "".join(out)
+
+
 def _convert_with_codec(raw: bytes, pycodec: str) -> str:
     """iconv-policy decode (984-1037): on an illegal sequence emit U+FFFD,
-    skip ONE byte, and continue from a reset decoder state."""
+    skip ONE byte, continue; plus the probed glibc diff tables."""
+    trans = _POST_TRANSLATE.get(pycodec)
+    seq_info = _SEQ_DIFFS_BY_FIRST.get(pycodec)
+    if seq_info is not None:
+        by_first, first_bytes = seq_info
+        if not first_bytes.isdisjoint(raw):
+            return _decode_with_seq_diffs(raw, pycodec, by_first)
     try:
-        return raw.decode(pycodec)
+        text = raw.decode(pycodec)
+        return text.translate(trans) if trans else text
     except UnicodeDecodeError:
         pass
     out = []
@@ -598,7 +669,8 @@ def _convert_with_codec(raw: bytes, pycodec: str) -> str:
                 out.append(raw[i:good].decode(pycodec))
             out.append("�")
             i = good + 1
-    return "".join(out)
+    text = "".join(out)
+    return text.translate(trans) if trans else text
 
 
 class EncodingResult:
