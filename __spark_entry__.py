@@ -144,6 +144,32 @@ def _q_events_agg(spark, sf_dir):
     )
 
 
+def _q_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k > 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_events_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("day", "event_type")
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from html_parser_spark.spark.ops import exact_dedup
 
@@ -263,6 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": _q_resume_antijoin,
         "metrics_rollup": _q_metrics_rollup,
         "events_agg": _q_events_agg,
+        "json_props": _q_json_props,
+        "events_daily": _q_events_daily,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -365,6 +393,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(value as decimal(18,2))) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "json_props": """
+            SELECT event_type,
+                   sum(cast(json_extract_string(props, '$.k') as int))
+                       AS sum_k,
+                   max(cast(json_extract_string(props, '$.k') as int))
+                       AS max_k,
+                   count(CASE WHEN cast(json_extract_string(props, '$.k')
+                                        as int) > 50 THEN 1 END) AS n_high
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_daily": """
+            SELECT cast(date_trunc('day', ts) as date) AS day, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash,
