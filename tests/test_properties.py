@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for kernel invariants.
+
+These complement the golden/differential suites with generated inputs:
+the kernel must never raise, spans must exactly reconstruct the
+extracted text, preprocessing must be idempotent, and the '<'-free
+fast path must equal the full parse on arbitrary text.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from html_parser_spark.kernel.api import parse_document, parse_fragment
+from html_parser_spark.kernel.tokenizer import replace_nulls
+from html_parser_spark.spark.udfs import fast_extract
+
+# text including markup-ish characters, entities, controls, unicode
+_html_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.sampled_from("<>&;#/!-=\"'\n\r\t\x00"),
+        st.characters(min_codepoint=0xA0, max_codepoint=0x2FFF),
+    ),
+    max_size=300,
+)
+
+_plain_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x3B),  # no '<'
+        st.sampled_from("&;# \n\r\t\x00é漢"),
+    ),
+    max_size=200,
+)
+
+_contexts = st.sampled_from(["div", "td", "table", "select", "template",
+                             "title", "p"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(_html_text, _contexts)
+def test_fragment_parse_total(text, context):
+    res = parse_fragment(text, context)
+    extracted, spans = res.extract_text()
+    # spans partition the extracted text exactly, in order
+    pos = 0
+    for s in spans:
+        assert s["start"] == pos
+        assert s["end"] >= s["start"]
+        pos = s["end"]
+    assert pos == len(extracted)
+    # dump and serialize never raise and are strings
+    assert isinstance(res.dump(), str)
+    assert isinstance(res.serialize(), str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_html_text)
+def test_document_parse_total(text):
+    res = parse_document(text)
+    extracted, spans = res.extract_text()
+    assert res.doc is not None
+    assert all(s["end"] <= len(extracted) for s in spans)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_html_text)
+def test_replace_nulls_idempotent(text):
+    once = replace_nulls(text)
+    assert replace_nulls(once) == once
+    assert "\x00" not in once
+    assert "\r\n" not in once
+
+
+@settings(max_examples=300, deadline=None)
+@given(_plain_text, st.sampled_from(["div", "td", "select", "template",
+                                     "title"]))
+def test_fast_path_equals_full_parse(text, context):
+    fast = fast_extract(text, "fragment", context)
+    full = parse_fragment(text, context)
+    ext, spans = full.extract_text()
+    assert fast == (ext, spans, full.error_count, full.node_count,
+                    full.encoding or "UTF-8")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=200))
+def test_document_parse_arbitrary_bytes_total(raw):
+    # the byte front-end (sniff/decode) must be total on arbitrary bytes
+    res = parse_document(raw)
+    assert res.doc is not None
+    assert isinstance(res.encoding, str)
