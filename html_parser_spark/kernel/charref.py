@@ -42,11 +42,21 @@ def _build_tables():
             legacy.add(name)
         values.setdefault(name, val)
     lengths = sorted({len(n) for n in values}, reverse=True)
-    return values, legacy, tuple(lengths)
+    # candidate lengths bucketed by the entity's first character: for a
+    # given '&X...' only lengths of names starting with X need probing
+    by_first: dict = {}
+    for n in values:
+        by_first.setdefault(n[0], set()).add(len(n))
+    lengths_by_first = {
+        c: tuple(sorted(ls, reverse=True)) for c, ls in by_first.items()
+    }
+    return values, legacy, tuple(lengths), lengths_by_first
 
 
-ENTITY_VALUES, ENTITY_LEGACY, _ENTITY_LENGTHS = _build_tables()
+(ENTITY_VALUES, ENTITY_LEGACY, _ENTITY_LENGTHS,
+ _LENGTHS_BY_FIRST) = _build_tables()
 _MAX_ENTITY_LEN = _ENTITY_LENGTHS[0]
+_EMPTY: tuple = ()
 
 _ALNUM = frozenset(
     "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
@@ -89,8 +99,10 @@ def match_named_entity(s: str, start: int, in_attribute: bool):
     best_value = None
     best_consumed = 0
     limit = len(s) - start
+    if limit <= 0:
+        return None, 0
     values = ENTITY_VALUES
-    for nlen in _ENTITY_LENGTHS:
+    for nlen in _LENGTHS_BY_FIRST.get(s[start], _EMPTY):
         if nlen > limit:
             continue
         if nlen + 1 <= best_consumed:

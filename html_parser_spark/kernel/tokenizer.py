@@ -23,6 +23,8 @@ HTMLPARSER_PARSE_ERRORS=1; counts must match, text is informational).
 
 from __future__ import annotations
 
+import re
+
 from .charref import decode_character_references
 
 # token types
@@ -50,6 +52,13 @@ _ATTR_NAME_OK = frozenset(
 
 _RCDATA_TAGS = frozenset(("title", "textarea"))
 _RAWTEXT_TAGS = frozenset(("style", "xmp", "iframe", "noembed", "noframes"))
+
+# bulk run-scanners for the start-tag machine: stop sets mirror the
+# per-char transitions exactly (ws / '/' / '>' / '=' / EOF)
+_TAG_NAME_RUN = re.compile(r"[^ \n\t\f\r/>\x00]+")
+_ATTR_NAME_RUN = re.compile(r"[^ \n\t\f\r=/>\x00]+")
+_UQ_VALUE_RUN = re.compile(r"[^ \n\t\f\r>\x00]+")
+_ATTR_NAME_BAD = re.compile(r"[^0-9A-Za-z\-_:]")
 
 
 class Token:
@@ -709,8 +718,9 @@ class Tokenizer:
                 elif c == "\0":
                     break
                 else:
-                    tag_name.append(c.lower())
-                    self.pos += 1
+                    m = _TAG_NAME_RUN.match(s, self.pos)
+                    tag_name.append(m.group().lower())
+                    self.pos = m.end()
             elif state == ST_BEFORE_ATTR_NAME:
                 if c in _WS:
                     self.pos += 1
@@ -751,10 +761,16 @@ class Tokenizer:
                     else:
                         break
                 else:
-                    if c not in _ATTR_NAME_OK:
-                        self._error("unexpected character in attribute name")
-                    attr_name.append(c.lower())
-                    self.pos += 1
+                    m = _ATTR_NAME_RUN.match(s, self.pos)
+                    run = m.group()
+                    bad = _ATTR_NAME_BAD.findall(run)
+                    if bad:
+                        errs = self.errors
+                        for _ in bad:
+                            errs.append(
+                                "unexpected character in attribute name")
+                    attr_name.append(run.lower())
+                    self.pos = m.end()
             elif state == ST_AFTER_ATTR_NAME:
                 if c in _WS:
                     self.pos += 1
@@ -847,8 +863,9 @@ class Tokenizer:
                 elif c == "\0":
                     break
                 else:
-                    attr_value.append(c)
-                    self.pos += 1
+                    m = _UQ_VALUE_RUN.match(s, self.pos)
+                    attr_value.append(m.group())
+                    self.pos = m.end()
             else:  # ST_SELF_CLOSING
                 if c == ">":
                     out.self_closing = True
