@@ -43,7 +43,9 @@ FRAGMENT_CASES = [
     ("div", "frag_12_mixed_scope.html"),
 ]
 
-EXTRA_FRAGMENT_CONTEXTS = ["div", "td", "template", "title", "script"]
+EXTRA_FRAGMENT_CONTEXTS = ["div", "td", "template", "title", "script",
+                           "table", "tr", "tbody", "select", "caption",
+                           "textarea", "style", "p", "head"]
 
 
 def run(cmd, env=None):
