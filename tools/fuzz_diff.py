@@ -90,20 +90,25 @@ def ref_dump(data: bytes, context: str | None):
     path = "/tmp/fuzz_case.html"
     with open(path, "wb") as f:
         f.write(data)
+    env = dict(os.environ, HTMLPARSER_PARSE_ERRORS="1")
     if context is None:
         p = subprocess.run(["./parse_html", path], cwd=REFBUILD,
-                           capture_output=True, timeout=30)
+                           capture_output=True, timeout=30, env=env)
         out = p.stdout.decode("utf-8", errors="surrogateescape")
         lines = out.split("\n")
         dump = "\n".join(lines[1:])
         if dump.endswith("\n"):
             dump = dump[:-1]
-        return p.returncode, dump
-    p = subprocess.run(["./parse_fragment_demo", context, path],
-                       cwd=REFBUILD, capture_output=True, timeout=30)
-    out = p.stdout.decode("utf-8", errors="surrogateescape")
-    lines = out.split("\n")
-    return p.returncode, "\n".join(lines[1:])
+    else:
+        p = subprocess.run(["./parse_fragment_demo", context, path],
+                           cwd=REFBUILD, capture_output=True, timeout=30,
+                           env=env)
+        out = p.stdout.decode("utf-8", errors="surrogateescape")
+        lines = out.split("\n")
+        dump = "\n".join(lines[1:])
+    nerr = sum(1 for ln in p.stderr.decode("utf-8", "surrogateescape")
+               .splitlines() if ln.startswith("[parse error]"))
+    return p.returncode, dump, nerr
 
 
 def main():
@@ -121,22 +126,24 @@ def main():
         text = gen(rng)
         data = text.encode("utf-8", errors="surrogateescape")
         context = rng.choice(CONTEXTS) if fragment else None
-        rc, want = ref_dump(data, context)
+        rc, want, want_err = ref_dump(data, context)
         if rc != 0:
             continue
         try:
-            if context is None:
-                mine = parse_document(data).dump()
-            else:
-                mine = parse_fragment(data, context).dump()
+            res = (parse_document(data) if context is None
+                   else parse_fragment(data, context))
+            mine = res.dump()
+            mine_err = res.error_count
         except Exception as e:  # noqa: BLE001
             mine = f"<exception: {e!r}>"
-        if mine != want:
+            mine_err = -1
+        if mine != want or mine_err != want_err:
             fails += 1
             fn = f"/tmp/fuzz_fail_{seed}_{i}{'_' + context if context else ''}.html"
             with open(fn, "wb") as f:
                 f.write(data)
-            print(f"MISMATCH case {i} ctx={context} -> {fn}")
+            print(f"MISMATCH case {i} ctx={context} errs ref={want_err} "
+                  f"py={mine_err} -> {fn}")
             wl, ml = want.split("\n"), mine.split("\n")
             for j in range(max(len(wl), len(ml))):
                 a = wl[j] if j < len(wl) else "<missing>"
