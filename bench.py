@@ -52,7 +52,7 @@ def _dense_corpus_path(spark, sf: str):
     import glob
 
     reps = {"sf0.001": 1, "sf0.01": 8, "sf0.1": 64}.get(sf, 8)
-    path = f"/tmp/spark_graft_bench/dense_v3_{reps}"
+    path = f"/tmp/spark_graft_bench/dense_v4_{reps}"
     meta = path + ".mb"
     if not (os.path.exists(os.path.join(path, "_SUCCESS"))
             and os.path.exists(meta)):
@@ -79,6 +79,11 @@ def _dense_corpus_path(spark, sf: str):
             base.withColumn(
                 "rep", F.explode(F.sequence(F.lit(1), F.lit(reps))))
             .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
+            # make every replica byte-unique so the worker parse cache
+            # cannot shortcut the dense MB/s measurement
+            .withColumn("text", F.concat(
+                F.col("text"), F.lit("<!--"),
+                F.col("rep").cast("string"), F.lit("-->")))
             .drop("rep")
             .repartition(max(CPUS * 2, 16))
         )

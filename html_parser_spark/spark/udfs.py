@@ -16,6 +16,8 @@ test_kernel_equivalence.py property-checks it against the full parse.
 
 from __future__ import annotations
 
+import os
+
 from typing import Iterator
 
 import pyarrow as pa
@@ -151,6 +153,32 @@ def _fast_extract_boilerplate(text: str, mode: str, context: str):
     return "", [], errs, nodes, enc
 
 
+# Worker-level content-addressed parse cache: web/transcript corpora
+# carry high duplicate rates (repeated boilerplate turns, quoted
+# messages); the parser is deterministic, so identical (text, mode,
+# context) re-parses are pure waste. Results are only serialized to
+# Arrow (never mutated), so sharing them is safe. A plain module dict
+# (not functools.lru_cache) so the mapInArrow closure stays picklable.
+# HP_PARSE_CACHE=0 disables; size via HP_PARSE_CACHE_SIZE.
+_CACHE_SIZE = int(os.environ.get("HP_PARSE_CACHE_SIZE", "4096"))
+_CACHE_ON = os.environ.get("HP_PARSE_CACHE", "1") != "0" and _CACHE_SIZE > 0
+_PARSE_CACHE: dict = {}
+
+
+def _parse_turn_cached(text, mode, context, boilerplate):
+    if not _CACHE_ON:
+        return parse_turn(text, mode, context, boilerplate)
+    key = (text, mode, context, boilerplate)
+    hit = _PARSE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    res = parse_turn(text, mode, context, boilerplate)
+    if len(_PARSE_CACHE) >= _CACHE_SIZE:
+        _PARSE_CACHE.clear()
+    _PARSE_CACHE[key] = res
+    return res
+
+
 def make_extract_map_in_arrow(passthrough: list[str], mode: str = "fragment",
                               context: str = "div",
                               boilerplate: bool = False):
@@ -162,7 +190,7 @@ def make_extract_map_in_arrow(passthrough: list[str], mode: str = "fragment",
             texts = batch.column("text").to_pylist()
             ext_l, spans_l, errs_l, nodes_l, enc_l = [], [], [], [], []
             for text in texts:
-                ext, spans, errs, nodes, enc = parse_turn(
+                ext, spans, errs, nodes, enc = _parse_turn_cached(
                     text, mode, context, boilerplate)
                 ext_l.append(ext)
                 spans_l.append(spans)
