@@ -52,6 +52,66 @@ CONTEXTS = ["div", "table", "tr", "td", "select", "template", "title",
             "script", "head", "tbody", "caption", "p", "b"]
 
 
+FMT = ["b", "i", "a", "em", "strong", "nobr", "font", "small", "big",
+       "code", "u", "s", "tt", "strike"]
+BLOCKS = ["p", "div", "table", "td", "tr", "li", "ul", "button", "h1",
+          "marquee", "object", "template", "caption"]
+FOREIGN = ["svg", "math", "mi", "mo", "mtext", "ms", "mn", "foreignObject",
+           "desc", "title", "annotation-xml", "circle", "clippath",
+           "textpath", "lineargradient", "mglyph", "malignmark"]
+
+
+def gen_formatting(rng: random.Random) -> str:
+    """Adversarial AFE/AAA stress: interleaved formatting opens/closes,
+    blocks, text, attribute-variant Noah's Ark pressure."""
+    parts = []
+    for _ in range(rng.randint(5, 60)):
+        r = rng.random()
+        if r < 0.35:
+            tag = rng.choice(FMT)
+            attrs = ""
+            if rng.random() < 0.4:
+                attrs = ' x="%d"' % rng.randint(0, 2)
+            parts.append(f"<{tag}{attrs}>")
+        elif r < 0.65:
+            parts.append(f"</{rng.choice(FMT)}>")
+        elif r < 0.8:
+            tag = rng.choice(BLOCKS)
+            parts.append(rng.choice([f"<{tag}>", f"</{tag}>"]))
+        else:
+            parts.append(rng.choice(["x", "y ", " ", "zz"]))
+    return "".join(parts)
+
+
+def gen_foreign(rng: random.Random) -> str:
+    """Foreign-content stress: nested svg/math, integration points,
+    breakout tags, CDATA, case-corrected names."""
+    parts = []
+    for _ in range(rng.randint(5, 50)):
+        r = rng.random()
+        if r < 0.3:
+            tag = rng.choice(FOREIGN)
+            attrs = ""
+            if rng.random() < 0.3:
+                attrs = rng.choice(
+                    [" encoding='text/html'", " encoding='other'",
+                     " definitionurl='u'", " refx='1'", " viewbox='v'"])
+            close = "/" if rng.random() < 0.2 else ""
+            parts.append(f"<{tag}{attrs}{close}>")
+        elif r < 0.5:
+            parts.append(f"</{rng.choice(FOREIGN)}>")
+        elif r < 0.7:
+            tag = rng.choice(["p", "b", "font", "div", "table", "td",
+                              "title", "script", "br", "img"])
+            parts.append(rng.choice([f"<{tag}>", f"</{tag}>",
+                                     "<font color=red>", "<font x=1>"]))
+        elif r < 0.8:
+            parts.append("<![CDATA[x]]>")
+        else:
+            parts.append(rng.choice(["t", " ", "&amp;", "&#65;"]))
+    return "".join(parts)
+
+
 def gen(rng: random.Random) -> str:
     parts = []
     for _ in range(rng.randint(1, 40)):
@@ -115,7 +175,14 @@ def main():
     n = 2000
     seed = 1
     fragment = "--fragment" in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--style" in sys.argv:
+        style = sys.argv[sys.argv.index("--style") + 1]
+    else:
+        style = "mixed"
+    gen_fn = {"mixed": gen, "formatting": gen_formatting,
+              "foreign": gen_foreign}[style]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")
+            and a not in ("formatting", "foreign", "mixed")]
     if args:
         n = int(args[0])
     if "--seed" in sys.argv:
@@ -123,7 +190,7 @@ def main():
     rng = random.Random(seed)
     fails = 0
     for i in range(n):
-        text = gen(rng)
+        text = gen_fn(rng)
         data = text.encode("utf-8", errors="surrogateescape")
         context = rng.choice(CONTEXTS) if fragment else None
         rc, want, want_err = ref_dump(data, context)
