@@ -496,7 +496,27 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
             ORDER BY query_id, rank
         """,
-        # ann_lsh, minhash_lsh, ngram_jaccard, simhash: algorithm-specific
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(0, len(string_split(text,' ')) - 3),
+                         i -> array_to_string(
+                             string_split(text,' ')[i+1:i+3], ' ')))
+                     ELSE [array_to_string(string_split(text,' '), ' ')]
+                     END AS shingles
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.shingles, b.shingles))
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        # ann_lsh, minhash_lsh, simhash: algorithm-specific
         # hashing/bucketing (xxhash64 seeds, blake2b, seeded hyperplanes)
         # has no ANSI-SQL equivalent -> rows-only checks.
         # extract_transcripts, conversation_stats: the HTML parse kernel is
