@@ -11,7 +11,8 @@ Fast path: turns whose text contains no '<' can skip the parser
 entirely — in fragment mode the whole text is one CHARACTER token whose
 charref-decoded value either becomes the single TEXT node (non-ws) or
 is dropped (ws-only). ``fast_extract`` reproduces that exactly;
-test_kernel_equivalence.py property-checks it against the full parse.
+tests/test_kernel_units.py and tests/test_properties.py property-check
+it against the full parse.
 """
 
 from __future__ import annotations
@@ -54,11 +55,9 @@ EXTRACT_SPARK_SCHEMA = (
 )
 
 
-# contexts whose initial tokenizer state decodes charrefs like DATA;
 # RAWTEXT/script/plaintext contexts must take the full parser even for
-# '<'-free text (they do NOT decode character references).
-_FAST_OK_CONTEXTS = None  # filled lazily; RCDATA (title/textarea) is fine
-
+# '<'-free text (they do NOT decode character references); RCDATA
+# (title/textarea) decodes like DATA and is fast-path safe.
 _RAW_CONTEXTS = frozenset(
     ("script", "style", "xmp", "iframe", "noembed", "noframes", "plaintext")
 )
