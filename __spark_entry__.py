@@ -275,6 +275,20 @@ def _q_extract_boilerplate(spark, sf_dir):
     )
 
 
+def _q_dump_serialize(spark, sf_dir):
+    """S3/S4 surfaces through Spark: ASCII dump + HTML serialization
+    columns for every turn (golden-equal per tests)."""
+    from html_parser_spark.spark.transcripts import transcripts_df
+    from html_parser_spark.spark.udfs import make_dump_map_in_arrow
+
+    df = transcripts_df(spark, 500, seed=42, partitions=4)
+    fn = make_dump_map_in_arrow(["conv_id", "turn_idx"], "fragment", "div")
+    schema = ("conv_id string, turn_idx int, dump string, "
+              "serialized_html string, extracted_text string, "
+              "parse_errors int")
+    return df.select("conv_id", "turn_idx", "text").mapInArrow(fn, schema)
+
+
 def _q_media_features(spark, sf_dir):
     from html_parser_spark.spark.multimodal import decode_media, synth_media_df
 
@@ -306,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_transcripts": _q_extract_transcripts,
         "extract_boilerplate": _q_extract_boilerplate,
         "conversation_stats": _q_conversation_stats,
+        "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
     }
 
