@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import codecs
 
+from .tokenizer import ascii_lower
+
 CONF_CERTAIN = 0
 CONF_TENTATIVE = 1
 CONF_IRRELEVANT = 2
@@ -140,7 +142,7 @@ _ASCII_WS = " \t\n\r\f"
 def _normalize_label(label):
     if label is None:
         return None
-    norm = label.strip(_ASCII_WS).lower()
+    norm = ascii_lower(label.strip(_ASCII_WS))
     return norm or None
 
 

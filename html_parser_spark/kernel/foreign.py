@@ -10,6 +10,7 @@ Parity targets: /root/reference/src/foreign.c
 
 from __future__ import annotations
 
+from .tokenizer import ascii_lower
 from .tree import NS_HTML, NS_MATHML, NS_SVG
 
 BREAKOUT_TAGS = frozenset(
@@ -117,7 +118,7 @@ def is_html_integration_point(name, ns, attrs) -> bool:
     if ns == NS_MATHML and name == "annotation-xml":
         for aname, aval in attrs:
             if aname == "encoding" and aval is not None:
-                v = aval.lower()
+                v = ascii_lower(aval)
                 if v in ("text/html", "application/xhtml+xml"):
                     return True
     return False

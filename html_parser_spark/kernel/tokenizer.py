@@ -53,6 +53,17 @@ _ATTR_NAME_OK = frozenset(
 _RCDATA_TAGS = frozenset(("title", "textarea"))
 _RAWTEXT_TAGS = frozenset(("style", "xmp", "iframe", "noembed", "noframes"))
 
+
+def ascii_lower(s: str) -> str:
+    """ASCII-only lowercasing (to_lower_ascii, src/tokenizer.c:22-25).
+    str.lower() would also fold non-ASCII (Ĳ->ĳ, Kelvin K->k), which the
+    reference never does."""
+    if s.isascii():
+        return s.lower()
+    return "".join(
+        chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s
+    )
+
 # bulk run-scanners for the start-tag machine: stop sets mirror the
 # per-char transitions exactly (ws / '/' / '>' / '=' / EOF)
 _TAG_NAME_RUN = re.compile(r"[^ \n\t\f\r/>\x00]+")
@@ -112,7 +123,7 @@ class Tokenizer:
         self.errors: list = []
         if context_tag:
             # tokenizer_init_with_context, src/tokenizer.c:1482-1503
-            lowered = context_tag[:31].lower()
+            lowered = ascii_lower(context_tag[:31])
             if lowered in _RCDATA_TAGS:
                 self.raw_tag = lowered
                 self.state = RCDATA
@@ -142,7 +153,10 @@ class Tokenizer:
         self.pos = p
 
     def _starts_with_ci(self, prefix: str) -> bool:
-        return self.input[self.pos : self.pos + len(prefix)].lower() == prefix.lower()
+        return (
+            ascii_lower(self.input[self.pos : self.pos + len(prefix)])
+            == prefix.lower()
+        )
 
     # -- RCDATA / RAWTEXT (process_rcdata_rawtext, src/tokenizer.c:512-584) --
 
@@ -592,7 +606,7 @@ class Tokenizer:
         while self.pos < n and s[self.pos] not in _WS and s[self.pos] != ">":
             self.pos += 1
         out.type = TOKEN_DOCTYPE
-        out.name = s[name_start : self.pos].lower()
+        out.name = ascii_lower(s[name_start : self.pos])
         if self.pos == name_start:
             out.force_quirks = True
             self._error("doctype name missing")
@@ -656,8 +670,10 @@ class Tokenizer:
                     ok = False
         if not ok:
             out.force_quirks = True
-        out.public_id = public_id.lower() if public_id is not None else None
-        out.system_id = system_id.lower() if system_id is not None else None
+        out.public_id = (ascii_lower(public_id)
+                         if public_id is not None else None)
+        out.system_id = (ascii_lower(system_id)
+                         if system_id is not None else None)
         gt = s.find(">", self.pos)
         self.pos = n if gt < 0 else gt + 1
 
@@ -675,7 +691,7 @@ class Tokenizer:
         ):
             self.pos += 1
         out.type = TOKEN_END_TAG
-        out.name = s[name_start : self.pos].lower()
+        out.name = ascii_lower(s[name_start : self.pos])
         if self._peek() != ">" and self.pos < n:
             self._error("end tag has trailing garbage/attributes")
         gt = s.find(">", self.pos)
@@ -719,7 +735,7 @@ class Tokenizer:
                     break
                 else:
                     m = _TAG_NAME_RUN.match(s, self.pos)
-                    tag_name.append(m.group().lower())
+                    tag_name.append(ascii_lower(m.group()))
                     self.pos = m.end()
             elif state == ST_BEFORE_ATTR_NAME:
                 if c in _WS:
@@ -769,7 +785,7 @@ class Tokenizer:
                         for _ in bad:
                             errs.append(
                                 "unexpected character in attribute name")
-                    attr_name.append(run.lower())
+                    attr_name.append(ascii_lower(run))
                     self.pos = m.end()
             elif state == ST_AFTER_ATTR_NAME:
                 if c in _WS:

@@ -42,6 +42,7 @@ from .foreign import (
 from .tokenizer import (
     RAWTEXT,
     RCDATA,
+    ascii_lower,
     SCRIPT_DATA,
     TOKEN_CHARACTER,
     TOKEN_COMMENT,
@@ -861,13 +862,13 @@ class TreeBuilder:
             if name is None:
                 return True, False
             st = self.st
-            lowered = name.lower()
+            lowered = ascii_lower(name)
             for i in range(len(st), 0, -1):
                 entry = st[i - 1]
                 if entry.name is None:
                     continue
                 if entry.ns == NS_SVG:
-                    match = entry.name.lower() == lowered
+                    match = ascii_lower(entry.name) == lowered
                 else:
                     match = entry.name == name
                 if match:
@@ -1659,7 +1660,7 @@ class TreeBuilder:
                 if a == "type":
                     tv = v
                     break
-            if tv is not None and tv.lower() == "hidden":
+            if tv is not None and ascii_lower(tv) == "hidden":
                 self._err("unexpected-start-tag-in-table")
                 n = Node(ELEMENT, "input")
                 self._attach(n, t.attrs)
@@ -2016,7 +2017,7 @@ class TreeBuilder:
                     if a == "type":
                         tv = v
                         break
-                if tv is not None and tv.lower() == "hidden":
+                if tv is not None and ascii_lower(tv) == "hidden":
                     self._err("unexpected-start-tag-in-table")
                     n = Node(ELEMENT, "input")
                     self._attach(n, t.attrs)
@@ -2262,14 +2263,14 @@ class TreeBuilder:
         from .encoding import resolve_label
 
         for a, v in attrs:
-            if a is not None and a.lower() == "charset" and v is not None:
+            if a is not None and ascii_lower(a) == "charset" and v is not None:
                 return resolve_label(v)
         http_equiv = None
         content = None
         for a, v in attrs:
             if a is None:
                 continue
-            al = a.lower()
+            al = ascii_lower(a)
             if al == "http-equiv":
                 http_equiv = v
             if al == "content":
@@ -2277,9 +2278,9 @@ class TreeBuilder:
         if (
             http_equiv is not None
             and content is not None
-            and http_equiv.lower() == "content-type"
+            and ascii_lower(http_equiv) == "content-type"
         ):
-            low = content.lower()
+            low = ascii_lower(content)
             idx = low.find("charset=")
             if idx < 0:
                 return None
