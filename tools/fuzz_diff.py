@@ -47,6 +47,10 @@ SNIPPETS = [
     "<svg><title>x</title></svg>", "<math><mi>y</mi></math>",
     "<svg><foreignObject><p>z</p></foreignObject></svg>",
     "<font color=red>", "<font unknown=1>", "= \" ' ` <",
+    # non-ASCII uppercase in names/values: str.lower() would fold these,
+    # the reference's ASCII-only lowercasing must not (regression tripwire)
+    "<DĲV>x</DĲV>", "<p ĲD=1>", "<p x=Ĳ>", "<İNPUT>", "<a K=1>",
+    "<!DOCTYPE ĲK>", "<svg><Ĳ/></svg>", "</PĲ>", "<meta charset=ĲTF-8>",
 ]
 CONTEXTS = ["div", "table", "tr", "td", "select", "template", "title",
             "script", "head", "tbody", "caption", "p", "b"]
