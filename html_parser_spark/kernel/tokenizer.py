@@ -781,10 +781,13 @@ class Tokenizer:
                     run = m.group()
                     bad = _ATTR_NAME_BAD.findall(run)
                     if bad:
+                        # C validates PER BYTE (src/tokenizer.c:1236-1238):
+                        # a multi-byte UTF-8 char yields one error per byte
                         errs = self.errors
-                        for _ in bad:
-                            errs.append(
-                                "unexpected character in attribute name")
+                        for ch in bad:
+                            for _ in range(len(ch.encode("utf-8"))):
+                                errs.append(
+                                    "unexpected character in attribute name")
                     attr_name.append(ascii_lower(run))
                     self.pos = m.end()
             elif state == ST_AFTER_ATTR_NAME:
