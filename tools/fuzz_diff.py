@@ -143,7 +143,7 @@ def gen(rng: random.Random) -> str:
         else:
             parts.append(
                 "".join(
-                    rng.choice("ab <>&;=\"'/!-x\n\t")
+                    rng.choice("ab <>&;=\"'/!-x\n\tĲKİß漢")
                     for _ in range(rng.randint(1, 12))
                 )
             )
