@@ -37,6 +37,13 @@ ENTS = ["&amp;", "&lt;", "&not", "&notin;", "&nbsp;", "&hellip;", "&x;",
         "&#13;", "&copy", "&copyright;", "&am", "&ampx", "&#", "&#x;",
         "&CounterClockwiseContourIntegral;"]
 SNIPPETS = [
+    "<!DOCTYPE html PUBLIC '-//W3C//DTD HTML 4.01//EN'>",
+    "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01 Transitional//EN\">",
+    "<!DOCTYPE html SYSTEM 'about:legacy-compat'>",
+    "<!DOCTYPE html PUBLIC \"-//IETF//DTD HTML 2.0//EN\" \"http://x\">",
+    "<!doctype Ĳ public 'x'>", "<!DOCTYPE html PUBLIC>",
+    "<!DOCTYPE html PUBLIC 'unclosed>", "<!DOCTYPE>", "<!DOCTYPE >",
+    "<!DOCTYPE html puBlic '-//w3c//dtd xhtml 1.0 transitional//en'>",
     "<!-->", "<!--->", "<!-- x --!>", "<!-- <!-- -->", "<![CDATA[x]]>",
     "</>", "</ x>", "<!doctype html>", "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01//EN\">",
     "<?php ?>", "<!x y>", "<a a=1 a=2>", "<b/>", "text<b><i>x</b>y</i>",
@@ -127,7 +134,8 @@ def gen(rng: random.Random) -> str:
                 a = rng.choice(ATTRS)
                 q = rng.choice(['"', "'", "", " "])
                 v = rng.choice(["x", "1", "hidden", "text/html", "red",
-                                "Content-Type", "&amp;x", "a b"])
+                                "Content-Type", "&amp;x", "a b", "Ĳx",
+                                "K&ĲK;", "HİDDEN"])
                 if q == " ":
                     attrs += f" {a}"
                 else:
