@@ -211,3 +211,31 @@ def test_parse_turn_raw_context_uses_full_parser():
     # script context: charrefs must NOT decode
     ext, spans, errs, nodes, _ = parse_turn("a &amp; b", "fragment", "script")
     assert ext == "a &amp; b"
+
+
+class TestDeepNesting:
+    """Stack-cap (256) silent-drop and dump prefix-truncation parity,
+    compared live against the reference binary."""
+
+    CASES = [
+        "<div>" * 300 + "deep" + "</div>" * 300,
+        "<b>" * 500 + "x",
+        "<span>" * 260 + "y" + "</span>" * 10,
+        "<table>" * 100 + "<td>z",
+        "<svg>" * 300 + "w",
+    ]
+
+    def test_deep_nesting_matches_reference(self, refbuild):
+        import subprocess
+
+        for text in self.CASES:
+            path = "/tmp/_deep_case.html"
+            with open(path, "w") as f:
+                f.write(text)
+            p = subprocess.run(["./parse_html", path], cwd=refbuild,
+                               capture_output=True, timeout=60)
+            out = p.stdout.decode("utf-8", errors="surrogateescape")
+            want = "\n".join(out.split("\n")[1:])
+            if want.endswith("\n"):
+                want = want[:-1]
+            assert parse_document(text).dump() == want
