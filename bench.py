@@ -49,8 +49,6 @@ def _transcripts_path(spark, n_turns: int) -> str:
 def _dense_corpus_path(spark, sf: str):
     """Markup-dense document corpus: the reference fixture HTML files
     replicated to ~5/50 MB (by SF). Returns (path, total_mb)."""
-    import glob
-
     reps = {"sf0.001": 1, "sf0.01": 8, "sf0.1": 64}.get(sf, 8)
     path = f"/tmp/spark_graft_bench/dense_v4_{reps}"
     meta = path + ".mb"

@@ -17,7 +17,7 @@ from html_parser_spark.kernel import encoding as enc  # noqa: E402
 from html_parser_spark.kernel.api import parse_document, parse_fragment  # noqa: E402
 from html_parser_spark.kernel.tokenizer import replace_nulls  # noqa: E402
 from html_parser_spark.kernel.treebuilder import build_document  # noqa: E402
-from html_parser_spark.kernel.tree import dump_ascii, serialize_html  # noqa: E402
+from html_parser_spark.kernel.tree import serialize_html  # noqa: E402
 
 GOLDENS = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens",
                        "goldens.json")
