@@ -133,7 +133,11 @@ transparency (tools/bench_scaling.py SCALING_N=8 reproduces them).
 
 Same-size runs on this shared sandbox spread up to ~2x (see raw times),
 so best-of-5 is used as the capability measure; the raw times are
-published for scrutiny.
+published for scrutiny. If re-run during a host-contention window the
+spread widens further and measured efficiency drops (a 43s outlier has
+been observed next to 13s runs at the same size); bench.py's
+cpu_calibration_ms field indicates the contention level of any given
+run (quiet host: ~14 ms).
 
 Raw times local[{n_small}]: {result['times_small']}
 Raw times local[{n_big}]: {result['times_big']}
