@@ -87,3 +87,22 @@ def test_document_parse_arbitrary_bytes_total(raw):
     res = parse_document(raw)
     assert res.doc is not None
     assert isinstance(res.encoding, str)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_html_text, _contexts)
+def test_boilerplate_strip_total(text, context):
+    from html_parser_spark.kernel.boilerplate import strip_boilerplate
+
+    res = parse_fragment(text, context)
+    main_text, spans, kept, total = strip_boilerplate(res.doc)
+    assert 0 <= kept <= total
+    # spans are ordered, non-overlapping, within bounds
+    prev_end = -1
+    for s in spans:
+        assert 0 <= s["start"] <= s["end"] <= len(main_text)
+        assert s["start"] >= prev_end - 1  # block separators add 1 char
+        prev_end = s["end"]
+    # every span slices cleanly out of the text
+    for s in spans:
+        assert main_text[s["start"]:s["end"]] is not None
