@@ -56,6 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_pricing_summary(spark, sf_dir):
+    # Money sums aggregate in exact decimal, then pin the OUTPUT to the
+    # canonical decimal string: DuckDB's pandas bridge renders every
+    # DECIMAL as float64 while Spark yields object-Decimal, so the only
+    # representation both engines map identically is the string form.
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -69,6 +73,13 @@ def _q_pricing_summary(spark, sf_dir):
                 .cast("decimal(18,4)")
             ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("sum_qty").cast("string").alias("sum_qty"),
+            F.col("sum_base_price").cast("string").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("string").alias("sum_disc_price"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -91,6 +102,9 @@ def _q_top_revenue(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            "o_orderkey", F.col("revenue").cast("string").alias("revenue")
+        )
     )
 
 
@@ -139,6 +153,11 @@ def _q_events_agg(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type", "n_events",
+            F.col("sum_value").cast("string").alias("sum_value"),
+            "n_users",
         )
         .orderBy("event_type")
     )
@@ -235,10 +254,15 @@ def _q_minhash_lsh(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from html_parser_spark.spark.ops import ngram_jaccard_pairs
+    # 100 TB path: exact jaccard verifies ONLY the minhash-LSH candidate
+    # pairs (band-keyed equi-join) — no cross join ever materializes.
+    from html_parser_spark.spark.ops import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
 
+    docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        docs, threshold=0.5, candidates=minhash_lsh_candidates(docs)
     ).select("doc_a", "doc_b")
 
 
@@ -249,7 +273,11 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_extract_transcripts(spark, sf_dir):
-    return entry(spark)
+    # The registered query serializes `spans` to its JSON form so the
+    # driver's pandas canonicalizer (sort/factorize) never sees an
+    # unhashable list column; the pipeline itself keeps the typed
+    # array<struct> schema.
+    return entry(spark).withColumn("spans", F.to_json("spans"))
 
 
 def _q_conversation_stats(spark, sf_dir):
@@ -290,9 +318,18 @@ def _q_dump_serialize(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    # `features array<float>` is serialized to a fixed-precision string
+    # so the result is hashable/sortable in the driver harness.
     from html_parser_spark.spark.multimodal import decode_media, synth_media_df
 
-    return decode_media(synth_media_df(spark, 64)).orderBy("media_id")
+    out = decode_media(synth_media_df(spark, 64))
+    return out.select(
+        "media_id", "kind", "n_bytes", "sha",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)),
+            ",",
+        ).alias("features"),
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -357,11 +394,22 @@ def oracle_sql() -> dict[str, str]:
     ).format(**hits)
 
     return {
+        # Money aggregates are pinned to their canonical decimal STRING
+        # on both sides: DuckDB's pandas bridge renders DECIMAL/HUGEINT
+        # as float64 while Spark yields object-Decimal/int64, so equal
+        # values hash differently unless both engines emit the exact
+        # string form (scale fixed by the decimal type, so trailing
+        # zeros agree). Integer sums are bigint-cast for the same
+        # reason (DuckDB sum(int) is HUGEINT -> float64).
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-                   sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
-                   sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) AS sum_disc_price,
+                   cast(sum(cast(l_quantity as decimal(18,2)))
+                        as varchar) AS sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2)))
+                        as varchar) AS sum_base_price,
+                   cast(sum(cast(l_extendedprice * (1 - l_discount)
+                                 as decimal(18,4)))
+                        as varchar) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= timestamp '1998-09-02'
@@ -369,15 +417,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "top_revenue": """
-            SELECT o_orderkey,
-                   sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY o_orderkey
-            ORDER BY revenue DESC, o_orderkey ASC
-            LIMIT 10
+            SELECT o_orderkey, cast(revenue as varchar) AS revenue
+            FROM (
+                SELECT o_orderkey,
+                       sum(cast(l_extendedprice * (1 - l_discount)
+                                as decimal(18,4))) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY o_orderkey
+                ORDER BY revenue DESC, o_orderkey ASC
+                LIMIT 10
+            )
         """,
         "ordering_window": """
             SELECT user_id, event_id, turn_rank FROM (
@@ -397,7 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "metrics_rollup": """
             SELECT source,
                    count(*) AS n_docs,
-                   sum(n_chars) AS sum_chars,
+                   cast(sum(n_chars) as bigint) AS sum_chars,
                    count(DISTINCT lang) AS n_langs,
                    min(doc_id) AS min_doc_id
             FROM documents GROUP BY source ORDER BY source
@@ -405,14 +457,15 @@ def oracle_sql() -> dict[str, str]:
         "events_agg": """
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(cast(value as decimal(18,2))) AS sum_value,
+                   cast(sum(cast(value as decimal(18,2))) as varchar)
+                       AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "json_props": """
             SELECT event_type,
-                   sum(cast(json_extract_string(props, '$.k') as int))
-                       AS sum_k,
+                   cast(sum(cast(json_extract_string(props, '$.k') as int))
+                        as bigint) AS sum_k,
                    max(cast(json_extract_string(props, '$.k') as int))
                        AS max_k,
                    count(CASE WHEN cast(json_extract_string(props, '$.k')

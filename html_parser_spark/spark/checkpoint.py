@@ -53,13 +53,20 @@ def pending_partitions(df_with_key: DataFrame, spark,
 
 def write_manifest(extracted_with_key: DataFrame, spark,
                    checkpoint_dir: str) -> None:
-    """Append per-partition metrics + done markers (lineage record)."""
+    """Append per-partition metrics + done markers (lineage record).
+    Uses the precomputed `n_chars` column when present so the metric
+    scan never has to materialize the (wide) extracted_text column."""
+    chars = (
+        F.sum("n_chars")
+        if "n_chars" in extracted_with_key.columns
+        else F.sum(F.length("extracted_text"))
+    )
     metrics = (
         extracted_with_key.groupBy("part_key")
         .agg(
             F.count("*").alias("turns"),
             F.sum("parse_errors").alias("parse_errors"),
-            F.sum(F.length("extracted_text")).alias("extracted_chars"),
+            chars.alias("extracted_chars"),
             F.countDistinct("conv_id").alias("conversations"),
         )
         .withColumn("status", F.lit("done"))
@@ -78,11 +85,25 @@ def run_with_checkpoint(spark, transcripts: DataFrame, out_dir: str,
     keyed = with_part_key(transcripts, buckets)
     todo = pending_partitions(keyed, spark, checkpoint_dir)
     extracted = extract_turns(todo.drop("part_key"), mode, context)
-    extracted = with_part_key(extracted, buckets)
+    extracted = with_part_key(extracted, buckets).withColumn(
+        "n_chars", F.length("extracted_text").cast("bigint")
+    )
+    out_path = os.path.join(out_dir, "extracted")
     (extracted.write.mode("overwrite")
      .partitionBy("part_key")
-     .parquet(os.path.join(out_dir, "extracted")))
-    done = spark.read.parquet(os.path.join(out_dir, "extracted"))
-    new_keys = todo.select("part_key").distinct()
-    write_manifest(done.join(new_keys, "part_key"), spark, checkpoint_dir)
-    return os.path.join(out_dir, "extracted")
+     .parquet(out_path))
+    # Manifest metrics come from THIS run's committed files only: the
+    # pending part keys are metadata-scale (<= `buckets` values), and
+    # the read-back is partition-pruned to exactly those keys plus
+    # column-pruned to the small metric columns (n_chars precomputed at
+    # write time so extracted_text is never re-read). Never a full scan
+    # of the cumulative output, and no second run of the parse kernel.
+    new_keys = [
+        r.part_key for r in todo.select("part_key").distinct().collect()
+    ]
+    if new_keys:
+        done = spark.read.parquet(out_path).where(
+            F.col("part_key").isin(new_keys)
+        ).select("part_key", "conv_id", "parse_errors", "n_chars")
+        write_manifest(done, spark, checkpoint_dir)
+    return out_path

@@ -1,22 +1,23 @@
 """Training-data pipeline operators over the documents/embeddings tables.
 
-Design rule: JVM-side built-ins first (whole-stage codegen), Arrow-
-batched numpy only where Spark SQL genuinely can't express the math
-(simhash bit-voting). Every operator that ANSI SQL can express has a
-DuckDB oracle in __spark_entry__.py.
+Design rule: everything here is JVM-side built-ins (whole-stage
+codegen) — zero Python UDFs. Every operator that ANSI SQL can express
+has a DuckDB oracle in __spark_entry__.py; the seeded-hash operators
+(minhash/simhash/ann-lsh) are gated by property tests plus pinned
+deterministic-snapshot oracles.
 
 Operators:
   exact dedup        — md5-groupBy, keep min doc_id            [SQL oracle]
   ngram shingles     — 3-word shingles via transform/sequence  [SQL oracle]
-  minhash-LSH        — k minhashes from xxhash64, banded       [rows-only]
-  simhash            — 64-bit bit-voting over token hashes     [rows-only]
-  ngram-jaccard      — exact pairwise jaccard on shingle sets  [rows-only]
+  minhash-LSH        — k minhashes from xxhash64, banded       [snapshot]
+  simhash            — 64-bit bit-voting, codegen'd xxhash64   [snapshot]
+  ngram-jaccard      — exact jaccard over LSH candidate pairs  [SQL oracle]
   token stats        — counts/lengths                          [SQL oracle]
   quality score      — length/punct/stopword ratios            [SQL oracle]
   lang id            — stopword-hit heuristic                  [SQL oracle]
   fingerprint        — md5 of ws-normalized lowercased text    [SQL oracle]
   ANN brute force    — cosine top-k via aggregate/zip_with     [SQL oracle]
-  ANN LSH            — random-hyperplane bucketed cosine       [rows-only]
+  ANN LSH            — in-plan seeded hyperplanes, multi-table [snapshot]
 """
 
 from __future__ import annotations
@@ -165,47 +166,41 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
 
 
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash: per token hash, vote +1/-1 per bit, sign ->
-    fingerprint. Vectorized numpy inside an Arrow batch (the 64-way
-    bit-voting has no reasonable Spark SQL form)."""
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import pandas_udf
+    """64-bit SimHash, fully JVM-side (whole-stage codegen, zero
+    Python): tokens -> one xxhash64 per token (materialized once in its
+    own projection so CollapseProject cannot inline it 64x) -> per-bit
+    majority vote (2*ones > n) -> bits recombined with
+    shiftleft/bitwise-OR (never an arithmetic sum, so ANSI overflow
+    checking can't fire on bit 63). Per-row array aggregates only — no
+    shuffle, no explode. Empty/whitespace-only text -> fingerprint 0."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    hashed = documents.select(
+        "doc_id",
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("hashes"),
+    )
+    n = F.size("hashes")
 
-    @pandas_udf("long")
-    def _simhash(texts):
-        import numpy as np
-        import pandas as pd
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            if not text:
-                continue
-            tokens = text.split()
-            if not tokens:
-                continue
-            hashes = np.fromiter(
-                (hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
-            )
-            bits_m = (
-                (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1
-            ).astype(np.int64)
-            votes = (2 * bits_m - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    fp |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
-
-    def hash64(token: str) -> int:
-        import hashlib
-
-        return int.from_bytes(
-            hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(),
-            "little",
+    def vote(b):
+        ones = F.aggregate(
+            F.col("hashes"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
         )
+        return (2 * ones) > n
 
-    return documents.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(vote(b), F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return hashed.select(
+        "doc_id",
+        F.when(F.col("hashes").isNull() | (n <= 0), F.lit(0).cast("long"))
+        .otherwise(fp)
+        .alias("simhash"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -356,32 +351,58 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
 
 
 def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-            n_planes: int = 8, seed: int = 7) -> DataFrame:
+            n_planes: int = 8, n_tables: int = 4,
+            seed: int = 7) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket by sign pattern, exact cosine
     within bucket. The scale path — the candidate join is keyed by
-    bucket, not a cross join. Planes are a deterministic seeded
-    broadcast literal."""
-    import random as _random
+    bucket, not a cross join.
 
+    Hyperplanes are derived IN-PLAN: plane component (table t, plane p,
+    dim i) = xxhash64(seed, t, p, i) scaled to [-1, 1] — a symmetric
+    zero-mean projection, dimension-agnostic, so building this query
+    triggers ZERO Spark jobs (no `.first()` dim probe; asserted by
+    test_ann_lsh_build_runs_no_job). `n_tables` independent tables are
+    OR-amplified (union of buckets, pair-deduped) to restore the recall
+    a single-probe table can't guarantee."""
     from pyspark.sql import Window
 
-    dim = len(embeddings.select("embedding").first()[0])
-    rng = _random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    inv_2_63 = 1.0 / float(2**63)
+
+    def _comp(t, p, i):
+        # deterministic pseudo-random plane component in [-1, 1]
+        return (
+            F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), i).cast("double")
+            * inv_2_63
+        )
 
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
-    def bucket_expr(vec):
+    def _proj(t, p):
+        # closure factory: pyspark requires the lambda to take exactly
+        # (x, i) — defaults would change its visible arity
+        return lambda x, i: x * _comp(t, p, i)
+
+    def table_bucket(vec, t):
         bits = [
             F.when(
-                _dot(vec, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1)
-            ).otherwise(F.lit(0)).cast("string")
-            for plane in planes
+                F.aggregate(
+                    F.transform(vec, _proj(t, p)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
         ]
-        return F.concat(*bits)
+        return F.concat(F.lit(f"{t}:"), *bits)
 
     base = embeddings.select("vec_id", vec_d.alias("vec")).withColumn(
-        "bucket", bucket_expr(F.col("vec"))
+        "bucket",
+        F.explode(
+            F.array(*[
+                table_bucket(F.col("vec"), t) for t in range(n_tables)
+            ])
+        ),
     )
     corpus = base.select(
         F.col("vec_id").alias("corpus_id"), F.col("vec").alias("cvec"),
@@ -395,7 +416,7 @@ def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         F.broadcast(queries),
         (F.col("bucket") == F.col("qbucket"))
         & (F.col("corpus_id") != F.col("query_id")),
-    )
+    ).dropDuplicates(["query_id", "corpus_id"])
     cos = _dot(F.col("qvec"), F.col("cvec")) / (
         _norm(F.col("qvec")) * _norm(F.col("cvec"))
     )

@@ -169,3 +169,53 @@ def test_fastpath_plan_stays_jvm(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # exactly one Arrow eval (the hard tier), none in the trivial tier
     assert plan.count("ArrowEvalPython") <= 1 or "MapInArrow" in plan
+
+
+def test_ann_lsh_build_runs_no_job(spark):
+    """Building the ann_lsh query must be pure plan construction: no
+    driver-side action (the r1 version probed the dim via .first())."""
+    import os as _os
+
+    from html_parser_spark.spark.ops import ann_lsh
+
+    emb = spark.read.parquet(
+        _os.path.join("/root/testdata/sf0.001", "embeddings.parquet")
+    )
+    spark.sparkContext.setJobGroup("ann-build", "ann_lsh construction")
+    try:
+        ann_lsh(emb, [0, 1], k=3)  # build only, no action
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "ann-build"
+        )
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert list(jobs) == []
+
+
+def test_simhash_plan_is_jvm_only(spark):
+    """SimHash must stay inside whole-stage codegen: no Python/Arrow
+    eval node anywhere in the physical plan."""
+    from html_parser_spark.spark.ops import simhash
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = simhash(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_ngram_jaccard_with_candidates_no_cartesian(spark):
+    """The LSH-candidate-verified jaccard must never plan a cartesian
+    product or nested-loop join."""
+    from html_parser_spark.spark.ops import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2} tok{i + 3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    q = ngram_jaccard_pairs(
+        df, threshold=0.5, candidates=minhash_lsh_candidates(df)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
