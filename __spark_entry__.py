@@ -48,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return out.select(
         "conv_id", "turn_idx", "turn_rank", "role", "extracted_text",
         "spans", "parse_errors", "node_count", "doc_encoding",
+        "parse_error_texts",
     )
 
 
@@ -273,11 +274,15 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_extract_transcripts(spark, sf_dir):
-    # The registered query serializes `spans` to its JSON form so the
-    # driver's pandas canonicalizer (sort/factorize) never sees an
-    # unhashable list column; the pipeline itself keeps the typed
-    # array<struct> schema.
-    return entry(spark).withColumn("spans", F.to_json("spans"))
+    # The registered query serializes the array columns to their JSON
+    # form so the driver's pandas canonicalizer (sort/factorize) never
+    # sees an unhashable list column; the pipeline itself keeps the
+    # typed array schemas.
+    return (
+        entry(spark)
+        .withColumn("spans", F.to_json("spans"))
+        .withColumn("parse_error_texts", F.to_json("parse_error_texts"))
+    )
 
 
 def _q_conversation_stats(spark, sf_dir):
@@ -625,7 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_transcripts": _snap(
             "extract_transcripts",
             "conv_id, turn_idx, turn_rank, role, extracted_text, spans, "
-            "parse_errors, node_count, doc_encoding",
+            "parse_errors, node_count, doc_encoding, parse_error_texts",
         ),
         "extract_boilerplate": _snap(
             "extract_boilerplate",

@@ -45,10 +45,6 @@ class ParseResult:
         return count_nodes(self.doc)
 
 
-def _null_errors(text_before) -> list:
-    return ["unexpected null character"] * text_before.count("\x00")
-
-
 def parse_document(raw, charset_hint=None) -> ParseResult:
     """Full document parse from raw bytes (or str for pre-decoded text).
 
@@ -56,22 +52,29 @@ def parse_document(raw, charset_hint=None) -> ParseResult:
     caller wants IRRELEVANT confidence; here str means "already UTF-8
     text, no transport encoding": encoding=UTF-8, confidence TENTATIVE
     to match the demo's default sniff outcome on plain input.
+
+    `errors` is ONE chronologically ordered list of the reference's
+    stderr texts (minus the "[parse error] " prefix): preprocess null
+    errors first (src/tokenizer.c:1434), then tokenizer ("line=N
+    col=M: msg") and tree-builder (bare msg) errors interleaved in
+    emission order. On a §13.2.3.5 re-parse the list ACCUMULATES
+    across both parses, exactly like the demo's stderr
+    (src/parse_file_demo.c:53,73).
     """
     if isinstance(raw, str):
         result = enc.EncodingResult(raw, "UTF-8", enc.CONF_TENTATIVE)
     else:
         result = enc.sniff_and_convert(raw, charset_hint)
 
-    errors = _null_errors(result.text)
-    input_text = replace_nulls(result.text)
-    doc, change_enc, tz_errors = build_document(
+    errors: list = []
+    input_text = replace_nulls(result.text, errors)
+    doc, change_enc, _ = build_document(
         input_text,
         result.encoding,
         result.confidence,
         errors=errors,
         want_change_encoding=(result.confidence == enc.CONF_TENTATIVE),
     )
-    errors.extend(tz_errors)
 
     if doc is None and change_enc is not None:
         # §13.2.3.5 re-encode + re-parse once with CERTAIN confidence
@@ -80,16 +83,14 @@ def parse_document(raw, charset_hint=None) -> ParseResult:
         else:
             raw_bytes = raw
         result2 = enc.sniff_and_convert(raw_bytes, change_enc)
-        errors = _null_errors(result2.text)
-        input_text = replace_nulls(result2.text)
-        doc, _, tz_errors = build_document(
+        input_text = replace_nulls(result2.text, errors)
+        doc, _, _ = build_document(
             input_text,
             result2.encoding,
             enc.CONF_CERTAIN,
             errors=errors,
             want_change_encoding=False,
         )
-        errors.extend(tz_errors)
         return ParseResult(doc, result2.encoding, enc.CONF_CERTAIN, errors,
                            input_text)
 
@@ -103,12 +104,11 @@ def parse_fragment(raw, context_tag, charset_hint=None) -> ParseResult:
         result = enc.EncodingResult(raw, "UTF-8", enc.CONF_TENTATIVE)
     else:
         result = enc.sniff_and_convert(raw, charset_hint)
-    errors = _null_errors(result.text)
-    input_text = replace_nulls(result.text)
-    doc, tz_errors = build_fragment(
+    errors: list = []
+    input_text = replace_nulls(result.text, errors)
+    doc, _ = build_fragment(
         input_text, context_tag, result.encoding, result.confidence,
         errors=errors,
     )
-    errors.extend(tz_errors)
     return ParseResult(doc, result.encoding, result.confidence, errors,
                        input_text)

@@ -89,10 +89,13 @@ class Token:
         self.force_quirks = False
 
 
-def replace_nulls(raw: str) -> str:
+def replace_nulls(raw: str, errors: list | None = None) -> str:
     """CR/LF normalization + U+0000 -> U+FFFD (tokenizer_replace_nulls,
-    src/tokenizer.c:1390-1461). Counts null errors into the returned
-    error list. Order of replacements preserves reference output."""
+    src/tokenizer.c:1390-1461). With `errors`, appends the reference's
+    positioned message ("line=N col=M: unexpected null character",
+    src/tokenizer.c:1434) per NUL; positions count BYTES with the C
+    slow-path counter semantics (NUL col++ after report, CR/CRLF/LF ->
+    line++ col=1). Order of replacements preserves reference output."""
     if not raw:
         return ""
     # C fast path (1412-1419): if no NULs AND output length == input
@@ -100,6 +103,29 @@ def replace_nulls(raw: str) -> str:
     # lone \r characters survive unnormalized. Bug-compatible.
     if "\x00" not in raw and "\r\n" not in raw:
         return raw
+    if errors is not None and "\x00" in raw:
+        # rare path: walk raw bytes exactly like the C slow loop
+        b = raw.encode("utf-8", "surrogateescape")
+        line = col = 1
+        i, n = 0, len(b)
+        while i < n:
+            c = b[i]
+            if c == 0:
+                errors.append(
+                    f"line={line} col={col}: unexpected null character"
+                )
+                col += 1
+            elif c == 0x0D:
+                if i + 1 < n and b[i + 1] == 0x0A:
+                    i += 1
+                line += 1
+                col = 1
+            elif c == 0x0A:
+                line += 1
+                col = 1
+            else:
+                col += 1
+            i += 1
     raw = raw.replace("\r\n", "\n").replace("\r", "\n")
     if "\x00" in raw:
         raw = raw.replace("\x00", "�")
@@ -110,17 +136,45 @@ def count_null_errors(raw: str) -> int:
     return raw.count("\x00")
 
 
-class Tokenizer:
-    __slots__ = ("input", "pos", "len", "state", "raw_tag", "allow_cdata", "errors")
+def _bump_line_col(line: int, col: int, seg: str) -> tuple[int, int]:
+    """Advance a (line, col) pair over `seg` with the C advance()
+    semantics (src/tokenizer.c:33-45): +1 col per BYTE, '\\n' resets
+    col to 1. Bulk string ops instead of a per-char loop."""
+    if not seg:
+        return line, col
+    nl = seg.rfind("\n")
+    if nl < 0:
+        blen = len(seg) if seg.isascii() else len(
+            seg.encode("utf-8", "surrogateescape"))
+        return line, col + blen
+    tail = seg[nl + 1:]
+    blen = len(tail) if tail.isascii() else len(
+        tail.encode("utf-8", "surrogateescape"))
+    return line + seg.count("\n"), 1 + blen
 
-    def __init__(self, input_text: str, context_tag: str | None = None):
+
+class Tokenizer:
+    __slots__ = ("input", "pos", "len", "state", "raw_tag", "allow_cdata",
+                 "errors", "skipped")
+
+    def __init__(self, input_text: str, context_tag: str | None = None,
+                 errors: list | None = None):
         self.input = input_text or ""
         self.pos = 0
         self.len = len(self.input)
         self.state = DATA
         self.raw_tag = ""
         self.allow_cdata = False
-        self.errors: list = []
+        # shared with the tree builder so the combined error-text list
+        # stays in the reference's chronological stderr order
+        self.errors: list = errors if errors is not None else []
+        # Byte ranges consumed WITHOUT the C's advance() (raw tz->pos++
+        # in the rcdata/rawtext/script scanners and the unclosed-CDATA
+        # jump) — the reference's line/col counters NEVER see these
+        # bytes, so reported positions are deliberately "stale" there.
+        # Appended once per scanner invocation; consulted only on the
+        # rare error path.
+        self.skipped: list = []
         if context_tag:
             # tokenizer_init_with_context, src/tokenizer.c:1482-1503
             lowered = ascii_lower(context_tag[:31])
@@ -136,8 +190,31 @@ class Tokenizer:
 
     # -- helpers --
 
-    def _error(self, msg: str) -> None:
-        self.errors.append(msg)
+    def _error(self, msg: str, pos: int | None = None) -> None:
+        """Positioned parse error matching report_error
+        (src/tokenizer.c:113-121): "line=N col=M: msg" where line/col
+        count BYTES the C has advance()'d through (src/tokenizer.c:
+        33-45), col resetting on \\n. Bytes in self.skipped ranges were
+        consumed with raw tz->pos++ and never reach the counters — the
+        reference's positions are deliberately stale across raw-text
+        scans, and we reproduce that. Computed lazily: O(pos) on the
+        rare error path, nothing in the hot loop."""
+        if pos is None:
+            pos = self.pos
+        line, col = self._line_col(pos)
+        self.errors.append(f"line={line} col={col}: {msg}")
+
+    def _line_col(self, pos: int) -> tuple[int, int]:
+        s = self.input
+        line, col = 1, 1
+        cur = 0
+        for a, b in self.skipped:
+            if a >= pos:
+                break
+            line, col = _bump_line_col(line, col, s[cur:min(a, pos)])
+            cur = max(cur, min(b, pos))
+        line, col = _bump_line_col(line, col, s[cur:pos])
+        return line, col
 
     def _peek(self, ahead: int = 0) -> str:
         idx = self.pos + ahead
@@ -196,6 +273,9 @@ class Tokenizer:
             else:  # RR_END_NAME
                 if c in _WS or c == "/" or c == ">":
                     if tmp and "".join(tmp) == raw_tag:
+                        if lt_pos > start:
+                            # raw tz->pos++ scan — no advance() (C:529)
+                            self.skipped.append((start, lt_pos))
                         self.pos = lt_pos
                         self.state = DATA
                         if self.pos > start:
@@ -219,6 +299,7 @@ class Tokenizer:
                     ss = RR_DATA
         # EOF
         if self.pos > start:
+            self.skipped.append((start, self.pos))
             out.type = TOKEN_CHARACTER
             data = s[start : self.pos]
             if is_rcdata:
@@ -281,6 +362,9 @@ class Tokenizer:
             elif ss == S_DATA_END_NAME:
                 if c in _WS or c == "/" or c == ">":
                     if tmp and "".join(tmp) == raw_tag:
+                        if lt_pos > start:
+                            # raw tz->pos++ scan — no advance() (C:624)
+                            self.skipped.append((start, lt_pos))
                         self.pos = lt_pos
                         self.state = DATA
                         if self.pos > start:
@@ -362,6 +446,9 @@ class Tokenizer:
             elif ss == S_ESCAPED_END_NAME:
                 if c in _WS or c == "/" or c == ">":
                     if tmp and "".join(tmp) == raw_tag:
+                        if lt_pos > start:
+                            # raw tz->pos++ scan — no advance() (C:692)
+                            self.skipped.append((start, lt_pos))
                         self.pos = lt_pos
                         self.state = DATA
                         if self.pos > start:
@@ -452,6 +539,7 @@ class Tokenizer:
         # EOF
         self.state = DATA
         if self.pos > start:
+            self.skipped.append((start, self.pos))
             out.type = TOKEN_CHARACTER
             out.data = s[start : self.pos]
             return True
@@ -779,14 +867,19 @@ class Tokenizer:
                 else:
                     m = _ATTR_NAME_RUN.match(s, self.pos)
                     run = m.group()
-                    bad = _ATTR_NAME_BAD.findall(run)
-                    if bad:
+                    if _ATTR_NAME_BAD.search(run):
                         # C validates PER BYTE (src/tokenizer.c:1236-1238):
-                        # a multi-byte UTF-8 char yields one error per byte
+                        # a multi-byte UTF-8 char yields one error per
+                        # byte, each at its own byte column (advance()
+                        # runs once per byte between reports)
                         errs = self.errors
-                        for ch in bad:
-                            for _ in range(len(ch.encode("utf-8"))):
+                        for m2 in _ATTR_NAME_BAD.finditer(run):
+                            ch = m2.group()
+                            line, col = self._line_col(
+                                self.pos + m2.start())
+                            for k in range(len(ch.encode("utf-8"))):
                                 errs.append(
+                                    f"line={line} col={col + k}: "
                                     "unexpected character in attribute name")
                     attr_name.append(ascii_lower(run))
                     self.pos = m.end()
@@ -973,6 +1066,10 @@ class Tokenizer:
                     return out
                 out.type = TOKEN_CHARACTER
                 out.data = s[start:]
+                # C unclosed-CDATA: advance() stops at len-2, then a
+                # raw `tz->pos = tz->len` jump (src/tokenizer.c:1578)
+                if max(start, n - 2) < n:
+                    self.skipped.append((max(start, n - 2), n))
                 self.pos = n
                 return out
             if nxt == "!":

@@ -2344,8 +2344,9 @@ def build_document(input_text, encoding=None, confidence=2, errors=None,
     confidence parse met a <meta> naming a different charset (§13.2.3.5)."""
     tb = TreeBuilder(encoding, confidence, errors)
     tb.want_change_encoding = want_change_encoding
-    tb.tz = Tokenizer(input_text)
-    tb.errors_tz = tb.tz.errors
+    # share ONE error list between tokenizer and tree builder so the
+    # combined texts keep the reference's chronological stderr order
+    tb.tz = Tokenizer(input_text, errors=tb.errors)
     tb._run(tb._dispatch_document)
     if tb.change_encoding is not None:
         return None, tb.change_encoding, tb.tz.errors
@@ -2371,7 +2372,7 @@ def build_fragment(input_text, context_tag, encoding=None, confidence=2,
             tb._push(context)
             tb.mode = _RCDATA_FRAGMENT_MODES.get(context_tag, IN_BODY)
     tb.context = context
-    tb.tz = Tokenizer(input_text, context_tag)
+    tb.tz = Tokenizer(input_text, context_tag, errors=tb.errors)
     tb._run(tb._dispatch_fragment)
     tb.st.clear()
     doc = tb.doc

@@ -63,9 +63,13 @@ def extract_turns(df: DataFrame, mode: str = "fragment",
         return out
 
     # calibration constants for the trivial JVM tier (context-dependent)
-    (k_empty, n_empty, enc), (k_ws, n_ws), (k_x, n_x, path) = _calibrate(
-        mode, context
-    )
+    (k_empty, n_empty, enc, t_empty), (k_ws, n_ws, t_ws), \
+        (k_x, n_x, path, t_x) = _calibrate(mode, context)
+
+    def _texts_lit(ts):
+        if not ts:
+            return F.expr("array()").cast("array<string>")
+        return F.array(*[F.lit(t) for t in ts])
 
     needs_kernel = F.expr(_NEEDS_KERNEL) & F.col("text").isNotNull()
     trivial = df.where(~needs_kernel | F.col("text").isNull())
@@ -96,6 +100,12 @@ def extract_turns(df: DataFrame, mode: str = "fragment",
          .when(is_ws, F.lit(n_ws))
          .otherwise(F.lit(n_x)).cast("int").alias("node_count"),
         F.lit(enc).alias("doc_encoding"),
+        # '<'/'&'/CR/NUL-free turns can only carry the context-constant
+        # tree-builder errors (position-free; asserted in _calibrate)
+        F.when(is_null, _texts_lit(()))
+         .when(is_empty, _texts_lit(t_empty))
+         .when(is_ws, _texts_lit(t_ws))
+         .otherwise(_texts_lit(t_x)).alias("parse_error_texts"),
     )
 
     out_schema = ", ".join(

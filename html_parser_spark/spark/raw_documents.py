@@ -28,7 +28,8 @@ def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ids = batch.column("doc_id")
         contents = batch.column("content").to_pylist()
         hints = batch.column("charset_hint").to_pylist()
-        ext_l, spans_l, errs_l, nodes_l, enc_l = [], [], [], [], []
+        ext_l, spans_l, errs_l, nodes_l, enc_l, etexts_l = (
+            [], [], [], [], [], [])
         for content, hint in zip(contents, hints):
             if content is None:
                 ext_l.append("")
@@ -36,6 +37,7 @@ def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 errs_l.append(0)
                 nodes_l.append(0)
                 enc_l.append("UTF-8")
+                etexts_l.append([])
                 continue
             res = parse_document(bytes(content), hint)
             text, spans = res.extract_text()
@@ -44,12 +46,14 @@ def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             errs_l.append(res.error_count)
             nodes_l.append(res.node_count)
             enc_l.append(res.encoding or "UTF-8")
+            etexts_l.append(res.errors)
         arrays = [ids,
                   pa.array(ext_l, pa.string()),
                   pa.array(spans_l, SPAN_TYPE),
                   pa.array(errs_l, pa.int32()),
                   pa.array(nodes_l, pa.int32()),
-                  pa.array(enc_l, pa.string())]
+                  pa.array(enc_l, pa.string()),
+                  pa.array(etexts_l, pa.list_(pa.string()))]
         fields = [batch.schema.field("doc_id")] + EXTRACT_FIELDS
         yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 

@@ -46,12 +46,17 @@ EXTRACT_FIELDS = [
     pa.field("parse_errors", pa.int32()),
     pa.field("node_count", pa.int32()),
     pa.field("doc_encoding", pa.string()),
+    # the reference's stderr texts minus the "[parse error] " prefix,
+    # chronological (tokenizer lines positioned "line=N col=M: msg";
+    # tree-builder/charref lines bare) — S5/T15 text parity
+    pa.field("parse_error_texts", pa.list_(pa.string())),
 ]
 
 EXTRACT_SPARK_SCHEMA = (
     "extracted_text string, "
     "spans array<struct<start:int,end:int,path:string>>, "
-    "parse_errors int, node_count int, doc_encoding string"
+    "parse_errors int, node_count int, doc_encoding string, "
+    "parse_error_texts array<string>"
 )
 
 
@@ -67,9 +72,13 @@ _CALIBRATION: dict = {}
 
 def _calibrate(mode: str, context: str):
     """Constants of a '<'-free parse for this (mode, context): the text
-    itself only contributes charref decoding; everything else — EOF
-    parse errors, node counts, the span path, encoding — is fixed by
-    the context. Derived by running the full parser on probes."""
+    itself only contributes null/charref errors; everything else — EOF
+    parse errors (count AND texts), node counts, the span path,
+    encoding — is fixed by the context. Derived by running the full
+    parser on probes. The constant texts must be position-free (no
+    'line=' prefix) or they couldn't be constants; asserted here —
+    every shipped context satisfies it because '<'-free probes only
+    produce tree-builder/charref errors, which carry no position."""
     key = (mode, context)
     cached = _CALIBRATION.get(key)
     if cached is not None:
@@ -81,12 +90,16 @@ def _calibrate(mode: str, context: str):
     r_empty = probe("")
     r_ws = probe(" ")
     r_x = probe("x")
+    for r in (r_empty, r_ws, r_x):
+        assert not any(t.startswith("line=") for t in r.errors), (
+            mode, context, r.errors)
     _, spans = r_x.extract_text()
     path = spans[0]["path"] if spans else ""
     cal = (
-        (r_empty.error_count, r_empty.node_count, r_empty.encoding or "UTF-8"),
-        (r_ws.error_count, r_ws.node_count),
-        (r_x.error_count, r_x.node_count, path),
+        (r_empty.error_count, r_empty.node_count,
+         r_empty.encoding or "UTF-8", tuple(r_empty.errors)),
+        (r_ws.error_count, r_ws.node_count, tuple(r_ws.errors)),
+        (r_x.error_count, r_x.node_count, path, tuple(r_x.errors)),
     )
     _CALIBRATION[key] = cal
     return cal
@@ -95,35 +108,39 @@ def _calibrate(mode: str, context: str):
 def fast_extract(text: str, mode: str = "fragment", context: str = "div"):
     """Extraction result for a '<'-free turn, byte-equal to the full
     parse: charref-decode the single CHARACTER run; ws-only runs are
-    dropped (B23). Returns (extracted_text, spans, errors, nodes, enc)."""
-    (k_empty, n_empty, enc), (k_ws, n_ws), (k_x, n_x, path) = _calibrate(
-        mode, context
-    )
-    nulls = text.count("\x00")
-    clean = replace_nulls(text)
-    if not clean:
-        return "", [], k_empty, n_empty, enc
+    dropped (B23). Returns (extracted_text, spans, errors, nodes, enc,
+    error_texts). Error-text order mirrors the full parse: preprocess
+    null errors (positioned), then charref errors emitted while
+    tokenizing the single CHARACTER run, then the context-constant
+    tree-builder errors."""
+    (k_empty, n_empty, enc, t_empty), (k_ws, n_ws, t_ws), \
+        (k_x, n_x, path, t_x) = _calibrate(mode, context)
     errors: list = []
+    clean = replace_nulls(text, errors)
+    if not clean:
+        return "", [], k_empty, n_empty, enc, list(t_empty)
     decoded = decode_character_references(clean, False, errors)
     if not decoded.strip(_WS_STR):
-        return "", [], k_ws + nulls + len(errors), n_ws, enc
+        return ("", [], k_ws + len(errors), n_ws, enc,
+                errors + list(t_ws))
     return (
         decoded,
         [{"start": 0, "end": len(decoded), "path": path}],
-        k_x + nulls + len(errors),
+        k_x + len(errors),
         n_x,
         enc,
+        errors + list(t_x),
     )
 
 
 def parse_turn(text: str, mode: str = "fragment", context: str = "div",
                boilerplate: bool = False):
-    """Full parse of one turn. Returns the 5-tuple matching
+    """Full parse of one turn. Returns the 6-tuple matching
     EXTRACT_FIELDS. With boilerplate=True the extraction applies the
     DOM block-scoring strip (kernel/boilerplate.py) instead of verbatim
     TEXT-node concatenation."""
     if text is None:
-        return "", [], 0, 0, "UTF-8"
+        return "", [], 0, 0, "UTF-8", []
     if "<" not in text and context not in _RAW_CONTEXTS:
         if not boilerplate:
             return fast_extract(text, mode, context)
@@ -136,20 +153,21 @@ def parse_turn(text: str, mode: str = "fragment", context: str = "div",
         ext, spans, _, _ = strip_boilerplate(res.doc)
     else:
         ext, spans = res.extract_text()
-    return ext, spans, res.error_count, res.node_count, res.encoding or "UTF-8"
+    return (ext, spans, res.error_count, res.node_count,
+            res.encoding or "UTF-8", res.errors)
 
 
 def _fast_extract_boilerplate(text: str, mode: str, context: str):
     """'<'-free turn under boilerplate mode: the document is a single
     text block; apply the same block scoring as strip_boilerplate."""
-    ext, spans, errs, nodes, enc = fast_extract(text, mode, context)
+    ext, spans, errs, nodes, enc, texts = fast_extract(text, mode, context)
     if not ext:
-        return ext, spans, errs, nodes, enc
+        return ext, spans, errs, nodes, enc, texts
     block = _Block()
     block.add(ext, spans[0]["path"] if spans else "", False)
     if _score(block):
-        return ext, spans, errs, nodes, enc
-    return "", [], errs, nodes, enc
+        return ext, spans, errs, nodes, enc, texts
+    return "", [], errs, nodes, enc, texts
 
 
 # Worker-level content-addressed parse cache: web/transcript corpora
@@ -187,15 +205,17 @@ def make_extract_map_in_arrow(passthrough: list[str], mode: str = "fragment",
     def _fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             texts = batch.column("text").to_pylist()
-            ext_l, spans_l, errs_l, nodes_l, enc_l = [], [], [], [], []
+            ext_l, spans_l, errs_l, nodes_l, enc_l, etexts_l = (
+                [], [], [], [], [], [])
             for text in texts:
-                ext, spans, errs, nodes, enc = _parse_turn_cached(
+                ext, spans, errs, nodes, enc, etexts = _parse_turn_cached(
                     text, mode, context, boilerplate)
                 ext_l.append(ext)
                 spans_l.append(spans)
                 errs_l.append(errs)
                 nodes_l.append(nodes)
                 enc_l.append(enc)
+                etexts_l.append(etexts)
             arrays = [batch.column(c) for c in passthrough]
             fields = [batch.schema.field(c) for c in passthrough]
             arrays += [
@@ -204,6 +224,7 @@ def make_extract_map_in_arrow(passthrough: list[str], mode: str = "fragment",
                 pa.array(errs_l, pa.int32()),
                 pa.array(nodes_l, pa.int32()),
                 pa.array(enc_l, pa.string()),
+                pa.array(etexts_l, pa.list_(pa.string())),
             ]
             fields += EXTRACT_FIELDS
             yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))

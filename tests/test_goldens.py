@@ -50,14 +50,19 @@ def test_document_serialization(refbuild, golden_cases):
     assert not fails, f"serialize mismatches: {fails}"
 
 
-def test_document_error_counts(refbuild, golden_cases):
+def test_document_error_texts(refbuild, golden_cases):
+    """Full parse-error TEXT parity (S5/T15): every stderr line the
+    reference emits with HTMLPARSER_PARSE_ERRORS=1 — tokenizer lines
+    as 'line=N col=M: msg' (stale across raw-text scans exactly like
+    the C, whose line/col only advance inside advance()), tree-builder
+    and charref lines as the bare msg — in chronological order."""
     fails = []
     for case in _cases(golden_cases, "document"):
         raw = _load(refbuild, case)
         res = parse_document(raw)
-        if res.error_count != case["error_count"]:
-            fails.append((case["case"], case["error_count"], res.error_count))
-    assert not fails, f"error-count mismatches: {fails}"
+        if res.errors != case["errors"]:
+            fails.append((case["case"], case["errors"], res.errors))
+    assert not fails, f"error-text mismatches: {fails[:3]}"
 
 
 def test_fragment_dumps(refbuild, golden_cases):
@@ -70,14 +75,14 @@ def test_fragment_dumps(refbuild, golden_cases):
     assert not fails, f"fragment dump mismatches: {fails}"
 
 
-def test_fragment_error_counts(refbuild, golden_cases):
+def test_fragment_error_texts(refbuild, golden_cases):
     fails = []
     for case in _cases(golden_cases, "fragment"):
         raw = _load(refbuild, case)
         res = parse_fragment(raw, case["context"])
-        if res.error_count != case["error_count"]:
-            fails.append((case["case"], case["error_count"], res.error_count))
-    assert not fails, f"fragment error-count mismatches: {fails}"
+        if res.errors != case["errors"]:
+            fails.append((case["case"], case["errors"], res.errors))
+    assert not fails, f"fragment error-text mismatches: {fails[:3]}"
 
 
 @pytest.mark.parametrize("count", [1])

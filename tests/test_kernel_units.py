@@ -203,13 +203,14 @@ def test_fast_path_equivalence(mode, context):
             parse_fragment(s, context)
         ext, spans = full.extract_text()
         want = (ext, spans, full.error_count, full.node_count,
-                full.encoding or "UTF-8")
+                full.encoding or "UTF-8", full.errors)
         assert fast == want, (mode, context, s)
 
 
 def test_parse_turn_raw_context_uses_full_parser():
     # script context: charrefs must NOT decode
-    ext, spans, errs, nodes, _ = parse_turn("a &amp; b", "fragment", "script")
+    ext, spans, errs, nodes, _, _ = parse_turn(
+        "a &amp; b", "fragment", "script")
     assert ext == "a &amp; b"
 
 

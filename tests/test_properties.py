@@ -77,7 +77,7 @@ def test_fast_path_equals_full_parse(text, context):
     full = parse_fragment(text, context)
     ext, spans = full.extract_text()
     assert fast == (ext, spans, full.error_count, full.node_count,
-                    full.encoding or "UTF-8")
+                    full.encoding or "UTF-8", full.errors)
 
 
 @settings(max_examples=150, deadline=None)

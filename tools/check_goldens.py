@@ -66,7 +66,8 @@ def main():
                         ok = False
                         msgs.append(("serialize",
                                      first_diff(case["serialized"], mine_ser)))
-                if res.error_count != case["error_count"]:
+                if res.errors != case.get("errors", res.errors) \
+                        or res.error_count != case["error_count"]:
                     ok = False
                     msgs.append(("errors",
                                  f"want {case['error_count']} got {res.error_count}"))
@@ -79,7 +80,8 @@ def main():
                 if mine_dump != want:
                     ok = False
                     msgs.append(("dump", first_diff(want, mine_dump)))
-                if res.error_count != case["error_count"]:
+                if res.errors != case.get("errors", res.errors) \
+                        or res.error_count != case["error_count"]:
                     ok = False
                     msgs.append(("errors",
                                  f"want {case['error_count']} got {res.error_count}"))

@@ -178,9 +178,13 @@ def ref_dump(data: bytes, context: str | None):
         out = p.stdout.decode("utf-8", errors="surrogateescape")
         lines = out.split("\n")
         dump = "\n".join(lines[1:])
-    nerr = sum(1 for ln in p.stderr.decode("utf-8", "surrogateescape")
-               .splitlines() if ln.startswith("[parse error]"))
-    return p.returncode, dump, nerr
+    pre = "[parse error] "
+    errs = [
+        ln[len(pre):]
+        for ln in p.stderr.decode("utf-8", "surrogateescape").splitlines()
+        if ln.startswith(pre)
+    ]
+    return p.returncode, dump, errs
 
 
 def main():
@@ -212,23 +216,29 @@ def main():
             res = (parse_document(data) if context is None
                    else parse_fragment(data, context))
             mine = res.dump()
-            mine_err = res.error_count
+            mine_err = res.errors
         except Exception as e:  # noqa: BLE001
             mine = f"<exception: {e!r}>"
-            mine_err = -1
+            mine_err = ["<exception>"]
         if mine != want or mine_err != want_err:
             fails += 1
             fn = f"/tmp/fuzz_fail_{seed}_{i}{'_' + context if context else ''}.html"
             with open(fn, "wb") as f:
                 f.write(data)
-            print(f"MISMATCH case {i} ctx={context} errs ref={want_err} "
-                  f"py={mine_err} -> {fn}")
+            print(f"MISMATCH case {i} ctx={context} errs ref={len(want_err)} "
+                  f"py={len(mine_err)} -> {fn}")
             wl, ml = want.split("\n"), mine.split("\n")
             for j in range(max(len(wl), len(ml))):
                 a = wl[j] if j < len(wl) else "<missing>"
                 b = ml[j] if j < len(ml) else "<missing>"
                 if a != b:
                     print(f"  line {j+1}:\n    ref: {a!r}\n    py : {b!r}")
+                    break
+            for j in range(max(len(want_err), len(mine_err))):
+                a = want_err[j] if j < len(want_err) else "<missing>"
+                b = mine_err[j] if j < len(mine_err) else "<missing>"
+                if a != b:
+                    print(f"  err {j+1}:\n    ref: {a!r}\n    py : {b!r}")
                     break
             if fails >= 10:
                 break

@@ -61,6 +61,16 @@ def count_parse_errors(stderr: str) -> int:
     return sum(1 for ln in stderr.splitlines() if ln.startswith("[parse error]"))
 
 
+def parse_error_texts(stderr: str) -> list[str]:
+    """stderr lines minus the '[parse error] ' prefix — the texts the
+    kernel must reproduce verbatim (tokenizer lines carry
+    'line=N col=M: msg', tree-builder/charref lines the bare msg)."""
+    pre = "[parse error] "
+    return [
+        ln[len(pre):] for ln in stderr.splitlines() if ln.startswith(pre)
+    ]
+
+
 def main():
     fixtures = sorted(
         f for f in os.listdir(TESTS) if f.endswith(".html")
@@ -89,6 +99,7 @@ def main():
             "dump": dump,
             "serialized": ser if rc2 == 0 else None,
             "error_count": count_parse_errors(err),
+            "errors": parse_error_texts(err),
         })
 
     frag_set = set(FRAGMENT_CASES)
@@ -117,6 +128,7 @@ def main():
             "dump": dump,
             "serialized": None,
             "error_count": count_parse_errors(err),
+            "errors": parse_error_texts(err),
         })
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

@@ -32,7 +32,7 @@ def main():
     bad = 0
     for row in rows:
         text = src[(row.conv_id, row.turn_idx)]
-        ext, spans, errs, nodes, enc = parse_turn(text)
+        ext, spans, errs, nodes, enc, _etexts = parse_turn(text)
         if (ext, errs, nodes) != (row.extracted_text, row.parse_errors,
                                   row.node_count):
             bad += 1
