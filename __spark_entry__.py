@@ -82,7 +82,6 @@ def _q_pricing_summary(spark, sf_dir):
             F.col("sum_disc_price").cast("string").alias("sum_disc_price"),
             "count_order",
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -118,7 +117,6 @@ def _q_ordering_window(spark, sf_dir):
         ev.withColumn("turn_rank", F.row_number().over(w))
         .where(F.col("turn_rank") <= 3)
         .select("user_id", "event_id", "turn_rank")
-        .orderBy("user_id", "turn_rank")
     )
 
 
@@ -128,7 +126,6 @@ def _q_resume_antijoin(spark, sf_dir):
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -142,7 +139,6 @@ def _q_metrics_rollup(spark, sf_dir):
             F.countDistinct("lang").alias("n_langs"),
             F.min("doc_id").alias("min_doc_id"),
         )
-        .orderBy("source")
     )
 
 
@@ -160,7 +156,6 @@ def _q_events_agg(spark, sf_dir):
             F.col("sum_value").cast("string").alias("sum_value"),
             "n_users",
         )
-        .orderBy("event_type")
     )
 
 
@@ -174,7 +169,6 @@ def _q_json_props(spark, sf_dir):
             F.max(k).alias("max_k"),
             F.count(F.when(k > 50, 1)).alias("n_high"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -186,7 +180,6 @@ def _q_events_daily(spark, sf_dir):
             F.col("event_type"),
         )
         .agg(F.count("*").alias("n_events"))
-        .orderBy("day", "event_type")
     )
 
 
@@ -292,9 +285,7 @@ def _q_conversation_stats(spark, sf_dir):
     from html_parser_spark.spark.transcripts import transcripts_df
 
     df = transcripts_df(spark, 2000, seed=42, partitions=8)
-    return conversation_stats(extract_turns(df, ordered=False)).orderBy(
-        "conv_id"
-    )
+    return conversation_stats(extract_turns(df, ordered=False))
 
 
 def _q_extract_boilerplate(spark, sf_dir):
@@ -334,7 +325,7 @@ def _q_media_features(spark, sf_dir):
             F.transform("features", lambda x: F.format_string("%.6f", x)),
             ",",
         ).alias("features"),
-    ).orderBy("media_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -155,7 +155,7 @@ def _bump_line_col(line: int, col: int, seg: str) -> tuple[int, int]:
 
 class Tokenizer:
     __slots__ = ("input", "pos", "len", "state", "raw_tag", "allow_cdata",
-                 "errors", "skipped")
+                 "errors", "skipped", "_lc")
 
     def __init__(self, input_text: str, context_tag: str | None = None,
                  errors: list | None = None):
@@ -175,6 +175,10 @@ class Tokenizer:
         # Appended once per scanner invocation; consulted only on the
         # rare error path.
         self.skipped: list = []
+        # incremental line/col cursor: (pos, line, col, skip_idx) — the
+        # error path resumes from here instead of re-walking from 0, so
+        # error-dense documents stay O(len) total, not O(errors * len)
+        self._lc = (0, 1, 1, 0)
         if context_tag:
             # tokenizer_init_with_context, src/tokenizer.c:1482-1503
             lowered = ascii_lower(context_tag[:31])
@@ -206,14 +210,26 @@ class Tokenizer:
 
     def _line_col(self, pos: int) -> tuple[int, int]:
         s = self.input
-        line, col = 1, 1
-        cur = 0
-        for a, b in self.skipped:
+        skipped = self.skipped
+        cur, line, col, si = self._lc
+        if pos < cur:
+            # rare non-monotonic query: recompute without caching
+            cur, line, col, si = 0, 1, 1, 0
+            cacheable = False
+        else:
+            cacheable = True
+        while si < len(skipped):
+            a, b = skipped[si]
             if a >= pos:
                 break
-            line, col = _bump_line_col(line, col, s[cur:min(a, pos)])
+            line, col = _bump_line_col(line, col, s[cur:min(max(a, cur), pos)])
             cur = max(cur, min(b, pos))
+            if b > pos:
+                break
+            si += 1
         line, col = _bump_line_col(line, col, s[cur:pos])
+        if cacheable:
+            self._lc = (pos, line, col, si)
         return line, col
 
     def _peek(self, ahead: int = 0) -> str:

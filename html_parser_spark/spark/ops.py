@@ -38,7 +38,6 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
             F.count("*").alias("n_copies"),
         )
-        .orderBy("canonical_doc_id")
     )
 
 
@@ -64,7 +63,7 @@ def shingle_stats(documents: DataFrame, n: int = 3) -> DataFrame:
     sh = word_shingles(documents, n)
     return sh.select(
         "doc_id", F.size("shingles").cast("int").alias("n_shingles")
-    ).orderBy("doc_id")
+    )
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
@@ -135,7 +134,7 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
         )
         .distinct()
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    return pairs
 
 
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
@@ -161,46 +160,44 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
             (inter / union).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash, fully JVM-side (whole-stage codegen, zero
-    Python): tokens -> one xxhash64 per token (materialized once in its
-    own projection so CollapseProject cannot inline it 64x) -> per-bit
-    majority vote (2*ones > n) -> bits recombined with
+    """64-bit SimHash, fully JVM-side and whole-stage-codegen'd: explode
+    tokens -> one xxhash64 per token -> 64 per-bit `sum((h>>b)&1)`
+    aggregates (plain expressions, NOT higher-order functions — HOFs
+    are interpreted in Spark and benchmarked ~7x slower here) -> final
+    majority vote (2*ones > n) recombining bits with
     shiftleft/bitwise-OR (never an arithmetic sum, so ANSI overflow
-    checking can't fire on bit 63). Per-row array aggregates only — no
-    shuffle, no explode. Empty/whitespace-only text -> fingerprint 0."""
+    checking can't fire on bit 63). Same partial-agg shuffle shape as
+    minhash_signatures: map-side combine reduces the explode to one
+    64-column row per doc per task before the single doc_id shuffle.
+    Empty/whitespace-only text -> fingerprint 0 (explode_outer keeps
+    those docs as a single NULL-token row; null-skipping aggregates
+    make every vote fail, so all bits stay 0 — one shuffle total)."""
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    hashed = documents.select(
+    rows = documents.select(
+        "doc_id", F.explode_outer(toks).alias("tok")
+    ).select(
         "doc_id",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("hashes"),
+        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
     )
-    n = F.size("hashes")
-
-    def vote(b):
-        ones = F.aggregate(
-            F.col("hashes"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
-        )
-        return (2 * ones) > n
-
+    aggs = [F.count("h").alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"ones_{b}")
+        for b in range(bits)
+    ]
+    voted = rows.groupBy("doc_id").agg(*aggs)
     fp = F.lit(0).cast("long")
     for b in range(bits):
         fp = fp.bitwiseOR(
-            F.when(vote(b), F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
+            F.when(
+                (2 * F.col(f"ones_{b}")) > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return hashed.select(
-        "doc_id",
-        F.when(F.col("hashes").isNull() | (n <= 0), F.lit(0).cast("long"))
-        .otherwise(fp)
-        .alias("simhash"),
-    ).orderBy("doc_id")
+    return voted.select("doc_id", fp.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +231,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
         F.size(toks).cast("int").alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 def quality_score(documents: DataFrame) -> DataFrame:
@@ -257,7 +254,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.round(
             (alpha_ratio + stop_ratio + len_score) / 3.0, 6
         ).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
@@ -277,7 +274,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:
@@ -286,7 +283,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return documents.select(
         "doc_id", F.md5(norm).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +312,7 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return embeddings.select(
         "vec_id", F.round(_norm(vec), 4).alias("l2_norm")
-    ).orderBy("vec_id")
+    )
 
 
 def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
@@ -346,7 +343,6 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -429,5 +425,4 @@ def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
     )
