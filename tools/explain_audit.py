@@ -96,6 +96,34 @@ def main():
          or "BroadcastHashJoin" in p),
     ])
 
+    audit("ngram_jaccard (LSH-candidate-verified)",
+          qs["ngram_jaccard"](spark, SF_DIR), [
+        ("no cartesian/broadcast-nested-loop join anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("candidate pairs join by key (SortMerge/Hash)",
+         lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p
+         or "BroadcastHashJoin" in p),
+    ])
+
+    audit("simhash (codegen bit-vote)", qs["simhash"](spark, SF_DIR), [
+        ("no Python node in the plan",
+         lambda p: "EvalPython" not in p and "MapInArrow" not in p
+         and "MapInPandas" not in p),
+        ("partial (map-side) aggregation",
+         lambda p: p.count("HashAggregate") >= 2),
+    ])
+
+    audit("ann_lsh (in-plan hyperplanes)", qs["ann_lsh"](spark, SF_DIR), [
+        ("no cartesian/broadcast-nested-loop join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("bucket-keyed join with query side broadcast",
+         lambda p: "BroadcastHashJoin" in p),
+        ("per-query top-k window",
+         lambda p: "Window" in p),
+    ])
+
     audit("ann_bruteforce", qs["ann_bruteforce"](spark, SF_DIR), [
         ("query side broadcast (corpus streams)",
          lambda p: "BroadcastHashJoin" in p
