@@ -6,12 +6,18 @@ entry(spark)   — flagship: HTML extraction over a deterministic
                  ordering.
 queries()      — operators from SURVEY.md §2 + the training-data ops;
                  each callable takes (spark, sf_dir).
-oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible
-                 query (same column names; aggregates decimal-cast so
-                 value hashes are order-insensitive-stable). Kernel
-                 parse queries are rows-only here; their byte-level
-                 correctness gate is tests/ (506 golden cases vs the
-                 reference binaries).
+oracle_sql()   — a DuckDB oracle for EVERY query: real ANSI-SQL
+                 re-derivations where SQL can express the op (money
+                 aggregates pinned to canonical decimal strings /
+                 bigint on both engines — DuckDB's pandas bridge
+                 renders DECIMAL+HUGEINT as float64, Spark as
+                 object-Decimal/int64, so only those forms hash
+                 equal); a materialized-turns GROUP BY for the
+                 conversation rollup; pinned deterministic snapshots
+                 (tools/mint_oracle_snapshots.py) for the seeded-hash
+                 and kernel-surface queries, whose byte-level gates
+                 are tests/ (1,241 golden cases + differential fuzz
+                 vs the reference binaries, incl. parse-error TEXTS).
 """
 
 from __future__ import annotations
@@ -241,6 +247,19 @@ def _q_ann_lsh(spark, sf_dir):
     ).select("query_id", "corpus_id", "rank")
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    # LSH-bucketed candidates + exact cosine verify (the 100 TB path);
+    # the exact-SQL oracle cross-joins at sf0.01 only. The testdata
+    # embeddings carry no near-dup pairs at 0.9 (max pair cosine ~0.51)
+    # so both sides return the same empty set; the operator's recall on
+    # planted dups is gated by test_embedding_near_dup_finds_planted.
+    from html_parser_spark.spark.ops import embedding_near_dup
+
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    ).select("vec_a", "vec_b")
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from html_parser_spark.spark.ops import minhash_lsh_candidates
 
@@ -347,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
         "minhash_lsh": _q_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -592,6 +612,23 @@ def oracle_sql() -> dict[str, str]:
                   / (len(a.shingles) + len(b.shingles)
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "embedding_near_dup": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> cast(x as double)) vec
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, vec,
+                       sqrt(list_sum(list_transform(vec, x -> x*x))) nrm
+                FROM v
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM n a, n b
+            WHERE a.vec_id < b.vec_id
+              AND list_sum(list_transform(generate_series(1, len(a.vec)),
+                           i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm)
+                  >= 0.9
         """,
         # --- materialized-turns oracle -------------------------------
         # conversation_stats: the parse kernel is not SQL-expressible

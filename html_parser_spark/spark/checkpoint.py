@@ -13,6 +13,25 @@ Local realization (no Iceberg catalog in this sandbox, same mechanics):
   - output written partitioned by part_key -> a re-run overwrites a
     partition atomically (dynamic partition overwrite), making resume
     idempotent rather than duplicating.
+
+Mapping onto a real Iceberg catalog (what each piece becomes):
+  - the part_key-partitioned parquet dir -> an Iceberg table
+    partitioned by `bucket(conv_id, N)`; `partitionOverwriteMode=
+    dynamic` -> `INSERT OVERWRITE` / `replaceWhere` on that partition
+    spec, which Iceberg commits atomically per snapshot, so a re-run
+    of a partition is a metadata-level swap, never a partial state;
+  - the manifest parquet -> either Iceberg's own snapshot/manifest
+    metadata (partition-level stats come free) or a small side table
+    written in the SAME transaction via multi-table commit; the
+    resume anti-join then reads committed snapshots only, so a crash
+    between data write and manifest append cannot mark an incomplete
+    partition done (Iceberg's commit is the atomicity boundary; in
+    the parquet realization the manifest append IS the commit point,
+    and re-running a crashed partition merely overwrites it);
+  - the partition-pruned metric read-back -> a snapshot-scoped scan
+    (`VERSION AS OF` the just-committed snapshot) with partition
+    predicates, which Iceberg serves from manifest metadata without
+    listing the table.
 """
 
 from __future__ import annotations

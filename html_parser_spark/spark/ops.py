@@ -18,6 +18,7 @@ Operators:
   fingerprint        — md5 of ws-normalized lowercased text    [SQL oracle]
   ANN brute force    — cosine top-k via aggregate/zip_with     [SQL oracle]
   ANN LSH            — in-plan seeded hyperplanes, multi-table [snapshot]
+  embedding near-dup — LSH-bucketed cosine pairs >= threshold  [SQL oracle]
 """
 
 from __future__ import annotations
@@ -346,22 +347,17 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
     )
 
 
-def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-            n_planes: int = 8, n_tables: int = 4,
-            seed: int = 7) -> DataFrame:
-    """Random-hyperplane LSH ANN: bucket by sign pattern, exact cosine
-    within bucket. The scale path — the candidate join is keyed by
-    bucket, not a cross join.
+def lsh_bucketed(embeddings: DataFrame, n_planes: int = 8,
+                 n_tables: int = 4, seed: int = 7) -> DataFrame:
+    """(vec_id, vec, bucket) with one row per (vector, hash table):
+    random-hyperplane sign-pattern buckets, OR-amplified over
+    `n_tables` independent tables.
 
     Hyperplanes are derived IN-PLAN: plane component (table t, plane p,
     dim i) = xxhash64(seed, t, p, i) scaled to [-1, 1] — a symmetric
     zero-mean projection, dimension-agnostic, so building this query
     triggers ZERO Spark jobs (no `.first()` dim probe; asserted by
-    test_ann_lsh_build_runs_no_job). `n_tables` independent tables are
-    OR-amplified (union of buckets, pair-deduped) to restore the recall
-    a single-probe table can't guarantee."""
-    from pyspark.sql import Window
-
+    test_ann_lsh_build_runs_no_job)."""
     inv_2_63 = 1.0 / float(2**63)
 
     def _comp(t, p, i):
@@ -392,7 +388,7 @@ def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         ]
         return F.concat(F.lit(f"{t}:"), *bits)
 
-    base = embeddings.select("vec_id", vec_d.alias("vec")).withColumn(
+    return embeddings.select("vec_id", vec_d.alias("vec")).withColumn(
         "bucket",
         F.explode(
             F.array(*[
@@ -400,6 +396,18 @@ def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             ])
         ),
     )
+
+
+def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+            n_planes: int = 8, n_tables: int = 4,
+            seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket by sign pattern (lsh_bucketed,
+    OR-amplified across tables, pair-deduped), exact cosine within
+    bucket. The scale path — the candidate join is keyed by bucket,
+    not a cross join."""
+    from pyspark.sql import Window
+
+    base = lsh_bucketed(embeddings, n_planes, n_tables, seed)
     corpus = base.select(
         F.col("vec_id").alias("corpus_id"), F.col("vec").alias("cvec"),
         "bucket",
@@ -425,4 +433,48 @@ def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
+                       n_planes: int = 8, n_tables: int = 4,
+                       seed: int = 7,
+                       exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b) with
+    cosine >= threshold.
+
+    Scale path (default): LSH-bucketed candidate generation — the self
+    join is keyed by (table, bucket), never all-pairs — then exact
+    cosine verification of candidates only. OR-amplification across
+    `n_tables` hash tables sets the recall floor; at sign-hash
+    collision probability (1 - theta/pi) per plane, near-identical
+    vectors (cosine ~0.99+) collide in >=1 of 4 8-plane tables with
+    p > 0.99 (test_embedding_near_dup_finds_planted verifies on
+    planted dups).
+
+    exact=True verifies ALL pairs (test/oracle scale only — same
+    caveat as ngram_jaccard_pairs without candidates)."""
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    if exact:
+        a = embeddings.select(F.col("vec_id").alias("vec_a"),
+                              vec_d.alias("va"))
+        b = embeddings.select(F.col("vec_id").alias("vec_b"),
+                              vec_d.alias("vb"))
+        cand = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    else:
+        base = lsh_bucketed(embeddings, n_planes, n_tables, seed)
+        left = base.select(F.col("vec_id").alias("vec_a"),
+                           F.col("vec").alias("va"), "bucket")
+        right = base.select(F.col("vec_id").alias("vec_b"),
+                            F.col("vec").alias("vb"), "bucket")
+        cand = left.join(
+            right,
+            (left.bucket == right.bucket) & (F.col("vec_a") < F.col("vec_b")),
+        ).dropDuplicates(["vec_a", "vec_b"])
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )

@@ -142,6 +142,42 @@ def test_ann_lsh_subset_of_bruteforce_corpus(spark):
     assert all(-1.0 <= r.cosine <= 1.0 for r in lsh)
 
 
+def test_embedding_near_dup_finds_planted(spark):
+    """LSH-bucketed near-dup must find planted near-identical vectors
+    and agree with the exact all-pairs verification."""
+    import math
+    import random
+
+    from html_parser_spark.spark.ops import embedding_near_dup
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # plant 3 near-identical pairs (tiny perturbation -> cosine ~0.999)
+    planted = set()
+    for j in range(3):
+        base_id = j * 5
+        vec = rows[base_id][1]
+        rows.append((100 + j, [x + rng.gauss(0, 0.01) for x in vec]))
+        planted.add((base_id, 100 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lsh_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup(df, threshold=0.95).collect()
+    }
+    exact_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup(df, threshold=0.95, exact=True).collect()
+    }
+    assert planted <= exact_pairs
+    assert lsh_pairs == exact_pairs  # full recall on near-identical dups
+    # sanity: no spurious far pair sneaks in
+    assert all(a < b for a, b in lsh_pairs)
+    assert math.isfinite(len(lsh_pairs))
+
+
 def test_simhash_similar_docs_close(spark):
     from html_parser_spark.spark.ops import simhash
 
