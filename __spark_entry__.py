@@ -247,6 +247,25 @@ def _q_ann_lsh(spark, sf_dir):
     ).select("query_id", "corpus_id", "rank")
 
 
+def _q_raw_encoding(spark, sf_dir):
+    """The full byte front-end (E1-E9 + P1) through Spark: BOM sniff,
+    label resolution, meta prescan, UTF-16/ISO-2022-JP/x-user-defined
+    decode, transport hint, late-meta re-parse — over a deterministic
+    binary corpus (differential-tested against the reference binaries
+    incl. --charset hints in test_raw_documents)."""
+    from html_parser_spark.spark.raw_documents import (
+        extract_raw_documents, synth_raw_documents_df,
+    )
+
+    out = extract_raw_documents(synth_raw_documents_df(spark))
+    return out.select(
+        "doc_id", "doc_encoding", "parse_errors", "node_count",
+        "extracted_text",
+        F.to_json("spans").alias("spans"),
+        F.to_json("parse_error_texts").alias("parse_error_texts"),
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     # LSH-bucketed candidates + exact cosine verify (the 100 TB path);
     # the exact-SQL oracle cross-joins at sf0.01 only. The testdata
@@ -366,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "raw_encoding": _q_raw_encoding,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_lsh": _q_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -673,6 +693,11 @@ def oracle_sql() -> dict[str, str]:
             "media_features", "media_id, kind, n_bytes, sha, features"
         ),
         "simhash": _snap("simhash", "doc_id, simhash"),
+        "raw_encoding": _snap(
+            "raw_encoding",
+            "doc_id, doc_encoding, parse_errors, node_count, "
+            "extracted_text, spans, parse_error_texts",
+        ),
         "minhash_lsh": _snap("minhash_lsh", "doc_a, doc_b"),
         "ann_lsh": _snap("ann_lsh", "query_id, corpus_id, rank"),
     }

@@ -57,3 +57,43 @@ def test_raw_documents_charset_hint(spark):
     assert got["w1252"] == ("quote “x”", "windows-1252")
     assert got["sjis"] == ("こんにちは", "Shift_JIS")
     assert got["none"] == ("plain", "UTF-8")
+
+
+def test_synth_raw_corpus_matches_reference(spark, refbuild):
+    """The registered raw_encoding corpus must be byte-equal to the
+    reference binaries (dump + error TEXTS + encoding), --charset hint
+    included — so its snapshot oracle is golden-gated, not self-pinned."""
+    import subprocess
+
+    from html_parser_spark.kernel.api import parse_document
+    from html_parser_spark.spark.raw_documents import synth_raw_documents_df
+
+    pre = "[parse error] "
+    rows = synth_raw_documents_df(spark).collect()
+    assert len(rows) >= 13
+    bad = []
+    for r in rows:
+        raw = bytes(r.content)
+        with open("/tmp/raw_corpus_case.html", "wb") as f:
+            f.write(raw)
+        cmd = ["./parse_html"]
+        if r.charset_hint:
+            cmd += ["--charset", r.charset_hint]
+        cmd.append("/tmp/raw_corpus_case.html")
+        p = subprocess.run(
+            cmd, cwd=refbuild, capture_output=True,
+            env={"HTMLPARSER_PARSE_ERRORS": "1", "PATH": "/usr/bin:/bin"},
+        )
+        out = p.stdout.decode("utf-8", "surrogateescape")
+        dump = "\n".join(out.split("\n")[1:])
+        if dump.endswith("\n"):
+            dump = dump[:-1]
+        errs = [
+            ln[len(pre):]
+            for ln in p.stderr.decode("utf-8", "surrogateescape").splitlines()
+            if ln.startswith(pre)
+        ]
+        res = parse_document(raw, r.charset_hint)
+        if res.dump() != dump or res.errors != errs:
+            bad.append(r.doc_id)
+    assert not bad, f"raw-corpus reference mismatches: {bad}"

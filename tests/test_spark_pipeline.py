@@ -64,6 +64,57 @@ def test_pipeline_matches_goldens(spark, refbuild, golden_cases):
     assert not bad, f"spark-pipeline golden mismatches: {bad}"
 
 
+def test_pipeline_error_texts_match_goldens(spark, refbuild, golden_cases):
+    """Parse-error TEXTS through the real tiered extract_turns job must
+    equal the reference binaries' stderr (goldens), per turn — mixing
+    golden HTML (kernel tier) with plain turns (trivial JVM tier)."""
+    import datetime
+
+    from html_parser_spark.spark.pipeline import extract_turns
+
+    rows = _fixture_rows(refbuild, golden_cases)
+    texts_by_case = {
+        c["case"]: c["errors"] for c in golden_cases
+        if c["mode"] == "fragment" and c["context"] == "div"
+    }
+    data = [
+        ("conv0", i, "user", text, None, datetime.datetime(2020, 1, 1))
+        for i, (name, text, dump, errc) in enumerate(rows)
+    ]
+    # trivial-tier rows interleaved: expected texts are the full
+    # parser's own output for each (the calibrated constants)
+    from html_parser_spark.kernel.api import parse_fragment
+
+    trivial = ["plain words", "", "   ", None]
+    # NULL text is defined as the no-op turn (0 errors, no texts);
+    # everything else must equal the full parser's own error list
+    trivial_want = [
+        parse_fragment(t, "div").errors if t is not None else []
+        for t in trivial
+    ]
+    data += [
+        ("conv1", j, "user", t, None, datetime.datetime(2020, 1, 1))
+        for j, t in enumerate(trivial)
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    ).repartition(4)
+    got = {
+        (r.conv_id, r.turn_idx): list(r.parse_error_texts)
+        for r in extract_turns(df, ordered=False)
+        .select("conv_id", "turn_idx", "parse_error_texts").collect()
+    }
+    bad = []
+    for i, (name, text, dump, errc) in enumerate(rows):
+        if got[("conv0", i)] != texts_by_case[name]:
+            bad.append((name, texts_by_case[name], got[("conv0", i)]))
+    for j, want in enumerate(trivial_want):
+        if got[("conv1", j)] != want:
+            bad.append(("trivial", j, want, got[("conv1", j)]))
+    assert not bad, f"pipeline error-text mismatches: {bad[:3]}"
+
+
 def test_extract_ordering_window(spark):
     from html_parser_spark.spark.pipeline import extract_turns
     from html_parser_spark.spark.transcripts import transcripts_df

@@ -43,6 +43,7 @@ SNAPSHOT_QUERIES = [
     "dump_serialize",
     "media_features",
     "simhash",
+    "raw_encoding",
     "minhash_lsh",
     "ann_lsh",
 ]
