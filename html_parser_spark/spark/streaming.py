@@ -73,3 +73,74 @@ def run_stream_to_parquet(spark, input_path: str, output_path: str,
     if available_now:
         q.awaitTermination()
     return q
+
+
+SESSION_SCHEMA = (
+    "conv_id string, n_turns long, n_chars long, n_parse_errors long, "
+    "first_ts timestamp, last_ts timestamp, closed boolean"
+)
+_STATE_SCHEMA = (
+    "n_turns long, n_chars long, n_parse_errors long, "
+    "first_ts timestamp, last_ts timestamp"
+)
+
+
+def conversation_sessions(extracted: DataFrame,
+                          idle_ms: int = 600_000) -> DataFrame:
+    """CUSTOM STATEFUL operator (applyInPandasWithState): per-
+    conversation session accumulation with event-time idle timeout.
+
+    Each conv_id keeps (n_turns, n_chars, n_parse_errors, first_ts,
+    last_ts) across micro-batches; while a conversation is live every
+    batch emits its running summary with closed=false (update mode),
+    and once the event-time watermark passes last_ts + idle_ms the
+    state times out and the final summary emits with closed=true,
+    freeing the state. Scale notes: state is one tiny fixed-width row
+    per OPEN conversation, keyed-partitioned by conv_id (Spark's state
+    store shards it with the shuffle), and Arrow-batched like every
+    other Python crossing in this repo."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        conv_id = key[0]
+        if state.hasTimedOut:
+            n, c, e, f, l = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "conv_id": conv_id, "n_turns": n, "n_chars": c,
+                "n_parse_errors": e, "first_ts": f, "last_ts": l,
+                "closed": True,
+            }])
+            return
+        if state.exists:
+            n, c, e, f, l = state.get
+        else:
+            n = c = e = 0
+            f = l = None
+        for pdf in pdfs:
+            n += len(pdf)
+            c += int(pdf["extracted_text"].str.len().sum())
+            e += int(pdf["parse_errors"].sum())
+            bmin = pdf["ts"].min()
+            bmax = pdf["ts"].max()
+            f = bmin if f is None else min(f, bmin)
+            l = bmax if l is None else max(l, bmax)
+        state.update((n, c, e, f, l))
+        # close the session once the watermark passes last_ts + idle
+        state.setTimeoutTimestamp(int(l.timestamp() * 1000) + idle_ms)
+        yield pd.DataFrame([{
+            "conv_id": conv_id, "n_turns": n, "n_chars": c,
+            "n_parse_errors": e, "first_ts": f, "last_ts": l,
+            "closed": False,
+        }])
+
+    return (
+        extracted.withWatermark("ts", "0 seconds")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, SESSION_SCHEMA, _STATE_SCHEMA, "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -161,3 +161,65 @@ class TestMultimodal:
         for mid, idxs in by_media.items():
             assert sorted(idxs) == list(range(len(idxs)))
             assert len(idxs) <= 4
+
+
+class TestStatefulSessions:
+    def test_conversation_sessions_idle_close(self, spark, tmp_path):
+        """applyInPandasWithState sessionization: running summaries
+        emit closed=false; once the watermark passes last_ts + idle
+        the state times out and the final closed=true summary emits."""
+        import datetime
+
+        from html_parser_spark.spark.streaming import (
+            SESSION_SCHEMA, conversation_sessions,
+        )
+
+        t0 = datetime.datetime(2020, 1, 1, 10, 0, 0)
+
+        def rows(conv, n, base, text="hello world"):
+            return [
+                (conv, i, "user", text, None,
+                 base + datetime.timedelta(seconds=i))
+                for i in range(n)
+            ]
+
+        schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        src = str(tmp_path / "sess_in")
+        # three files -> three micro-batches (maxFilesPerTrigger=1):
+        # A,B at 10:00; C at 10:30 (advances watermark past A+B idle);
+        # D at 11:00 (batch 3 fires A+B timeouts against wm=10:30)
+        spark.createDataFrame(
+            rows("A", 3, t0) + rows("B", 2, t0), schema
+        ).coalesce(1).write.parquet(src + "/f=1")
+        spark.createDataFrame(
+            rows("C", 1, t0 + datetime.timedelta(minutes=30)), schema
+        ).coalesce(1).write.parquet(src + "/f=2")
+        spark.createDataFrame(
+            rows("D", 1, t0 + datetime.timedelta(minutes=60)), schema
+        ).coalesce(1).write.parquet(src + "/f=3")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+        )
+        from html_parser_spark.spark.streaming import extract_stream
+
+        sessions = conversation_sessions(
+            extract_stream(stream), idle_ms=60_000
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_out").outputMode("update")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = spark.sql("select * from sess_out").collect()
+        closed = {r.conv_id: r for r in got if r.closed}
+        live = {r.conv_id for r in got if not r.closed}
+        assert {"A", "B"} <= set(closed)
+        assert closed["A"].n_turns == 3
+        assert closed["A"].n_chars == 3 * len("hello world")
+        assert closed["B"].n_turns == 2
+        assert {"A", "B", "C", "D"} <= live  # running summaries emitted
