@@ -38,10 +38,9 @@ def main():
 
     hard = df.where(needs)
     fn = make_extract_map_in_arrow(PASSTHROUGH)
+    from html_parser_spark.spark.udfs import EXTRACT_SPARK_SCHEMA
     schema = ("conv_id string, turn_idx int, role string, tool string, "
-              "ts timestamp, extracted_text string, "
-              "spans array<struct<start:int,end:int,path:string>>, "
-              "parse_errors int, node_count int, doc_encoding string")
+              "ts timestamp, " + EXTRACT_SPARK_SCHEMA)
     t("hard tier parse count",
       lambda: hard.select(*PASSTHROUGH, "text").mapInArrow(fn, schema).count())
     t("hard tier parse again",
