@@ -247,6 +247,21 @@ def _q_ann_lsh(spark, sf_dir):
     ).select("query_id", "corpus_id", "rank")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # ivf_fit is the quantizer-training ACTION (one tiny deterministic
+    # job, the KMeans.fit analogue); the search itself is pure plan —
+    # assignment is a per-row argmax over the anchor literals, probing
+    # a cell-keyed equi-join. n_probe == n_cells reproduces
+    # ann_bruteforce exactly (property-tested).
+    from html_parser_spark.spark.ops import ann_ivf, ivf_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = ivf_fit(emb, n_cells=16, seed=7)
+    return ann_ivf(emb, _ANN_QUERY_IDS, anchors, k=5, n_probe=4).select(
+        "query_id", "corpus_id", "rank"
+    )
+
+
 def _q_raw_encoding(spark, sf_dir):
     """The full byte front-end (E1-E9 + P1) through Spark: BOM sniff,
     label resolution, meta prescan, UTF-16/ISO-2022-JP/x-user-defined
@@ -385,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "raw_encoding": _q_raw_encoding,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_lsh": _q_minhash_lsh,
@@ -700,4 +716,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_lsh": _snap("minhash_lsh", "doc_a, doc_b"),
         "ann_lsh": _snap("ann_lsh", "query_id, corpus_id, rank"),
+        "ann_ivf": _snap("ann_ivf", "query_id, corpus_id, rank"),
     }

@@ -478,3 +478,84 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
         cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_fit(embeddings: DataFrame, n_cells: int = 16,
+            seed: int = 7) -> list:
+    """IVF coarse-quantizer TRAINING action (the analogue of
+    KMeans.fit — the one deliberate driver-side job in the IVF path;
+    search itself is pure plan construction). Deterministic: vectors
+    hash into `n_cells` buckets by xxhash64(vec_id, seed) and the
+    min-rank vector of each bucket becomes that cell's anchor. Returns
+    the anchors as a plain list — a tiny model artifact that search
+    plans inline as broadcast literals, exactly how production IVF
+    ships its centroids."""
+    rows = (
+        embeddings
+        .withColumn(
+            "cell",
+            F.pmod(F.xxhash64("vec_id", F.lit(seed)),
+                   F.lit(n_cells)).cast("int"),
+        )
+        .withColumn("r", F.xxhash64("vec_id", F.lit(seed + 1)))
+        .groupBy("cell")
+        .agg(F.min_by("embedding", "r").alias("anchor"))
+        .collect()
+    )
+    by_cell = {r.cell: [float(x) for x in r.anchor] for r in rows}
+    return [by_cell[c] for c in sorted(by_cell)]
+
+
+def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
+            k: int = 5, n_probe: int = 4) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest anchor cell
+    with a PER-ROW expression (argmax over the anchor literals — no
+    shuffle, no join for assignment), probe the `n_probe` nearest
+    cells per query, and run exact cosine + top-k inside the probed
+    cells only. The candidate join is keyed by cell id — never
+    all-pairs. With n_probe == len(anchors) the result equals
+    ann_bruteforce exactly (property-tested)."""
+    from pyspark.sql import Window
+
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def cell_scores(vec):
+        entries = []
+        for i, anchor in enumerate(anchors):
+            a = F.array(*[F.lit(v) for v in anchor])
+            cos = _dot(vec, a) / (_norm(vec) * _norm(a))
+            entries.append(F.struct(cos.alias("cos"),
+                                    F.lit(i).alias("cell")))
+        return F.array(*entries)
+
+    scores = cell_scores(F.col("vec"))
+    base = embeddings.select("vec_id", vec_d.alias("vec"))
+    corpus = base.select(
+        F.col("vec_id").alias("corpus_id"), F.col("vec").alias("cvec"),
+        F.array_max(scores).getField("cell").alias("cell"),
+    )
+    probes = F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        F.explode(
+            F.transform(probes, lambda s: s.getField("cell"))
+        ).alias("cell"),
+    )
+    joined = corpus.join(
+        F.broadcast(queries),
+        (corpus.cell == queries.cell)
+        & (F.col("corpus_id") != F.col("query_id")),
+    )
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    scored = joined.select(
+        "query_id", "corpus_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

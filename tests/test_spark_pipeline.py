@@ -307,3 +307,33 @@ def test_ngram_jaccard_with_candidates_no_cartesian(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(spark):
+    """IVF with n_probe == n_cells searches every cell — the result
+    must equal exact brute force, rank for rank."""
+    import os as _os
+
+    from html_parser_spark.spark.ops import ann_bruteforce, ann_ivf, ivf_fit
+
+    emb = spark.read.parquet(
+        _os.path.join("/root/testdata/sf0.001", "embeddings.parquet")
+    )
+    anchors = ivf_fit(emb, n_cells=8, seed=7)
+    assert len(anchors) == 8
+    ivf = {
+        (r.query_id, r.rank): r.corpus_id
+        for r in ann_ivf(emb, [0, 1, 2], anchors, k=4, n_probe=8).collect()
+    }
+    bf = {
+        (r.query_id, r.rank): r.corpus_id
+        for r in ann_bruteforce(emb, [0, 1, 2], k=4).collect()
+    }
+    assert ivf == bf
+    # partial probe returns at most k per query, ranks contiguous from 1
+    part = ann_ivf(emb, [0, 1, 2], anchors, k=4, n_probe=2).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -46,6 +46,7 @@ SNAPSHOT_QUERIES = [
     "raw_encoding",
     "minhash_lsh",
     "ann_lsh",
+    "ann_ivf",
 ]
 
 
