@@ -79,7 +79,7 @@ def parse_document(raw, charset_hint=None) -> ParseResult:
     if doc is None and change_enc is not None:
         # §13.2.3.5 re-encode + re-parse once with CERTAIN confidence
         if isinstance(raw, str):
-            raw_bytes = raw.encode("utf-8")
+            raw_bytes = raw.encode("utf-8", "surrogateescape")
         else:
             raw_bytes = raw
         result2 = enc.sniff_and_convert(raw_bytes, change_enc)

@@ -596,8 +596,12 @@ _POST_TRANSLATE = {
                                   0x201D, 0x2022, 0x2013, 0x2014, 0xA0)},
 }
 
-# multi-byte codecs: boundary-aware sequence overrides
-_SEQ_DIFF_CODECS = ("shift_jis", "big5", "gbk", "euc_kr", "euc_jp")
+# multi-byte codecs: boundary-aware sequence overrides. gb18030 is its
+# own entry: glibc maps the GB18030-2005 rows (A6D9.. -> U+FE10..)
+# where Python's codec keeps the 2000 PUA codepoints — NOT the same
+# table as gbk.
+_SEQ_DIFF_CODECS = ("shift_jis", "big5", "gbk", "gb18030", "euc_kr",
+                    "euc_jp")
 _SEQ_DIFFS_BY_FIRST: dict = {}
 for _codec in _SEQ_DIFF_CODECS:
     _by_first: dict = {}

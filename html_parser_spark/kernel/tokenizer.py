@@ -893,7 +893,8 @@ class Tokenizer:
                             ch = m2.group()
                             line, col = self._line_col(
                                 self.pos + m2.start())
-                            for k in range(len(ch.encode("utf-8"))):
+                            nby = len(ch.encode("utf-8", "surrogateescape"))
+                            for k in range(nby):
                                 errs.append(
                                     f"line={line} col={col + k}: "
                                     "unexpected character in attribute name")

@@ -124,6 +124,17 @@ def main():
          lambda p: "Window" in p),
     ])
 
+    audit("ann_ivf (in-plan quantizer assignment)",
+          qs["ann_ivf"](spark, SF_DIR), [
+        ("no cartesian/broadcast-nested-loop join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("cell-keyed join with query side broadcast",
+         lambda p: "BroadcastHashJoin" in p),
+        ("per-query top-k window",
+         lambda p: "Window" in p),
+    ])
+
     audit("ann_bruteforce", qs["ann_bruteforce"](spark, SF_DIR), [
         ("query side broadcast (corpus streams)",
          lambda p: "BroadcastHashJoin" in p

@@ -38,7 +38,12 @@ SPECS = {
     "ibm866": ("cp866", [], []),
     "koi8-r": ("koi8_r", [], []),
     "koi8-u": ("koi8_u", [], []),
-    "gb18030": ("gb18030", [], []),  # two-byte area == gbk; probed via gbk
+    # NOT "== gbk": ICONV_DIFFS is keyed by PYTHON codec, and glibc's
+    # GB18030 maps the 2005 rows (e.g. A6D9 -> U+FE10) where Python's
+    # gb18030 keeps the 2000 PUA codepoints (U+E78D...) — probe the
+    # full two-byte area under its own codec key
+    "gb18030": ("gb18030", list(range(0x81, 0xFF)),
+                list(range(0x40, 0x7F)) + list(range(0x80, 0xFF))),
 }
 for i in list(range(2, 11)) + list(range(13, 17)):
     SPECS[f"iso-8859-{i}"] = (f"iso8859_{i}", [], [])
