@@ -2,25 +2,35 @@
 
 Design per the build brief: image/audio/video are `binary` columns with
 a typed metadata struct; decode / feature-extract / resize /
-frame-sample run as Arrow-batched kernels over mapInPandas. The actual
-media codecs are NOT in this container, so the decode step is STUBBED:
+frame-sample run as Arrow-batched kernels over mapInPandas.
 
-  - decode_media(..., strict=True)  raises NotImplementedError at the
-    kernel boundary (the documented production integration point for a
-    real codec, e.g. PIL/ffmpeg shipped via --py-files), and
-  - strict=False substitutes a DETERMINISTIC fake decode (blake2b-seeded
-    pixel/PCM synthesis) so the Spark-side plumbing — schema,
-    partitioning, UDF signature, batch shape — is real and tested.
+Codec status (this container has no PIL/ffmpeg and installs are
+forbidden, so everything here is PURE STDLIB):
+  - image/png : REAL decode + encode (zlib inflate/deflate, scanline
+    filters 0-4 incl. Paeth, 8-bit gray/RGB/RGBA, non-interlaced) —
+    `png_decode`/`png_encode` below, roundtrip-tested.
+  - audio/wav : REAL decode + encode (stdlib `wave` + struct, 16-bit
+    PCM).
+  - video/mp4 : STUBBED — an honest NotImplementedError under
+    strict=True (the documented integration point for a real
+    container/codec, e.g. pyav shipped via --py-files) and a
+    deterministic fake feature vector otherwise, so the Spark-side
+    plumbing (schema, partitioning, batch shape, frame-grid explode)
+    is real and tested even where the codec is not.
 
-Everything around the stub (schemas, batching, partition strategy) is
-production-shaped: payloads never pass through Python row-at-a-time,
-metadata is JVM-prunable, and frame sampling happens before feature
-extraction so only sampled bytes cross into the kernel.
+Everything around the kernels is production-shaped: payloads never
+pass through Python row-at-a-time, metadata is JVM-prunable, and frame
+sampling happens before feature extraction so only sampled bytes cross
+into the kernel.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -45,61 +55,247 @@ FRAME_SCHEMA = (
     "media_id bigint, frame_idx int, frame_ms int, payload binary"
 )
 
+N_FEATURES = 64
+
+# ---------------------------------------------------------------------------
+# PNG codec (pure stdlib; RFC 2083 / W3C PNG: 8-bit, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(width: int, height: int, pixels: bytes,
+               channels: int = 3) -> bytes:
+    """Minimal PNG writer: 8-bit gray/RGB/RGBA, filter 0 scanlines."""
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    assert len(pixels) == stride * height
+    raw = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride]
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes):
+    """Minimal PNG reader: returns (width, height, channels, pixels).
+    Supports 8-bit depth, color types 0/2/4/6, non-interlaced — the
+    full inverse of png_encode plus filters 1-4 from any writer."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = channels = None
+    idat = []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or inter != 0 or ctype not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} ctype={ctype} "
+                    f"interlace={inter})")
+            channels = _CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (stdlib wave, 16-bit PCM)
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples, sample_rate: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes):
+    """Returns (sample_rate, n_channels, samples list of int16)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        n = w.getnframes()
+        frames = w.readframes(n)
+    samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    return rate, nch, samples
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic corpus (REAL png/wav payloads)
+# ---------------------------------------------------------------------------
+
+
+def _noise(seed_key: str, n: int) -> bytes:
+    """Deterministic byte stream from blake2b in counter mode."""
+    out = bytearray()
+    c = 0
+    while len(out) < n:
+        out += hashlib.blake2b(f"{seed_key}:{c}".encode(),
+                               digest_size=64).digest()
+        c += 1
+    return bytes(out[:n])
+
 
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+    """Deterministic synthetic media table with REAL encoded payloads
+    for image (PNG) and audio (WAV); video stays an opaque seeded blob
+    behind the documented codec stub."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.blake2b(
-            f"{seed}:{i}".encode(), digest_size=32
-        ).digest() * (4 + i % 5)
-        meta = {
-            "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
-            "width": 64 + (i % 8) * 16 if kind != "audio" else None,
-            "height": 48 + (i % 8) * 12 if kind != "audio" else None,
-            "duration_ms": 1000 * (1 + i % 30) if kind != "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-        }
+        if kind == "image":
+            w = 16 + (i % 4) * 8
+            h = 12 + (i % 4) * 6
+            payload = png_encode(w, h, _noise(f"{seed}:img:{i}", w * h * 3))
+            meta = {"format": "png", "width": w, "height": h,
+                    "duration_ms": None, "sample_rate": None}
+        elif kind == "audio":
+            ns = 400 + (i % 5) * 100
+            pcm = struct.unpack(
+                f"<{ns}h", _noise(f"{seed}:pcm:{i}", ns * 2))
+            payload = wav_encode(list(pcm), 16000)
+            meta = {"format": "wav", "width": None, "height": None,
+                    "duration_ms": int(ns * 1000 / 16000),
+                    "sample_rate": 16000}
+        else:
+            payload = _noise(f"{seed}:vid:{i}", 256 + (i % 5) * 128)
+            meta = {"format": "mp4", "width": 64, "height": 48,
+                    "duration_ms": 1000 * (1 + i % 30),
+                    "sample_rate": None}
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, kind: str):
-    """Deterministic stand-in for a real codec: derives a fixed-length
-    float feature vector purely from payload bytes. Replace with real
-    decode at the marked integration point."""
-    import numpy as np
+# ---------------------------------------------------------------------------
+# feature extraction kernels
+# ---------------------------------------------------------------------------
 
+
+def _pad(vals) -> list:
+    out = [float(v) for v in vals][:N_FEATURES]
+    return out + [0.0] * (N_FEATURES - len(out))
+
+
+def _image_features(payload: bytes) -> list:
+    w, h, ch, px = png_decode(payload)
+    n = len(px)
+    mean = sum(px) / n
+    var = sum((b - mean) ** 2 for b in px) / n
+    hist = [0] * 16
+    for b in px:
+        hist[b >> 4] += 1
+    ch_means = [0.0] * 4
+    for c in range(ch):
+        plane = px[c::ch]
+        ch_means[c] = sum(plane) / len(plane) / 255.0
+    return _pad(
+        [w, h, ch, mean / 255.0, (var ** 0.5) / 255.0]
+        + ch_means
+        + [v / n for v in hist]
+    )
+
+
+def _audio_features(payload: bytes) -> list:
+    rate, nch, samples = wav_decode(payload)
+    n = max(len(samples), 1)
+    mean_abs = sum(abs(s) for s in samples) / n / 32768.0
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    ) / n
+    hist = [0] * 16
+    for s in samples:
+        hist[(s + 32768) >> 12] += 1
+    return _pad([rate, n, nch, mean_abs, rms, zc] + [v / n for v in hist])
+
+
+def _fake_video_features(payload: bytes) -> list:
+    """Deterministic stand-in for the mp4 stub: features derived purely
+    from payload bytes. Replace with a real decoder at the marked
+    integration point (decode_media strict branch)."""
     h = hashlib.blake2b(payload, digest_size=64).digest()
-    arr = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
-    return arr / 255.0
+    return [x / 255.0 for x in h]
 
 
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas).
 
-    strict=True: the honest production stub — raises
-    NotImplementedError("media codecs not available in this container")
-    from inside the kernel, proving the plumbing end-to-end.
-    strict=False: deterministic fake decode for tests/benchmarks.
+    image/png and audio/wav decode FOR REAL (pure-stdlib codecs above).
+    video: strict=True raises NotImplementedError from inside the
+    kernel (the documented production integration point for a real
+    container codec); strict=False substitutes the deterministic fake.
     """
 
     def _kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media codecs not available in this container; "
-                    "ship PIL/ffmpeg via --py-files and replace "
-                    "_fake_decode at this integration point"
-                )
-            feats = []
-            shas = []
-            nbytes = []
-            for payload in pdf["payload"]:
+            feats, shas, nbytes = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload)
                 nbytes.append(len(b))
                 shas.append(
@@ -107,7 +303,19 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                         hashlib.blake2b(b, digest_size=4).digest(), "little"
                     )
                 )
-                feats.append([float(x) for x in _fake_decode(b, "any")])
+                if kind == "image":
+                    feats.append(_image_features(b))
+                elif kind == "audio":
+                    feats.append(_audio_features(b))
+                elif strict:
+                    raise NotImplementedError(
+                        "video codecs not available in this container; "
+                        "ship a real decoder (e.g. pyav) via --py-files "
+                        "and replace _fake_video_features at this "
+                        "integration point"
+                    )
+                else:
+                    feats.append(_fake_video_features(b))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -123,9 +331,10 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
 
 def resize_images(df: DataFrame, width: int = 32,
                   height: int = 32) -> DataFrame:
-    """Resize plumbing: filter to images JVM-side (partition pruning
-    friendly), then a batched kernel producing the resized payload.
-    The resize itself is the deterministic fake (byte resampling)."""
+    """REAL nearest-neighbor resize: filter to images JVM-side
+    (partition pruning friendly), then a batched kernel that decodes
+    the PNG, resamples, and re-encodes. Output payload is a valid PNG
+    of the requested dimensions."""
 
     def _kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -133,10 +342,18 @@ def resize_images(df: DataFrame, width: int = 32,
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
-                b = bytes(payload)
-                need = width * height
-                rep = (b * (need // max(len(b), 1) + 1))[:need]
-                out.append(bytearray(rep))
+                w, h, ch, px = png_decode(bytes(payload))
+                stride = w * ch
+                resized = bytearray(width * height * ch)
+                for y in range(height):
+                    sy = y * h // height
+                    row = sy * stride
+                    for x in range(width):
+                        sx = (x * w // width) * ch
+                        dst = (y * width + x) * ch
+                        resized[dst:dst + ch] = px[row + sx:row + sx + ch]
+                out.append(bytearray(
+                    png_encode(width, height, bytes(resized), ch)))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": [width] * len(pdf),
@@ -154,9 +371,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                   max_frames: int = 8) -> DataFrame:
     """Frame sampling for video: JVM-side explode of the sample GRID
     (timestamps from metadata — no payload touched), then one batched
-    kernel slicing payload bytes per sampled frame. At scale the
-    pre-explode keeps Python traffic proportional to sampled frames,
-    not to video bytes."""
+    kernel slicing payload bytes per sampled frame (the byte slicing
+    stands in for the stubbed mp4 demux). At scale the pre-explode
+    keeps Python traffic proportional to sampled frames, not to video
+    bytes."""
     vids = df.where(F.col("kind") == "video").select(
         "media_id", "payload",
         F.least(

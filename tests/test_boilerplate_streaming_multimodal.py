@@ -138,14 +138,92 @@ class TestMultimodal:
         assert a == b and len(a) == 12
         assert all(len(r.features) == 64 for r in first)
 
-    def test_resize_schema_and_size(self, spark):
+    def test_png_wav_roundtrip(self):
+        """The pure-stdlib codecs are real: encode -> decode recovers
+        the exact pixels/samples, and the decoder unfilters scanlines
+        written with filters 1-4 by any conformant writer."""
+        import struct
+        import zlib
+
         from html_parser_spark.spark.multimodal import (
-            resize_images, synth_media_df,
+            _chunk, _PNG_SIG, png_decode, png_encode, wav_decode,
+            wav_encode,
+        )
+
+        px = bytes((x * 7 + y * 13 + c * 29) % 256
+                   for y in range(9) for x in range(7) for c in range(3))
+        w, h, ch, got = png_decode(png_encode(7, 9, px, 3))
+        assert (w, h, ch) == (7, 9, 3) and got == px
+
+        # grayscale + RGBA
+        g = bytes(range(0, 24))
+        assert png_decode(png_encode(6, 4, g, 1))[3] == g
+        ga = bytes((i * 17) % 256 for i in range(6 * 4 * 4))
+        assert png_decode(png_encode(6, 4, ga, 4))[3] == ga
+
+        # a PNG using Sub/Up/Average/Paeth filters per row
+        stride = 7 * 3
+        rows_px = [px[y * stride:(y + 1) * stride] for y in range(9)]
+        raw = []
+        prev = bytes(stride)
+        for y, line in enumerate(rows_px):
+            f = [0, 1, 2, 3, 4][y % 5]
+            enc = bytearray(line)
+            if f == 1:
+                for i in range(stride - 1, 2, -1):
+                    enc[i] = (enc[i] - line[i - 3]) & 0xFF
+            elif f == 2:
+                for i in range(stride):
+                    enc[i] = (enc[i] - prev[i]) & 0xFF
+            elif f == 3:
+                for i in range(stride):
+                    a = line[i - 3] if i >= 3 else 0
+                    enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:
+                from html_parser_spark.spark.multimodal import _paeth
+                for i in range(stride):
+                    a = line[i - 3] if i >= 3 else 0
+                    c = prev[i - 3] if i >= 3 else 0
+                    enc[i] = (enc[i] - _paeth(a, prev[i], c)) & 0xFF
+            raw.append(bytes([f]) + bytes(enc))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 0)
+        data = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"".join(raw)))
+                + _chunk(b"IEND", b""))
+        assert png_decode(data)[3] == px
+
+        samples = [0, 1000, -1000, 32767, -32768, 5]
+        rate, nch, got_s = wav_decode(wav_encode(samples, 8000))
+        assert (rate, nch, got_s) == (8000, 1, samples)
+
+    def test_decode_real_image_audio_features(self, spark):
+        from html_parser_spark.spark.multimodal import (
+            decode_media, synth_media_df,
+        )
+
+        df = synth_media_df(spark, 9)
+        rows = {r.media_id: r for r in decode_media(df).collect()}
+        metas = {r.media_id: (r.kind, r.meta) for r in df.collect()}
+        for mid, (kind, meta) in metas.items():
+            f = rows[mid].features
+            if kind == "image":
+                assert (int(f[0]), int(f[1])) == (meta.width, meta.height)
+                assert int(f[2]) == 3
+            elif kind == "audio":
+                assert int(f[0]) == meta.sample_rate
+
+    def test_resize_real_png(self, spark):
+        from html_parser_spark.spark.multimodal import (
+            png_decode, resize_images, synth_media_df,
         )
 
         df = synth_media_df(spark, 9)
         rows = resize_images(df, 16, 8).collect()
-        assert rows and all(len(bytes(r.payload)) == 16 * 8 for r in rows)
+        assert rows
+        for r in rows:
+            w, h, ch, px = png_decode(bytes(r.payload))
+            assert (w, h) == (16, 8) and len(px) == 16 * 8 * ch
 
     def test_frame_sampling_counts(self, spark):
         from html_parser_spark.spark.multimodal import (
