@@ -337,3 +337,28 @@ def test_ann_ivf_full_probe_equals_bruteforce(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ops_invariant_under_repartitioning(spark):
+    """Operator outputs must not depend on physical partitioning —
+    the determinism property that makes snapshot oracles (and reruns
+    on a 1000-executor cluster) meaningful. Aggregation-order-sensitive
+    logic would fail this."""
+    from html_parser_spark.spark.ops import (
+        exact_dedup, fingerprint, minhash_lsh_candidates, simhash,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run(df):
+        return (
+            sorted((r.doc_id, r.simhash) for r in simhash(df).collect()),
+            sorted((r.doc_id, r.fingerprint)
+                   for r in fingerprint(df).collect()),
+            sorted((r.doc_a, r.doc_b)
+                   for r in minhash_lsh_candidates(df).collect()),
+            sorted((r.text_hash, r.canonical_doc_id, r.n_copies)
+                   for r in exact_dedup(df).collect()),
+        )
+
+    assert run(docs.repartition(1)) == run(docs.repartition(13))
