@@ -225,6 +225,18 @@ def _q_shingles(spark, sf_dir):
     return shingle_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    from html_parser_spark.spark.ops import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_winnowing(spark, sf_dir):
+    from html_parser_spark.spark.ops import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _q_embedding_norms(spark, sf_dir):
     from html_parser_spark.spark.ops import embedding_norms
 
@@ -397,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "shingle_stats": _q_shingles,
+        "bpe_tokens": _q_bpe_tokens,
+        "winnowing": _q_winnowing,
         "embedding_norms": _q_embedding_norms,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
@@ -595,6 +609,37 @@ def oracle_sql() -> dict[str, str]:
                                string_split(text, ' ')[i+1:i+3], ' '))))
                    else 1 end as int) AS n_shingles
             FROM documents ORDER BY doc_id
+        """,
+        "bpe_tokens": """
+            SELECT doc_id,
+                   cast(len(list_filter(string_split(text, ' '),
+                                        t -> t != '')) as int)
+                       AS n_ws_tokens,
+                   cast(len(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) as int)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "winnowing": """
+            WITH g AS (
+                SELECT doc_id, text,
+                       list_transform(
+                           generate_series(0, length(text) - 8),
+                           i -> md5(substr(text, i + 1, 8))) AS grams
+                FROM documents
+            ), wnd AS (
+                SELECT doc_id, text,
+                       list_distinct(list_transform(
+                           generate_series(0, len(grams) - 4),
+                           j -> list_min(grams[j + 1 : j + 4]))) AS fps
+                FROM g
+            )
+            SELECT doc_id,
+                   cast(CASE WHEN length(text) >= 11 THEN len(fps)
+                             ELSE 1 END as int) AS n_fingerprints,
+                   CASE WHEN length(text) >= 11 THEN list_min(fps)
+                        ELSE md5(text) END AS min_fingerprint
+            FROM wnd
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -559,3 +559,55 @@ def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# GPT-2-style pretokenizer, simplified to the lookahead-free subset so
+# Spark (Java regex) and DuckDB (RE2) agree token-for-token:
+# contractions, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, whitespace runs.
+BPE_TOKEN_RE = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting the way a training-data pipeline sizes corpora:
+    whitespace tokens AND a BPE-ish regex pretokenization count
+    (SQL-oracled — the regex is the lookahead-free GPT-2 subset that
+    Java regex and RE2 evaluate identically)."""
+    ws = F.size(F.filter(F.split(F.col("text"), " "),
+                         lambda t: t != "")).cast("int")
+    return documents.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
+        .cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def winnowing_fingerprints(documents: DataFrame, k: int = 8,
+                           w: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing): hash
+    every k-gram, slide a w-window over the hash sequence, keep each
+    window's minimum, count the distinct kept fingerprints. The hash is
+    md5 of the k-gram (string-ordered minima) so Spark and DuckDB agree
+    exactly; at scale everything is a per-row JVM array expression —
+    no shuffle, no UDF. Docs shorter than k get one whole-text
+    fingerprint."""
+    n = F.length("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.md5(F.col("text").substr(i + 1, F.lit(k))),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(grams) - w),
+        lambda j: F.array_min(F.slice(grams, j + 1, w)),
+    )
+    fps = F.array_distinct(windows)
+    return documents.select(
+        "doc_id",
+        F.when(n >= k + w - 1, F.size(fps))
+        .otherwise(F.lit(1)).cast("int").alias("n_fingerprints"),
+        F.when(n >= k + w - 1, F.array_min(fps))
+        .otherwise(F.md5("text")).alias("min_fingerprint"),
+    )
