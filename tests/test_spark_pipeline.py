@@ -362,3 +362,31 @@ def test_ops_invariant_under_repartitioning(spark):
         )
 
     assert run(docs.repartition(1)) == run(docs.repartition(13))
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides written bucketed+sorted on the join key: the
+    sort-merge join must plan with ZERO Exchange nodes — the shuffle
+    was paid once at write time (the co-location story for repeated
+    100 TB joins)."""
+    from html_parser_spark.spark.storage import read_table, write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    write_bucketed(docs.select("doc_id", "lang"), "b_left", "doc_id", 4)
+    write_bucketed(docs.select("doc_id", "n_chars"), "b_right", "doc_id", 4)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_table(spark, "b_left").join(
+                read_table(spark, "b_right"), "doc_id"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert j.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
