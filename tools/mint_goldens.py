@@ -45,7 +45,12 @@ FRAGMENT_CASES = [
 
 EXTRA_FRAGMENT_CONTEXTS = ["div", "td", "template", "title", "script",
                            "table", "tr", "tbody", "select", "caption",
-                           "textarea", "style", "p", "head"]
+                           "textarea", "style", "p", "head",
+                           # round 2: foreign-content + rare contexts
+                           "svg", "math", "foreignObject", "mi",
+                           "annotation-xml", "option", "optgroup",
+                           "colgroup", "frameset", "noscript", "body",
+                           "html"]
 
 
 def run(cmd, env=None):
