@@ -136,6 +136,23 @@ def count_null_errors(raw: str) -> int:
     return raw.count("\x00")
 
 
+def refuse_bytes(s: str) -> str:
+    """Canonicalize a string built by CONCATENATING byte buffers from
+    non-contiguous input regions (the AFTER_ATTR_NAME name-buffer
+    deviation, pending table text): two adjacent escape surrogates
+    whose underlying bytes form valid UTF-8 must fuse into that
+    character, because the byte-oriented C reference 'sees' the fused
+    sequence when it prints. Round-trip through the bytes domain;
+    no-op unless an escape surrogate is present (contiguous substrings
+    of the canonically-decoded input can never contain fusable
+    pairs)."""
+    for ch in s:
+        if "\udc80" <= ch <= "\udcff":
+            return s.encode("utf-8", "surrogateescape").decode(
+                "utf-8", "surrogateescape")
+    return s
+
+
 def _bump_line_col(line: int, col: int, seg: str) -> tuple[int, int]:
     """Advance a (line, col) pair over `seg` with the C advance()
     semantics (src/tokenizer.c:33-45): +1 col per BYTE, '\\n' resets
@@ -871,7 +888,7 @@ class Tokenizer:
                     state = ST_BEFORE_ATTR_VALUE
                     self.pos += 1
                 elif c == "/" or c == ">" or c == "\0":
-                    self._append_attr(out, "".join(attr_name), "")
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), "")
                     if c == "/":
                         state = ST_SELF_CLOSING
                         self.pos += 1
@@ -907,11 +924,11 @@ class Tokenizer:
                     state = ST_BEFORE_ATTR_VALUE
                     self.pos += 1
                 elif c == ">":
-                    self._append_attr(out, "".join(attr_name), "")
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), "")
                     self.pos += 1
                     break
                 elif c == "/":
-                    self._append_attr(out, "".join(attr_name), "")
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), "")
                     state = ST_SELF_CLOSING
                     self.pos += 1
                 else:
@@ -919,7 +936,7 @@ class Tokenizer:
                     # buffer is NOT reset here, so the next name appends
                     # onto the previous one ("face" + "class" ->
                     # "faceclass"). Only ST_BEFORE_ATTR_NAME resets it.
-                    self._append_attr(out, "".join(attr_name), "")
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), "")
                     state = ST_ATTR_NAME
             elif state == ST_BEFORE_ATTR_VALUE:
                 if c in _WS:
@@ -932,7 +949,7 @@ class Tokenizer:
                     self.pos += 1
                 elif c == ">":
                     self._error("attribute value missing")
-                    self._append_attr(out, "".join(attr_name), "")
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), "")
                     self.pos += 1
                     break
                 else:
@@ -942,7 +959,7 @@ class Tokenizer:
                     val = decode_character_references(
                         "".join(attr_value), True, self.errors
                     )
-                    self._append_attr(out, "".join(attr_name), val)
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), val)
                     state = ST_BEFORE_ATTR_NAME
                     self.pos += 1
                 elif c == "\0":
@@ -961,7 +978,7 @@ class Tokenizer:
                     val = decode_character_references(
                         "".join(attr_value), True, self.errors
                     )
-                    self._append_attr(out, "".join(attr_name), val)
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), val)
                     state = ST_BEFORE_ATTR_NAME
                     self.pos += 1
                 elif c == "\0":
@@ -979,14 +996,14 @@ class Tokenizer:
                     val = decode_character_references(
                         "".join(attr_value), True, self.errors
                     )
-                    self._append_attr(out, "".join(attr_name), val)
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), val)
                     state = ST_BEFORE_ATTR_NAME
                     self.pos += 1
                 elif c == ">":
                     val = decode_character_references(
                         "".join(attr_value), True, self.errors
                     )
-                    self._append_attr(out, "".join(attr_name), val)
+                    self._append_attr(out, refuse_bytes("".join(attr_name)), val)
                     self.pos += 1
                     break
                 elif c == "\0":

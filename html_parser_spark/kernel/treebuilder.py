@@ -43,6 +43,7 @@ from .tokenizer import (
     RAWTEXT,
     RCDATA,
     ascii_lower,
+    refuse_bytes,
     SCRIPT_DATA,
     TOKEN_CHARACTER,
     TOKEN_COMMENT,
@@ -1221,7 +1222,7 @@ class TreeBuilder:
                     self.table_text_non_ws = True
                 return _BREAK
             if self.table_text:
-                data = "".join(self.table_text)
+                data = refuse_bytes("".join(self.table_text))
                 text = Node(TEXT, None, data)
                 if self.table_text_non_ws:
                     self._err("foster-parenting")
@@ -2327,7 +2328,7 @@ class TreeBuilder:
 
     def _flush_table_text_at_stop(self):
         if self.mode == IN_TABLE_TEXT and self.table_text:
-            data = "".join(self.table_text)
+            data = refuse_bytes("".join(self.table_text))
             text = Node(TEXT, None, data)
             if self.table_text_non_ws:
                 self._foster_insert(text)

@@ -123,6 +123,31 @@ def gen_foreign(rng: random.Random) -> str:
     return "".join(parts)
 
 
+def gen_rawbytes(rng: random.Random) -> bytes:
+    """Arbitrary-bytes stress: pure random bytes, html-ish skeletons
+    with injected byte noise, and truncated multibyte prefixes —
+    exercises the sniffer, the surrogate-carrying UTF-8 fallback, and
+    byte-buffer concatenation fusion (refuse_bytes)."""
+    style = rng.random()
+    if style < 0.4:
+        return bytes(rng.randrange(256) for _ in range(rng.randint(0, 400)))
+    if style < 0.7:
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            parts.append(rng.choice([
+                b"<p>", b"</p>", b"<meta charset=gbk>", b"<b x='", b"'>",
+                b"<title>", b"</title>", b"<!--", b"-->", b"&#x41;",
+                b"&amp", b"<R\x0c", b"</b>",
+            ]))
+            parts.append(bytes(rng.randrange(256)
+                               for _ in range(rng.randint(0, 12))))
+        return b"".join(parts)
+    base = "漢字 café Ĳ κόσμε".encode("utf-8")
+    cut = rng.randint(0, len(base))
+    return base[:cut] + bytes(rng.randrange(256)
+                              for _ in range(rng.randint(0, 6)))
+
+
 def gen(rng: random.Random) -> str:
     parts = []
     for _ in range(rng.randint(1, 40)):
@@ -196,9 +221,9 @@ def main():
     else:
         style = "mixed"
     gen_fn = {"mixed": gen, "formatting": gen_formatting,
-              "foreign": gen_foreign}[style]
+              "foreign": gen_foreign, "rawbytes": gen_rawbytes}[style]
     args = [a for a in sys.argv[1:] if not a.startswith("--")
-            and a not in ("formatting", "foreign", "mixed")]
+            and a not in ("formatting", "foreign", "mixed", "rawbytes")]
     if args:
         n = int(args[0])
     if "--seed" in sys.argv:
@@ -207,7 +232,8 @@ def main():
     fails = 0
     for i in range(n):
         text = gen_fn(rng)
-        data = text.encode("utf-8", errors="surrogateescape")
+        data = (text if isinstance(text, bytes)
+                else text.encode("utf-8", errors="surrogateescape"))
         context = rng.choice(CONTEXTS) if fragment else None
         rc, want, want_err = ref_dump(data, context)
         if rc != 0:
