@@ -301,3 +301,90 @@ class TestStatefulSessions:
         assert closed["A"].n_chars == 3 * len("hello world")
         assert closed["B"].n_turns == 2
         assert {"A", "B", "C", "D"} <= live  # running summaries emitted
+
+    def test_conversation_sessions_survive_restart(self, spark, tmp_path):
+        """Stateful session state must survive a query restart from the
+        same checkpoint (the streaming face of the north rule's
+        idempotent resume): batch 1 accumulates state, the query stops,
+        a NEW query from the same checkpoint processes batch 2 and the
+        closed-session totals include batch-1 turns."""
+        import datetime
+
+        from html_parser_spark.spark.streaming import (
+            conversation_sessions, extract_stream,
+        )
+
+        t0 = datetime.datetime(2021, 6, 1, 9, 0, 0)
+        schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        src = str(tmp_path / "rs_in")
+        ckpt = str(tmp_path / "rs_ckpt")
+        out = str(tmp_path / "rs_out")
+
+        def write_file(tag, rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                src + f"/f={tag}")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/f=*")
+            )
+            q = (
+                conversation_sessions(extract_stream(stream), idle_ms=60_000)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # foreachBatch sink: supports checkpoint recovery (memory sink
+        # does not) and gives update-mode emissions a durable home
+        def run_fb(tag):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/f=*")
+            )
+
+            def sink(bdf, _bid):
+                bdf.write.mode("append").parquet(out)
+
+            q = (
+                conversation_sessions(extract_stream(stream), idle_ms=60_000)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            try:
+                return spark.read.parquet(out).collect()
+            except Exception:
+                return []
+
+        write_file(1, [
+            ("X", i, "user", "hello world", None,
+             t0 + datetime.timedelta(seconds=i)) for i in range(4)
+        ])
+        got1 = run_fb(1)
+        assert {r.conv_id for r in got1} == {"X"}
+        assert all(not r.closed for r in got1)
+
+        # second run, SAME checkpoint: later events advance the
+        # watermark past X's idle timeout
+        write_file(2, [("Y", 0, "user", "later", None,
+                        t0 + datetime.timedelta(minutes=30))])
+        write_file(3, [("Z", 0, "user", "much later", None,
+                        t0 + datetime.timedelta(minutes=60))])
+        got2 = run_fb(2)
+        closed = {r.conv_id: r for r in got2 if r.closed}
+        assert "X" in closed
+        # the batch-1 state survived the restart: all 4 turns counted
+        assert closed["X"].n_turns == 4
+        assert closed["X"].n_chars == 4 * len("hello world")
