@@ -143,6 +143,32 @@ def main():
          lambda p: "Window" in p),
     ])
 
+    audit("embedding_near_dup (LSH-bucketed)",
+          qs["embedding_near_dup"](spark, SF_DIR), [
+        ("no cartesian/broadcast-nested-loop join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("bucket-keyed candidate join",
+         lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p
+         or "BroadcastHashJoin" in p),
+    ])
+
+    audit("winnowing (per-row rolling hash)",
+          qs["winnowing"](spark, SF_DIR), [
+        ("no Python node, no join, no aggregate exchange",
+         lambda p: "EvalPython" not in p and "Join" not in p
+         and "MapInArrow" not in p),
+        ("scan prunes to (doc_id, text)",
+         lambda p: "ReadSchema" in p and "lang" not in
+         p.split("ReadSchema")[1][:300]),
+    ])
+
+    audit("bpe_tokens (regexp_count)", qs["bpe_tokens"](spark, SF_DIR), [
+        ("pure projection (no shuffle/join/Python)",
+         lambda p: "Exchange" not in p and "Join" not in p
+         and "EvalPython" not in p),
+    ])
+
     audit("conversation_stats (salted)",
           qs["conversation_stats"](spark, SF_DIR), [
         ("two aggregation stages (salt then merge)",
