@@ -132,10 +132,6 @@ def replace_nulls(raw: str, errors: list | None = None) -> str:
     return raw
 
 
-def count_null_errors(raw: str) -> int:
-    return raw.count("\x00")
-
-
 def refuse_bytes(s: str) -> str:
     """Canonicalize a string built by CONCATENATING byte buffers from
     non-contiguous input regions (the AFTER_ATTR_NAME name-buffer
