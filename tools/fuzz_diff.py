@@ -60,7 +60,10 @@ SNIPPETS = [
     "<!DOCTYPE ĲK>", "<svg><Ĳ/></svg>", "</PĲ>", "<meta charset=ĲTF-8>",
 ]
 CONTEXTS = ["div", "table", "tr", "td", "select", "template", "title",
-            "script", "head", "tbody", "caption", "p", "b"]
+            "script", "head", "tbody", "caption", "p", "b",
+            "svg", "math", "foreignObject", "mi", "annotation-xml",
+            "option", "colgroup", "noscript", "body", "html", "a", "li",
+            "button", "form", "marquee", "dl", "thead", "th", "pre"]
 
 
 FMT = ["b", "i", "a", "em", "strong", "nobr", "font", "small", "big",

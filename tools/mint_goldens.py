@@ -50,7 +50,12 @@ EXTRA_FRAGMENT_CONTEXTS = ["div", "td", "template", "title", "script",
                            "svg", "math", "foreignObject", "mi",
                            "annotation-xml", "option", "optgroup",
                            "colgroup", "frameset", "noscript", "body",
-                           "html"]
+                           "html",
+                           # round 2b: scope/list/table-section contexts
+                           "a", "li", "ul", "ol", "button", "form",
+                           "marquee", "object", "dl", "dt", "dd", "col",
+                           "thead", "tfoot", "th", "pre", "blockquote",
+                           "span", "b", "em"]
 
 
 def run(cmd, env=None):
