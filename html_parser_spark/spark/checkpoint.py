@@ -95,7 +95,8 @@ def write_manifest(extracted_with_key: DataFrame, spark,
 
 def run_with_checkpoint(spark, transcripts: DataFrame, out_dir: str,
                         checkpoint_dir: str, buckets: int = 64,
-                        mode: str = "fragment", context: str = "div"):
+                        mode: str = "fragment", context: str = "div",
+                        boilerplate: bool = False):
     """End-to-end resumable extraction: key -> resume-filter -> extract
     -> write partitioned by part_key -> manifest append."""
     from .pipeline import extract_turns
@@ -103,7 +104,8 @@ def run_with_checkpoint(spark, transcripts: DataFrame, out_dir: str,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     keyed = with_part_key(transcripts, buckets)
     todo = pending_partitions(keyed, spark, checkpoint_dir)
-    extracted = extract_turns(todo.drop("part_key"), mode, context)
+    extracted = extract_turns(todo.drop("part_key"), mode, context,
+                              boilerplate=boilerplate)
     extracted = with_part_key(extracted, buckets).withColumn(
         "n_chars", F.length("extracted_text").cast("bigint")
     )

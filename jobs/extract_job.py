@@ -38,33 +38,24 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("html-extract").getOrCreate()
 
-    # imported from the --py-files zip (or the repo on sys.path)
-    from html_parser_spark.spark.checkpoint import (
-        pending_partitions, with_part_key, write_manifest,
-    )
-    from html_parser_spark.spark.pipeline import extract_turns
+    # imported from the --py-files zip (or the repo on sys.path);
+    # single source of truth for the resumable write + partition-pruned
+    # manifest (checkpoint.run_with_checkpoint)
+    from html_parser_spark.spark.checkpoint import run_with_checkpoint
 
     t0 = time.time()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     transcripts = spark.read.parquet(args.input)
-    keyed = with_part_key(transcripts, args.buckets)
-    todo = pending_partitions(keyed, spark, args.checkpoint)
-    extracted = extract_turns(
-        todo.drop("part_key"), mode=args.mode, context=args.context,
+    out_path = run_with_checkpoint(
+        spark, transcripts, args.output, args.checkpoint,
+        buckets=args.buckets, mode=args.mode, context=args.context,
         boilerplate=args.boilerplate,
     )
-    extracted = with_part_key(extracted, args.buckets)
-    (extracted.write.mode("overwrite")
-     .partitionBy("part_key").parquet(args.output))
-    done = spark.read.parquet(args.output)
-    new_keys = todo.select("part_key").distinct()
-    write_manifest(done.join(new_keys, "part_key"), spark, args.checkpoint)
-    n = done.count()
+    n = spark.read.parquet(out_path).count()
     print(json.dumps({
         "job": "html-extract",
         "rows": n,
         "seconds": round(time.time() - t0, 2),
-        "output": args.output,
+        "output": out_path,
     }))
     spark.stop()
     return 0
