@@ -9,6 +9,9 @@ forbidden, so everything here is PURE STDLIB):
   - image/png : REAL decode + encode (zlib inflate/deflate, scanline
     filters 0-4 incl. Paeth, 8-bit gray/RGB/RGBA, non-interlaced) —
     `png_decode`/`png_encode` below, roundtrip-tested.
+  - image/gif : REAL decode (full LZW: variable code width,
+    clear/EOI, 4096-entry dictionary) + a writer using the classic
+    uncompressed-GIF technique; dispatch is by magic bytes.
   - audio/wav : REAL decode + encode (stdlib `wave` + struct, 16-bit
     PCM).
   - video/mp4 : STUBBED — an honest NotImplementedError under
@@ -158,6 +161,148 @@ def png_decode(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# GIF codec (pure stdlib; 87a/89a, first frame, global/local color table)
+# ---------------------------------------------------------------------------
+
+
+def gif_decode(data: bytes):
+    """Minimal GIF reader: returns (width, height, 3, rgb_pixels) for
+    the first image block — full LZW decode (variable code width,
+    clear/EOI codes, 4096-entry dictionary), non-interlaced."""
+    if data[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    w_scr, h_scr, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos:pos + n]
+        pos += n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack("<HHHHB",
+                                                  data[pos + 1:pos + 10])
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = data[pos:pos + n]
+                pos += n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ct is None:
+                raise ValueError("GIF without color table")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(stream), min_code, w * h)
+            px = bytearray(w * h * 3)
+            for i, idx in enumerate(indices[:w * h]):
+                px[i * 3:i * 3 + 3] = ct[idx * 3:idx * 3 + 3]
+            return w, h, 3, bytes(px)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    raise ValueError("GIF without image block")
+
+
+def _lzw_decode(stream: bytes, min_code: int, limit: int) -> list:
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table = [(i,) for i in range(clear)] + [None, None]
+    out: list = []
+    acc = nbits = 0
+    prev = None
+    for byte in stream:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [None, None]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            else:
+                entry = prev + (prev[0],)
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= limit:
+                return out
+    return out
+
+
+def gif_encode(width: int, height: int, indices: bytes,
+               palette: bytes) -> bytes:
+    """Minimal GIF87a writer using the classic 'uncompressed GIF'
+    technique: every pixel index is emitted as its own LZW code with a
+    CLEAR before the dictionary could force a width increase."""
+    nloglen = max((len(palette) // 3 - 1).bit_length(), 1)
+    min_code = max(2, nloglen)
+    clear = 1 << min_code
+    eoi = clear + 1
+    width_bits = min_code + 1
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | (nloglen - 1), 0, 0)
+    pal = bytearray(palette)
+    pal += b"\x00" * (3 * (1 << nloglen) - len(pal))
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += bytes([min_code])
+    codes = [clear]
+    budget = (1 << width_bits) - eoi - 2
+    count = 0
+    for idx in indices:
+        if count >= budget:
+            codes.append(clear)
+            count = 0
+        codes.append(idx)
+        count += 1
+    codes.append(eoi)
+    acc = nbits = 0
+    payload = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(acc & 0xFF)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV codec (stdlib wave, 16-bit PCM)
 # ---------------------------------------------------------------------------
 
@@ -210,8 +355,18 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w = 16 + (i % 4) * 8
             h = 12 + (i % 4) * 6
-            payload = png_encode(w, h, _noise(f"{seed}:img:{i}", w * h * 3))
-            meta = {"format": "png", "width": w, "height": h,
+            if i % 12 == 0:
+                # every 4th image is a real GIF (16-color palette)
+                pal = _noise(f"{seed}:pal:{i}", 48)
+                idx = bytes(b % 16 for b in _noise(f"{seed}:gif:{i}",
+                                                   w * h))
+                payload = gif_encode(w, h, idx, pal)
+                fmt = "gif"
+            else:
+                payload = png_encode(
+                    w, h, _noise(f"{seed}:img:{i}", w * h * 3))
+                fmt = "png"
+            meta = {"format": fmt, "width": w, "height": h,
                     "duration_ms": None, "sample_rate": None}
         elif kind == "audio":
             ns = 400 + (i % 5) * 100
@@ -240,8 +395,15 @@ def _pad(vals) -> list:
     return out + [0.0] * (N_FEATURES - len(out))
 
 
+def _decode_image(payload: bytes):
+    """Sniff by magic bytes — real decoders dispatch on content."""
+    if payload[:4] == b"GIF8":
+        return gif_decode(payload)
+    return png_decode(payload)
+
+
 def _image_features(payload: bytes) -> list:
-    w, h, ch, px = png_decode(payload)
+    w, h, ch, px = _decode_image(payload)
     n = len(px)
     mean = sum(px) / n
     var = sum((b - mean) ** 2 for b in px) / n
@@ -342,7 +504,7 @@ def resize_images(df: DataFrame, width: int = 32,
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
-                w, h, ch, px = png_decode(bytes(payload))
+                w, h, ch, px = _decode_image(bytes(payload))
                 stride = w * ch
                 resized = bytearray(width * height * ch)
                 for y in range(height):

@@ -197,6 +197,15 @@ class TestMultimodal:
         rate, nch, got_s = wav_decode(wav_encode(samples, 8000))
         assert (rate, nch, got_s) == (8000, 1, samples)
 
+        # GIF: LZW roundtrip through the uncompressed-technique writer
+        from html_parser_spark.spark.multimodal import gif_decode, gif_encode
+
+        pal = bytes(range(48))
+        idx = bytes((i * 7) % 16 for i in range(20 * 9))
+        w2, h2, ch2, rgb = gif_decode(gif_encode(20, 9, idx, pal))
+        assert (w2, h2, ch2) == (20, 9, 3)
+        assert rgb == b"".join(pal[i * 3:i * 3 + 3] for i in idx)
+
     def test_decode_real_image_audio_features(self, spark):
         from html_parser_spark.spark.multimodal import (
             decode_media, synth_media_df,
