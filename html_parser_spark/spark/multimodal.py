@@ -14,12 +14,14 @@ forbidden, so everything here is PURE STDLIB):
     uncompressed-GIF technique; dispatch is by magic bytes.
   - audio/wav : REAL decode + encode (stdlib `wave` + struct, 16-bit
     PCM).
-  - video/mp4 : STUBBED — an honest NotImplementedError under
-    strict=True (the documented integration point for a real
-    container/codec, e.g. pyav shipped via --py-files) and a
-    deterministic fake feature vector otherwise, so the Spark-side
-    plumbing (schema, partitioning, batch shape, frame-grid explode)
-    is real and tested even where the codec is not.
+  - video/mp4 : container demux is REAL (ISO-BMFF box parsing —
+    mvhd duration, tkhd dimensions via `mp4_probe`); only SAMPLE
+    decoding is stubbed: an honest NotImplementedError under
+    strict=True (the documented integration point for a real codec,
+    e.g. pyav shipped via --py-files) and a deterministic payload
+    digest otherwise, so the Spark-side plumbing (schema,
+    partitioning, batch shape, frame-grid explode) is real and tested
+    even where the codec is not.
 
 Everything around the kernels is production-shaped: payloads never
 pass through Python row-at-a-time, metadata is JVM-prunable, and frame
@@ -377,10 +379,11 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
                     "duration_ms": int(ns * 1000 / 16000),
                     "sample_rate": 16000}
         else:
-            payload = _noise(f"{seed}:vid:{i}", 256 + (i % 5) * 128)
+            dur = 1000 * (1 + i % 30)
+            payload = mp4_encode_stub(
+                dur, 64, 48, _noise(f"{seed}:vid:{i}", 256 + (i % 5) * 128))
             meta = {"format": "mp4", "width": 64, "height": 48,
-                    "duration_ms": 1000 * (1 + i % 30),
-                    "sample_rate": None}
+                    "duration_ms": dur, "sample_rate": None}
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -435,12 +438,18 @@ def _audio_features(payload: bytes) -> list:
     return _pad([rate, n, nch, mean_abs, rms, zc] + [v / n for v in hist])
 
 
-def _fake_video_features(payload: bytes) -> list:
-    """Deterministic stand-in for the mp4 stub: features derived purely
-    from payload bytes. Replace with a real decoder at the marked
-    integration point (decode_media strict branch)."""
-    h = hashlib.blake2b(payload, digest_size=64).digest()
-    return [x / 255.0 for x in h]
+def _video_features(payload: bytes) -> list:
+    """REAL ISO-BMFF container demux (duration/dims/box count from the
+    actual boxes) + a deterministic payload digest standing in for the
+    stubbed SAMPLE decoder. Replace the digest with real frame features
+    at the decode_media strict-branch integration point."""
+    try:
+        dur, w, h, n_boxes = mp4_probe(payload)
+    except ValueError:
+        dur = w = h = n_boxes = 0
+    digest = hashlib.blake2b(payload, digest_size=58).digest()
+    return _pad([dur or 0, w or 0, h or 0, n_boxes]
+                + [x / 255.0 for x in digest])
 
 
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
@@ -471,13 +480,14 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                     feats.append(_audio_features(b))
                 elif strict:
                     raise NotImplementedError(
-                        "video codecs not available in this container; "
-                        "ship a real decoder (e.g. pyav) via --py-files "
-                        "and replace _fake_video_features at this "
-                        "integration point"
+                        "video SAMPLE decoding not available in this "
+                        "container (the ISO-BMFF demux is real — see "
+                        "mp4_probe); ship a real decoder (e.g. pyav) "
+                        "via --py-files and replace the digest part of "
+                        "_video_features at this integration point"
                     )
                 else:
-                    feats.append(_fake_video_features(b))
+                    feats.append(_video_features(b))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -569,3 +579,64 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             })
 
     return grid.mapInPandas(_kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 container demux (pure stdlib; ISO-BMFF box parsing — the codec
+# itself, i.e. pixel/sample decoding, remains the documented stub)
+# ---------------------------------------------------------------------------
+
+
+def mp4_probe(data: bytes):
+    """Parse ISO-BMFF boxes and return (duration_ms, width, height,
+    n_boxes): mvhd v0 carries timescale+duration, tkhd v0 the track
+    dimensions as 16.16 fixed point. Raises ValueError on non-BMFF."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    duration_ms = width = height = None
+    n_boxes = 0
+
+    def walk(buf, depth=0):
+        nonlocal duration_ms, width, height, n_boxes
+        pos = 0
+        while pos + 8 <= len(buf):
+            (size,) = struct.unpack(">I", buf[pos:pos + 4])
+            btype = buf[pos + 4:pos + 8]
+            if size < 8:
+                break
+            body = buf[pos + 8:pos + size]
+            n_boxes += 1
+            if btype in (b"moov", b"trak"):
+                walk(body, depth + 1)
+            elif btype == b"mvhd" and len(body) >= 20 and body[0] == 0:
+                timescale, dur = struct.unpack(">II", body[12:20])
+                if timescale:
+                    duration_ms = int(dur * 1000 / timescale)
+            elif btype == b"tkhd" and len(body) >= 84 and body[0] == 0:
+                w16, h16 = struct.unpack(">II", body[76:84])
+                width, height = w16 >> 16, h16 >> 16
+            pos += size
+
+    walk(data)
+    return duration_ms, width, height, n_boxes
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def mp4_encode_stub(duration_ms: int, width: int, height: int,
+                    payload: bytes) -> bytes:
+    """Minimal VALID ISO-BMFF skeleton (ftyp + moov{mvhd,trak{tkhd}} +
+    mdat carrying `payload`) so the demux path runs on real boxes; no
+    codec samples are encoded (the stub boundary)."""
+    timescale = 1000
+    mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, duration_ms)
+            + b"\x00" * 80)
+    tkhd = (b"\x00\x00\x00\x07" + b"\x00" * 72
+            + struct.pack(">II", width << 16, height << 16))
+    moov = _box(b"moov", _box(b"mvhd", mvhd)
+                + _box(b"trak", _box(b"tkhd", tkhd)))
+    return (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + moov + _box(b"mdat", payload))

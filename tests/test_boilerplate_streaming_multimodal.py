@@ -221,6 +221,10 @@ class TestMultimodal:
                 assert int(f[2]) == 3
             elif kind == "audio":
                 assert int(f[0]) == meta.sample_rate
+            elif kind == "video":
+                # REAL container demux: duration/dims from the boxes
+                assert int(f[0]) == meta.duration_ms
+                assert (int(f[1]), int(f[2])) == (meta.width, meta.height)
 
     def test_resize_real_png(self, spark):
         from html_parser_spark.spark.multimodal import (
