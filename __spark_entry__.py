@@ -385,7 +385,7 @@ def _q_media_features(spark, sf_dir):
 
     out = decode_media(synth_media_df(spark, 64))
     return out.select(
-        "media_id", "kind", "n_bytes", "sha",
+        "media_id", "kind", "n_bytes", "sha", "decode_ok",
         F.array_join(
             F.transform("features", lambda x: F.format_string("%.6f", x)),
             ",",
@@ -751,7 +751,8 @@ def oracle_sql() -> dict[str, str]:
             "parse_errors",
         ),
         "media_features": _snap(
-            "media_features", "media_id, kind, n_bytes, sha, features"
+            "media_features",
+            "media_id, kind, n_bytes, sha, decode_ok, features",
         ),
         "simhash": _snap("simhash", "doc_id, simhash"),
         "raw_encoding": _snap(

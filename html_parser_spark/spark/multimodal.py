@@ -49,7 +49,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, n_bytes int, sha bigint, "
-    "features array<float>"
+    "decode_ok boolean, features array<float>"
 )
 
 RESIZE_SCHEMA = (
@@ -465,7 +465,7 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            feats, shas, nbytes = [], [], []
+            feats, shas, nbytes, oks = [], [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload)
                 nbytes.append(len(b))
@@ -474,11 +474,7 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                         hashlib.blake2b(b, digest_size=4).digest(), "little"
                     )
                 )
-                if kind == "image":
-                    feats.append(_image_features(b))
-                elif kind == "audio":
-                    feats.append(_audio_features(b))
-                elif strict:
+                if kind == "video" and strict:
                     raise NotImplementedError(
                         "video SAMPLE decoding not available in this "
                         "container (the ISO-BMFF demux is real — see "
@@ -486,13 +482,25 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                         "via --py-files and replace the digest part of "
                         "_video_features at this integration point"
                     )
-                else:
-                    feats.append(_video_features(b))
+                # per-row tolerance: ONE corrupt payload in a 100 TB
+                # corpus must mark its row, not kill the batch
+                try:
+                    if kind == "image":
+                        feats.append(_image_features(b))
+                    elif kind == "audio":
+                        feats.append(_audio_features(b))
+                    else:
+                        feats.append(_video_features(b))
+                    oks.append(True)
+                except Exception:  # noqa: BLE001 — corrupt payload
+                    feats.append([])
+                    oks.append(False)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": nbytes,
                 "sha": shas,
+                "decode_ok": oks,
                 "features": feats,
             })
 

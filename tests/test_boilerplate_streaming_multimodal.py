@@ -401,3 +401,25 @@ class TestStatefulSessions:
         # the batch-1 state survived the restart: all 4 turns counted
         assert closed["X"].n_turns == 4
         assert closed["X"].n_chars == 4 * len("hello world")
+
+    def test_corrupt_payload_marks_row_not_batch(self, spark):
+        """One corrupt payload must flag its own row (decode_ok=false,
+        empty features) — never kill the batch (the 100 TB tolerance
+        property)."""
+        from html_parser_spark.spark.multimodal import (
+            MEDIA_SCHEMA, decode_media, png_encode,
+        )
+
+        good = png_encode(4, 3, bytes(range(36)))
+        rows = [
+            (0, "image", bytearray(good), None),
+            (1, "image", bytearray(b"\x89PNG\r\n\x1a\ntruncated"), None),
+            (2, "image", bytearray(b"GIF89a garbage"), None),
+            (3, "audio", bytearray(b"RIFFnotawav"), None),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_id: r for r in decode_media(df).collect()}
+        assert got[0].decode_ok and len(got[0].features) == 64
+        for mid in (1, 2, 3):
+            assert not got[mid].decode_ok
+            assert list(got[mid].features) == []
