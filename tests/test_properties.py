@@ -106,3 +106,37 @@ def test_boilerplate_strip_total(text, context):
     # every span slices cleanly out of the text
     for s in spans:
         assert main_text[s["start"]:s["end"]] is not None
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24),
+       st.sampled_from([1, 3, 4]), st.randoms())
+def test_png_roundtrip_property(w, h, ch, rng):
+    from html_parser_spark.spark.multimodal import png_decode, png_encode
+
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    got = png_decode(png_encode(w, h, px, ch))
+    assert got == (w, h, ch, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20),
+       st.integers(2, 32), st.randoms())
+def test_gif_roundtrip_property(w, h, ncolors, rng):
+    from html_parser_spark.spark.multimodal import gif_decode, gif_encode
+
+    pal = bytes(rng.randrange(256) for _ in range(ncolors * 3))
+    idx = bytes(rng.randrange(ncolors) for _ in range(w * h))
+    gw, gh, ch, rgb = gif_decode(gif_encode(w, h, idx, pal))
+    assert (gw, gh, ch) == (w, h, 3)
+    assert rgb == b"".join(pal[i * 3:i * 3 + 3] for i in idx)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(samples, rate):
+    from html_parser_spark.spark.multimodal import wav_decode, wav_encode
+
+    got = wav_decode(wav_encode(samples, rate))
+    assert got == (rate, 1, samples)
