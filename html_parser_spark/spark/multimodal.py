@@ -8,7 +8,10 @@ Codec status (this container has no PIL/ffmpeg and installs are
 forbidden, so everything here is PURE STDLIB):
   - image/png : REAL decode + encode (zlib inflate/deflate, scanline
     filters 0-4 incl. Paeth, 8-bit gray/RGB/RGBA, non-interlaced) —
-    `png_decode`/`png_encode` below, roundtrip-tested.
+    `png_decode`/`png_encode` below, roundtrip-tested. Unfiltering,
+    resize, palette mapping, and feature extraction are numpy-
+    vectorized (filters 0/1/2 fully; Average/Paeth keep the exact
+    x-sequential byte loop their data dependency requires).
   - image/gif : REAL decode (full LZW: variable code width,
     clear/EOI, 4096-entry dictionary) + a writer using the classic
     uncompressed-GIF technique; dispatch is by magic bytes.
@@ -80,13 +83,15 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 def png_encode(width: int, height: int, pixels: bytes,
                channels: int = 3) -> bytes:
     """Minimal PNG writer: 8-bit gray/RGB/RGBA, filter 0 scanlines."""
+    import numpy as np
+
     color_type = {1: 0, 3: 2, 4: 6}[channels]
     stride = width * channels
     assert len(pixels) == stride * height
-    raw = b"".join(
-        b"\x00" + pixels[y * stride:(y + 1) * stride]
-        for y in range(height)
-    )
+    rows = np.zeros((height, stride + 1), dtype=np.uint8)
+    rows[:, 1:] = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, stride)
+    raw = rows.tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _PNG_SIG + _chunk(b"IHDR", ihdr)
@@ -131,35 +136,46 @@ def png_decode(data: bytes):
             break
     if width is None or not idat:
         raise ValueError("truncated PNG")
+    import numpy as np
+
     raw = zlib.decompress(b"".join(idat))
     stride = width * channels
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
-    pos = 0
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("short PNG pixel data")
+    rows = np.frombuffer(
+        raw[:(stride + 1) * height], dtype=np.uint8
+    ).reshape(height, stride + 1)
+    ftypes = rows[:, 0]
+    out = rows[:, 1:].copy()  # writable reconstruction buffer
+    bad = ftypes[ftypes > 4]
+    if bad.size:
+        raise ValueError(f"bad PNG filter {int(bad[0])}")
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1:pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter {ftype}")
-        out[y * stride:(y + 1) * stride] = line
+        ftype = int(ftypes[y])
+        line = out[y]
+        if ftype == 1:  # Sub: mod-256 prefix sum along x, per channel
+            np.cumsum(line.reshape(width, channels), axis=0,
+                      dtype=np.uint8, out=line.reshape(width, channels))
+        elif ftype == 2:  # Up: fully vectorized (uint8 wraps)
+            line += prev
+        elif ftype in (3, 4):
+            # Average/Paeth carry an x-sequential dependency on the
+            # reconstructed left pixel — keep the exact byte loop
+            lb = bytearray(line.tobytes())
+            pb = prev.tobytes()
+            if ftype == 3:
+                for i in range(stride):
+                    a = lb[i - channels] if i >= channels else 0
+                    lb[i] = (lb[i] + ((a + pb[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = lb[i - channels] if i >= channels else 0
+                    c = pb[i - channels] if i >= channels else 0
+                    lb[i] = (lb[i] + _paeth(a, pb[i], c)) & 0xFF
+            line[:] = np.frombuffer(bytes(lb), dtype=np.uint8)
         prev = line
-    return width, height, channels, bytes(out)
+    return width, height, channels, out.tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -208,10 +224,15 @@ def gif_decode(data: bytes):
                 stream += data[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
             indices = _lzw_decode(bytes(stream), min_code, w * h)
-            px = bytearray(w * h * 3)
-            for i, idx in enumerate(indices[:w * h]):
-                px[i * 3:i * 3 + 3] = ct[idx * 3:idx * 3 + 3]
-            return w, h, 3, bytes(px)
+            import numpy as np
+
+            idx = np.asarray(indices[:w * h], dtype=np.int64)
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            px = pal[idx]  # vectorized palette lookup
+            if len(idx) < w * h:  # short stream: pad with black
+                px = np.vstack([
+                    px, np.zeros((w * h - len(idx), 3), dtype=np.uint8)])
+            return w, h, 3, px.tobytes()
         elif b0 == 0x3B:  # trailer
             break
         else:
@@ -406,36 +427,38 @@ def _decode_image(payload: bytes):
 
 
 def _image_features(payload: bytes) -> list:
+    import numpy as np
+
     w, h, ch, px = _decode_image(payload)
-    n = len(px)
-    mean = sum(px) / n
-    var = sum((b - mean) ** 2 for b in px) / n
-    hist = [0] * 16
-    for b in px:
-        hist[b >> 4] += 1
+    a = np.frombuffer(px, dtype=np.uint8)
+    n = a.size
+    mean = float(a.mean())
+    std = float(a.std())
+    hist = np.bincount(a >> 4, minlength=16)
     ch_means = [0.0] * 4
-    for c in range(ch):
-        plane = px[c::ch]
-        ch_means[c] = sum(plane) / len(plane) / 255.0
+    planes = a.reshape(-1, ch).mean(axis=0) / 255.0
+    ch_means[:ch] = [float(v) for v in planes]
     return _pad(
-        [w, h, ch, mean / 255.0, (var ** 0.5) / 255.0]
+        [w, h, ch, mean / 255.0, std / 255.0]
         + ch_means
-        + [v / n for v in hist]
+        + [float(v) / n for v in hist]
     )
 
 
 def _audio_features(payload: bytes) -> list:
+    import numpy as np
+
     rate, nch, samples = wav_decode(payload)
-    n = max(len(samples), 1)
-    mean_abs = sum(abs(s) for s in samples) / n / 32768.0
-    rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
-    zc = sum(
-        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
-    ) / n
-    hist = [0] * 16
-    for s in samples:
-        hist[(s + 32768) >> 12] += 1
-    return _pad([rate, n, nch, mean_abs, rms, zc] + [v / n for v in hist])
+    s = np.asarray(samples, dtype=np.int64)
+    n = max(s.size, 1)
+    mean_abs = float(np.abs(s).mean()) / 32768.0 if s.size else 0.0
+    rms = float(np.sqrt((s * s).mean())) / 32768.0 if s.size else 0.0
+    neg = s < 0
+    zc = int(np.count_nonzero(neg[:-1] != neg[1:])) / n
+    hist = np.bincount((s + 32768) >> 12, minlength=16) if s.size else (
+        np.zeros(16, dtype=np.int64))
+    return _pad([rate, s.size, nch, mean_abs, rms, zc]
+                + [float(v) / n for v in hist])
 
 
 def _video_features(payload: bytes) -> list:
@@ -517,23 +540,25 @@ def resize_images(df: DataFrame, width: int = 32,
     of the requested dimensions."""
 
     def _kernel(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
-                w, h, ch, px = _decode_image(bytes(payload))
-                stride = w * ch
-                resized = bytearray(width * height * ch)
-                for y in range(height):
-                    sy = y * h // height
-                    row = sy * stride
-                    for x in range(width):
-                        sx = (x * w // width) * ch
-                        dst = (y * width + x) * ch
-                        resized[dst:dst + ch] = px[row + sx:row + sx + ch]
-                out.append(bytearray(
-                    png_encode(width, height, bytes(resized), ch)))
+                # per-row tolerance (same policy as decode_media): one
+                # corrupt image marks its row null, not the whole batch
+                try:
+                    w, h, ch, px = _decode_image(bytes(payload))
+                    img = np.frombuffer(px, dtype=np.uint8).reshape(
+                        h, w, ch)
+                    sy = np.arange(height) * h // height
+                    sx = np.arange(width) * w // width
+                    resized = img[sy[:, None], sx[None, :], :]
+                    out.append(bytearray(png_encode(
+                        width, height, resized.tobytes(), ch)))
+                except Exception:  # noqa: BLE001 — corrupt payload
+                    out.append(None)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": [width] * len(pdf),
@@ -597,8 +622,12 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
 def mp4_probe(data: bytes):
     """Parse ISO-BMFF boxes and return (duration_ms, width, height,
-    n_boxes): mvhd v0 carries timescale+duration, tkhd v0 the track
-    dimensions as 16.16 fixed point. Raises ValueError on non-BMFF."""
+    n_boxes). Handles v0 AND v1 full-box layouts (v1 mvhd/tkhd carry
+    64-bit creation/modification/duration fields, common in real-world
+    files), 64-bit `largesize` boxes (size==1 + 8-byte size at offset
+    8), and size==0 ("box extends to end of enclosing container").
+    mvhd carries timescale+duration; tkhd the track dimensions as
+    16.16 fixed point. Raises ValueError on non-BMFF input."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF file")
     duration_ms = width = height = None
@@ -610,19 +639,40 @@ def mp4_probe(data: bytes):
         while pos + 8 <= len(buf):
             (size,) = struct.unpack(">I", buf[pos:pos + 4])
             btype = buf[pos + 4:pos + 8]
-            if size < 8:
+            hdr = 8
+            if size == 1:  # largesize: 64-bit size follows the type
+                if pos + 16 > len(buf):
+                    break
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                hdr = 16
+            elif size == 0:  # box runs to the end of this container
+                size = len(buf) - pos
+            if size < hdr:
                 break
-            body = buf[pos + 8:pos + size]
+            body = buf[pos + hdr:pos + size]
             n_boxes += 1
             if btype in (b"moov", b"trak"):
                 walk(body, depth + 1)
-            elif btype == b"mvhd" and len(body) >= 20 and body[0] == 0:
-                timescale, dur = struct.unpack(">II", body[12:20])
+            elif btype == b"mvhd" and len(body) >= 20:
+                if body[0] == 1 and len(body) >= 32:
+                    # v1: 8B creation + 8B modification, then
+                    # timescale:4 at offset 20, duration:8 at 24
+                    (timescale,) = struct.unpack(">I", body[20:24])
+                    (dur,) = struct.unpack(">Q", body[24:32])
+                elif body[0] == 0:
+                    timescale, dur = struct.unpack(">II", body[12:20])
+                else:
+                    timescale = dur = 0
                 if timescale:
                     duration_ms = int(dur * 1000 / timescale)
-            elif btype == b"tkhd" and len(body) >= 84 and body[0] == 0:
-                w16, h16 = struct.unpack(">II", body[76:84])
-                width, height = w16 >> 16, h16 >> 16
+            elif btype == b"tkhd":
+                if body[:1] == b"\x01" and len(body) >= 96:
+                    # v1: +12 bytes vs v0 → width/height at 88:96
+                    w16, h16 = struct.unpack(">II", body[88:96])
+                    width, height = w16 >> 16, h16 >> 16
+                elif body[:1] == b"\x00" and len(body) >= 84:
+                    w16, h16 = struct.unpack(">II", body[76:84])
+                    width, height = w16 >> 16, h16 >> 16
             pos += size
 
     walk(data)

@@ -101,6 +101,23 @@ def conversation_sessions(extracted: DataFrame,
     other Python crossing in this repo."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # Arrow hands the worker naive timestamps rendered in the SESSION
+    # timezone, while state-restored values come back as naive
+    # datetime.datetime whose .timestamp() would use the PROCESS-LOCAL
+    # tz — two different epochs on any non-UTC host. Capture the
+    # session tz at plan time and localize explicitly so the timeout
+    # epoch is identical on both code paths.
+    session_tz = extracted.sparkSession.conf.get(
+        "spark.sql.session.timeZone")
+
+    def _epoch_ms(ts) -> int:
+        import pandas as pd
+
+        t = pd.Timestamp(ts)
+        if t.tzinfo is None:
+            t = t.tz_localize(session_tz)
+        return int(t.timestamp() * 1000)
+
     def fn(key, pdfs, state):
         import pandas as pd
 
@@ -129,7 +146,7 @@ def conversation_sessions(extracted: DataFrame,
             l = bmax if l is None else max(l, bmax)
         state.update((n, c, e, f, l))
         # close the session once the watermark passes last_ts + idle
-        state.setTimeoutTimestamp(int(l.timestamp() * 1000) + idle_ms)
+        state.setTimeoutTimestamp(_epoch_ms(l) + idle_ms)
         yield pd.DataFrame([{
             "conv_id": conv_id, "n_turns": n, "n_chars": c,
             "n_parse_errors": e, "first_ts": f, "last_ts": l,

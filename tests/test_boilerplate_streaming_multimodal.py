@@ -238,6 +238,60 @@ class TestMultimodal:
             w, h, ch, px = png_decode(bytes(r.payload))
             assert (w, h) == (16, 8) and len(px) == 16 * 8 * ch
 
+    def test_resize_tolerates_corrupt_rows(self, spark):
+        """One corrupt payload marks its row null; good rows survive
+        (same 100TB tolerance policy as decode_media)."""
+        from html_parser_spark.spark.multimodal import (
+            png_decode, png_encode, resize_images,
+        )
+
+        good = png_encode(8, 8, bytes(8 * 8 * 3))
+        rows = [
+            (0, "image", bytearray(good), None),
+            (1, "image", bytearray(b"\x89PNG\r\n\x1a\nGARBAGE"), None),
+            (2, "image", bytearray(good[:20]), None),  # truncated
+        ]
+        from html_parser_spark.spark.multimodal import MEDIA_SCHEMA
+
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+        assert len(out) == 3
+        assert png_decode(bytes(out[0].payload))[:2] == (4, 4)
+        assert out[1].payload is None and out[2].payload is None
+
+    def test_mp4_probe_v1_and_largesize(self):
+        """Version-1 mvhd/tkhd (64-bit times/durations) and size==1
+        largesize boxes parse to the same duration/dims as v0."""
+        import struct
+
+        from html_parser_spark.spark.multimodal import _box, mp4_probe
+
+        timescale, dur_ms, w, h = 90000, 12_345, 640, 360
+        mvhd_v1 = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                   + struct.pack(">IQ", timescale,
+                                 dur_ms * timescale // 1000)
+                   + b"\x00" * 80)
+        tkhd_v1 = (b"\x01\x00\x00\x07" + b"\x00" * 84
+                   + struct.pack(">II", w << 16, h << 16))
+        moov = _box(b"moov", _box(b"mvhd", mvhd_v1)
+                    + _box(b"trak", _box(b"tkhd", tkhd_v1)))
+        data = (_box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+                + _box(b"mdat", b"x" * 32))
+        assert mp4_probe(data)[:3] == (dur_ms, w, h)
+
+        # same file with moov wrapped in a 64-bit largesize header
+        body = moov[8:]
+        large = (struct.pack(">I", 1) + b"moov"
+                 + struct.pack(">Q", len(body) + 16) + body)
+        data2 = (_box(b"ftyp", b"isom\x00\x00\x02\x00") + large
+                 + _box(b"mdat", b"x" * 32))
+        assert mp4_probe(data2)[:3] == (dur_ms, w, h)
+
+        # size==0: box extends to end of the enclosing container
+        tail = struct.pack(">I", 0) + b"mdat" + b"y" * 100
+        data3 = _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov + tail
+        assert mp4_probe(data3)[:3] == (dur_ms, w, h)
+
     def test_frame_sampling_counts(self, spark):
         from html_parser_spark.spark.multimodal import (
             sample_frames, synth_media_df,
