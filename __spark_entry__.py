@@ -260,11 +260,14 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    # ivf_fit is the quantizer-training ACTION (one tiny deterministic
-    # job, the KMeans.fit analogue); the search itself is pure plan —
-    # assignment is a per-row argmax over the anchor literals, probing
-    # a cell-keyed equi-join. n_probe == n_cells reproduces
-    # ann_bruteforce exactly (property-tested).
+    # ivf_fit is the quantizer-training ACTION: real spherical k-means
+    # (Lloyd's), one distributed pass per iteration with decimal-exact
+    # (partitioning-independent) centroid means; the search itself is
+    # pure plan — assignment is a per-row argmax over the centroid
+    # literals, probing a cell-keyed equi-join. n_probe == n_cells
+    # reproduces ann_bruteforce exactly (property-tested), and
+    # test_ivf_kmeans_recall_single_probe gates the below-full-probe
+    # recall the trained quantizer buys.
     from html_parser_spark.spark.ops import ann_ivf, ivf_fit
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -315,13 +318,21 @@ def _q_minhash_lsh(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     # 100 TB path: exact jaccard verifies ONLY the minhash-LSH candidate
     # pairs (band-keyed equi-join) — no cross join ever materializes.
+    # The oracle stays exact all-pairs, so the LSH banding must RECALL
+    # (not just usually-recall) every pair at the 0.5 threshold: with
+    # 16 bands x 2 rows, P(collide | j=0.5) = 1-(1-0.25)^16 ~ 0.99 per
+    # pair (vs ~0.40 at the 8x4 default), rising steeply above the
+    # threshold; precision is free because candidates are exact-
+    # verified. Recall at the boundary is gated by
+    # test_lsh_recall_at_threshold on planted near-threshold pairs.
     from html_parser_spark.spark.ops import (
         minhash_lsh_candidates, ngram_jaccard_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, threshold=0.5, candidates=minhash_lsh_candidates(docs)
+        docs, threshold=0.5,
+        candidates=minhash_lsh_candidates(docs, num_hashes=32, bands=16),
     ).select("doc_a", "doc_b")
 
 
@@ -736,6 +747,17 @@ def oracle_sql() -> dict[str, str]:
         # algorithmic gates live in tests/ (goldens, recall, hamming,
         # plan audits). A pin catches any cross-run nondeterminism or
         # unintended behavior change the property tests would miss.
+        # The pins are NOT the only value gate: each pinned operator
+        # also has an independent cross-derivation —
+        #   simhash/minhash: bit-vote / min-rehash recomputed in plain
+        #     Python from per-token Spark hashes
+        #     (test_simhash_cross_derivation, test_minhash_cross_der.)
+        #   ann_lsh/ann_ivf: recall + exact-cosine agreement vs
+        #     ann_bruteforce on planted clusters; full-probe IVF must
+        #     EQUAL bruteforce rank-for-rank
+        #   extract_/dump_/raw_encoding: byte-gated against the
+        #     reference binaries (goldens + differential fuzzing)
+        #   media_features: codec roundtrip property tests (hypothesis)
         "extract_transcripts": _snap(
             "extract_transcripts",
             "conv_id, turn_idx, turn_rank, role, extracted_text, spans, "

@@ -480,16 +480,12 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
     )
 
 
-def ivf_fit(embeddings: DataFrame, n_cells: int = 16,
-            seed: int = 7) -> list:
-    """IVF coarse-quantizer TRAINING action (the analogue of
-    KMeans.fit — the one deliberate driver-side job in the IVF path;
-    search itself is pure plan construction). Deterministic: vectors
-    hash into `n_cells` buckets by xxhash64(vec_id, seed) and the
-    min-rank vector of each bucket becomes that cell's anchor. Returns
-    the anchors as a plain list — a tiny model artifact that search
-    plans inline as broadcast literals, exactly how production IVF
-    ships its centroids."""
+def _ivf_seed_anchors(embeddings: DataFrame, n_cells: int,
+                      seed: int) -> list:
+    """Deterministic k-means init: vectors hash into `n_cells` buckets
+    by xxhash64(vec_id, seed) and the min-rank vector of each bucket
+    seeds that cell (a hash-stratified sample — spread, not argmin'd,
+    which is all an init needs)."""
     rows = (
         embeddings
         .withColumn(
@@ -504,6 +500,70 @@ def ivf_fit(embeddings: DataFrame, n_cells: int = 16,
     )
     by_cell = {r.cell: [float(x) for x in r.anchor] for r in rows}
     return [by_cell[c] for c in sorted(by_cell)]
+
+
+def _nearest_cell_expr(vec, centroids: list):
+    """Per-row argmax-cosine cell assignment over centroid literals —
+    no shuffle, no join; the same expression ann_ivf search uses."""
+    entries = []
+    for i, c in enumerate(centroids):
+        a = F.array(*[F.lit(v) for v in c])
+        cos = _dot(vec, a) / (_norm(vec) * _norm(a))
+        entries.append(F.struct(cos.alias("cos"), F.lit(i).alias("cell")))
+    return F.array_max(F.array(*entries)).getField("cell")
+
+
+def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
+            n_iters: int = 5, train_fraction: float = 1.0) -> list:
+    """IVF coarse-quantizer TRAINING action: REAL spherical k-means
+    (Lloyd's), the analogue of KMeans.fit — the deliberate driver-side
+    jobs in the IVF path; search itself stays pure plan construction.
+
+    Each iteration is one distributed pass: per-row argmax-cosine
+    assignment against the current centroid literals (no shuffle for
+    assignment), then ONE groupBy(cell) shuffle of 64-ish tiny decimal
+    averages. Per-dimension means aggregate in DECIMAL so the result
+    is exact and independent of partitioning/aggregation order — the
+    trained centroids (and hence every downstream search result) are
+    bit-deterministic. Centroids are L2-normalized (spherical k-means,
+    matching the cosine assignment); cells that lose all points keep
+    their previous centroid. `train_fraction` hash-samples the
+    training set (at 100 TB you fit the coarse quantizer on a sample;
+    assignment quality needs cluster SHAPE, not every row). Returns
+    the centroids as a plain list — a tiny model artifact that search
+    plans inline as broadcast literals, exactly how production IVF
+    ships its centroids."""
+    train = embeddings
+    if train_fraction < 1.0:
+        train = embeddings.where(
+            F.pmod(F.xxhash64("vec_id", F.lit(seed + 2)), F.lit(10_000))
+            < int(train_fraction * 10_000)
+        )
+    centroids = _ivf_seed_anchors(train, n_cells, seed)
+    dim = len(centroids[0])
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = train.select(vec_d.alias("vec"))
+    for _ in range(n_iters):
+        assigned = base.withColumn(
+            "cell", _nearest_cell_expr(F.col("vec"), centroids))
+        stats = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[
+                F.avg(F.element_at("vec", d + 1).cast("decimal(28,12)"))
+                .alias(f"d{d}")
+                for d in range(dim)
+            ],
+        ).collect()
+        new = list(centroids)
+        for r in stats:
+            mean = [float(r[f"d{d}"]) for d in range(dim)]
+            norm = sum(x * x for x in mean) ** 0.5
+            if norm > 0:
+                new[r.cell] = [round(x / norm, 9) for x in mean]
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
 
 
 def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,

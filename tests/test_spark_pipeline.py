@@ -309,6 +309,181 @@ def test_ngram_jaccard_with_candidates_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_recall_at_threshold(spark):
+    """Planted pairs with jaccard just above 0.5 must survive the
+    16-band x 2-row LSH candidate stage (the registered ngram_jaccard
+    config): P(collide | j=0.5) = 1-(1-0.25)^16 ~ 0.99 per pair, so
+    >=90% of 30 planted boundary pairs must be recalled. The old 8x4
+    banding recalls ~40% here — this is the gate the exact all-pairs
+    oracle relies on."""
+    from html_parser_spark.spark.ops import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+
+    docs = []
+    n_pairs = 30
+    for p in range(n_pairs):
+        shared = [f"p{p}w{i}" for i in range(15)]
+        tail_a = [f"p{p}a{i}" for i in range(5)]
+        tail_b = [f"p{p}b{i}" for i in range(5)]
+        # 3-gram shingles: |A|=|B|=18, shared=13, union=23 -> j~0.565
+        docs.append((2 * p, " ".join(shared + tail_a)))
+        docs.append((2 * p + 1, " ".join(shared + tail_b)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cand = minhash_lsh_candidates(df, num_hashes=32, bands=16)
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    planted = {(2 * p, 2 * p + 1) for p in range(n_pairs)}
+    recall = len(planted & pairs) / n_pairs
+    assert recall >= 0.9, f"LSH recall at threshold boundary: {recall}"
+    # exact verification keeps every recalled boundary pair (j >= 0.5)
+    verified = ngram_jaccard_pairs(df, threshold=0.5, candidates=cand)
+    vpairs = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    assert planted & pairs <= vpairs
+
+
+def _clustered_embeddings(spark, n_clusters=4, per_cluster=25, dim=16,
+                          seed=11):
+    """Well-separated unit-ish clusters: center c gets coordinates
+    concentrated on its own dim block, members are tiny perturbations."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for c in range(n_clusters):
+        center = [0.0] * dim
+        for d in range(dim):
+            center[d] = 1.0 if d % n_clusters == c else 0.05
+        for m in range(per_cluster):
+            vec = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append((c * per_cluster + m, vec))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_kmeans_recall_single_probe(spark):
+    """The k-means quantizer must place each planted cluster in its own
+    cell so n_probe=1 already recovers (nearly) the exact top-k — the
+    recall guarantee the old hash-random quantizer could not give
+    (random cells -> ~1/n_cells of each neighborhood per probe)."""
+    from html_parser_spark.spark.ops import ann_bruteforce, ann_ivf, ivf_fit
+
+    emb = _clustered_embeddings(spark)
+    centroids = ivf_fit(emb, n_cells=4, seed=7, n_iters=5)
+    qids = [0, 25, 50, 75]
+    bf = {}
+    for r in ann_bruteforce(emb, qids, k=5).collect():
+        bf.setdefault(r.query_id, set()).add(r.corpus_id)
+    ivf = {}
+    for r in ann_ivf(emb, qids, centroids, k=5, n_probe=1).collect():
+        ivf.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(len(bf[q] & ivf.get(q, set())) for q in qids)
+    total = sum(len(bf[q]) for q in qids)
+    assert hits / total >= 0.9, f"IVF n_probe=1 recall: {hits}/{total}"
+
+
+def test_ivf_fit_deterministic_under_repartition(spark):
+    """Trained centroids must be bit-identical regardless of input
+    partitioning (decimal-averaged means; the snapshot oracle depends
+    on this)."""
+    from html_parser_spark.spark.ops import ivf_fit
+
+    emb = _clustered_embeddings(spark)
+    c1 = ivf_fit(emb.repartition(2), n_cells=4, seed=7)
+    c2 = ivf_fit(emb.repartition(13, "vec_id"), n_cells=4, seed=7)
+    assert c1 == c2
+
+
+def test_ann_lsh_recall_on_clusters(spark):
+    """Cross-derivation for the ann_lsh pin: on clustered data the
+    LSH top-k must recover >=80% of the exact bruteforce top-k (OR-
+    amplified 4x8-plane sign buckets keep same-cluster vectors
+    together), and every LSH hit must carry the exact cosine (so any
+    returned pair is verifiable against bruteforce scoring)."""
+    from html_parser_spark.spark.ops import ann_bruteforce, ann_lsh
+
+    emb = _clustered_embeddings(spark)
+    qids = [0, 25, 50, 75]
+    bf_rows = ann_bruteforce(emb, qids, k=5).collect()
+    bf = {}
+    bf_cos = {}
+    for r in bf_rows:
+        bf.setdefault(r.query_id, set()).add(r.corpus_id)
+        bf_cos[(r.query_id, r.corpus_id)] = r.cosine
+    lsh_rows = ann_lsh(emb, qids, k=5).collect()
+    lsh = {}
+    for r in lsh_rows:
+        lsh.setdefault(r.query_id, set()).add(r.corpus_id)
+        # identical exact-cosine scoring on the candidates it returns
+        if (r.query_id, r.corpus_id) in bf_cos:
+            assert r.cosine == bf_cos[(r.query_id, r.corpus_id)]
+    hits = sum(len(bf[q] & lsh.get(q, set())) for q in qids)
+    total = sum(len(bf[q]) for q in qids)
+    assert hits / total >= 0.8, f"ann_lsh recall: {hits}/{total}"
+
+
+def test_simhash_cross_derivation(spark):
+    """Independent value-level re-derivation of the simhash pin: take
+    per-token xxhash64 from Spark as the shared primitive, recompute
+    the bit-vote fingerprint in plain Python, and demand equality with
+    the operator on real sf0.001 documents."""
+    from html_parser_spark.spark.ops import simhash
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "text")
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    from pyspark.sql import functions as F
+    tok_rows = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "").select(
+        "doc_id", F.xxhash64("tok").alias("h")).collect()
+    by_doc = {}
+    for r in tok_rows:
+        by_doc.setdefault(r.doc_id, []).append(r.h)
+    for r in docs.collect():
+        hashes = by_doc.get(r.doc_id, [])
+        fp = 0
+        n = len(hashes)
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hashes)
+            if 2 * ones > n:
+                fp |= 1 << b
+        # operator emits a signed long; reinterpret for comparison
+        expect = fp - (1 << 64) if fp >= (1 << 63) else fp
+        assert got[r.doc_id] == expect, r.doc_id
+
+
+def test_minhash_cross_derivation(spark):
+    """Same pattern for the minhash pin: shingle hashes from Spark,
+    signature (min over k rehashes) recomputed in Python."""
+    from html_parser_spark.spark.ops import minhash_signatures, word_shingles
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "text").limit(20)
+    got = {r.doc_id: list(r.signature)
+           for r in minhash_signatures(docs, num_hashes=8).collect()}
+
+    from pyspark.sql import functions as F
+    sh = word_shingles(docs, 3).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    rehashed = sh.select(
+        "doc_id",
+        *[F.xxhash64(F.col("h"), F.lit(k)).alias(f"r{k}") for k in range(8)],
+    ).collect()
+    by_doc = {}
+    for r in rehashed:
+        sig = by_doc.setdefault(r.doc_id, [None] * 8)
+        for k in range(8):
+            v = r[f"r{k}"]
+            if sig[k] is None or v < sig[k]:
+                sig[k] = v
+    for doc_id, sig in by_doc.items():
+        assert got[doc_id] == sig, doc_id
+
+
 def test_ann_ivf_full_probe_equals_bruteforce(spark):
     """IVF with n_probe == n_cells searches every cell — the result
     must equal exact brute force, rank for rank."""
