@@ -404,6 +404,21 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_pdf_extract(spark, sf_dir):
+    """North-rule "PDF/layout parse": real pure-stdlib PDF object/
+    content-stream parsing + positional layout reconstruction over a
+    deterministic corpus of REAL pdf payloads (incl. Flate streams,
+    hex strings, TJ kerning, multi-page trees, corrupt rows). The
+    oracle is NOT a parser-output pin: it reads the GENERATOR-side
+    expected values (tests/fixtures/pdf_expected.parquet) — writer and
+    parser are independent inverse implementations."""
+    from html_parser_spark.spark.pdf import extract_pdfs, synth_pdf_df
+
+    return extract_pdfs(synth_pdf_df(spark, 40, seed=42)).select(
+        "doc_id", "n_pages", "n_runs", "decode_ok", "extracted_text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -436,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _q_conversation_stats,
         "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
+        "pdf_extract": _q_pdf_extract,
     }
 
 
@@ -783,6 +799,16 @@ def oracle_sql() -> dict[str, str]:
             "extracted_text, spans, parse_error_texts",
         ),
         "minhash_lsh": _snap("minhash_lsh", "doc_a, doc_b"),
+        # pdf_extract: GENERATOR-side expected values (independent of
+        # the parser — see _q_pdf_extract docstring), not an output pin
+        "pdf_extract": f"""
+            SELECT doc_id,
+                   cast(n_pages as int) AS n_pages,
+                   cast(n_runs as int) AS n_runs,
+                   decode_ok,
+                   extracted_text
+            FROM read_parquet('{_FIXTURES}/pdf_expected.parquet')
+        """,
         "ann_lsh": _snap("ann_lsh", "query_id, corpus_id, rank"),
         "ann_ivf": _snap("ann_ivf", "query_id, corpus_id, rank"),
     }
