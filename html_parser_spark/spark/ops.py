@@ -691,7 +691,10 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     Java regex and RE2 evaluate identically)."""
     ws = F.size(F.filter(F.split(F.col("text"), " "),
                          lambda t: t != "")).cast("int")
-    return _spread(documents).select(
+    # no _spread here: one regex pass per row is cheap enough that the
+    # pure-projection plan property (PLANS.md) is worth more than the
+    # repartition would buy
+    return documents.select(
         "doc_id",
         ws.alias("n_ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))

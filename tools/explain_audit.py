@@ -169,6 +169,15 @@ def main():
          and "EvalPython" not in p),
     ])
 
+    audit("pdf_extract (Arrow-batched kernel)",
+          qs["pdf_extract"](spark, SF_DIR), [
+        ("exactly one Python crossing (MapInPandas)",
+         lambda p: p.count("+- MapInPandas") == 1
+         and "BatchEvalPython" not in p),
+        ("no join/aggregate around the kernel",
+         lambda p: "Join" not in p and "HashAggregate" not in p),
+    ])
+
     audit("conversation_stats (salted)",
           qs["conversation_stats"](spark, SF_DIR), [
         ("two aggregation stages (salt then merge)",
