@@ -369,6 +369,65 @@ class TestStatefulSessions:
         assert closed["B"].n_turns == 2
         assert {"A", "B", "C", "D"} <= live  # running summaries emitted
 
+    def test_conversation_sessions_non_utc_session_tz(self, spark,
+                                                      tmp_path):
+        """Regression: the idle-timeout epoch must be computed against
+        the SESSION timezone. With a non-UTC session tz, naive batch
+        timestamps render in that tz while state-restored datetimes
+        would .timestamp() in the process-local tz — the old code mixed
+        the two, skewing timeouts by the UTC offset, so sessions either
+        closed hours early or never closed. Same scenario as
+        test_conversation_sessions_idle_close, under Asia/Tokyo."""
+        import datetime
+
+        from html_parser_spark.spark.streaming import (
+            conversation_sessions, extract_stream,
+        )
+
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        try:
+            t0 = datetime.datetime(2020, 1, 1, 10, 0, 0)
+
+            def rows(conv, n, base):
+                return [
+                    (conv, i, "user", "hello world", None,
+                     base + datetime.timedelta(seconds=i))
+                    for i in range(n)
+                ]
+
+            schema = ("conv_id string, turn_idx int, role string, "
+                      "text string, tool string, ts timestamp")
+            src = str(tmp_path / "sess_tz_in")
+            spark.createDataFrame(
+                rows("A", 3, t0), schema
+            ).coalesce(1).write.parquet(src + "/f=1")
+            spark.createDataFrame(
+                rows("C", 1, t0 + datetime.timedelta(minutes=30)), schema
+            ).coalesce(1).write.parquet(src + "/f=2")
+            spark.createDataFrame(
+                rows("D", 1, t0 + datetime.timedelta(minutes=60)), schema
+            ).coalesce(1).write.parquet(src + "/f=3")
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/f=*")
+            )
+            sessions = conversation_sessions(
+                extract_stream(stream), idle_ms=60_000)
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName("sess_tz_out").outputMode("update")
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            got = spark.sql("select * from sess_tz_out").collect()
+            closed = {r.conv_id: r for r in got if r.closed}
+            assert "A" in closed  # would never close with skewed epoch
+            assert closed["A"].n_turns == 3
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
     def test_conversation_sessions_survive_restart(self, spark, tmp_path):
         """Stateful session state must survive a query restart from the
         same checkpoint (the streaming face of the north rule's
