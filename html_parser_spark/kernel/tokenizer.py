@@ -70,6 +70,9 @@ _TAG_NAME_RUN = re.compile(r"[^ \n\t\f\r/>\x00]+")
 _ATTR_NAME_RUN = re.compile(r"[^ \n\t\f\r=/>\x00]+")
 _UQ_VALUE_RUN = re.compile(r"[^ \n\t\f\r>\x00]+")
 _ATTR_NAME_BAD = re.compile(r"[^0-9A-Za-z\-_:]")
+# end-tag name run: stops at ws / ">" / "/" (same set as the
+# per-char loop it replaces)
+_END_NAME_RUN = re.compile(r"[^ \n\t\f\r>/]*")
 
 
 class Token:
@@ -797,21 +800,16 @@ class Tokenizer:
     # -- end tag (parse_end_tag, src/tokenizer.c:1122-1143) --
 
     def _parse_end_tag(self, out: Token) -> None:
-        self.pos += 2  # "</"
         s, n = self.input, self.len
-        name_start = self.pos
-        while (
-            self.pos < n
-            and s[self.pos] not in _WS
-            and s[self.pos] != ">"
-            and s[self.pos] != "/"
-        ):
-            self.pos += 1
+        p = self.pos + 2  # "</"
+        m = _END_NAME_RUN.match(s, p)
+        end = m.end()
         out.type = TOKEN_END_TAG
-        out.name = ascii_lower(s[name_start : self.pos])
-        if self._peek() != ">" and self.pos < n:
+        out.name = ascii_lower(s[p:end])
+        self.pos = end
+        if end < n and s[end] != ">":
             self._error("end tag has trailing garbage/attributes")
-        gt = s.find(">", self.pos)
+        gt = s.find(">", end)
         self.pos = n if gt < 0 else gt + 1
 
     # -- start tag (parse_start_tag, src/tokenizer.c:1145-1388) --
@@ -837,7 +835,8 @@ class Tokenizer:
         state = ST_TAG_NAME
 
         while self.pos <= n:
-            c = self._peek()
+            p_ = self.pos
+            c = s[p_] if p_ < n else "\0"
             if state == ST_TAG_NAME:
                 if c in _WS:
                     state = ST_BEFORE_ATTR_NAME
@@ -1061,20 +1060,22 @@ class Tokenizer:
             continue
 
         s, n = self.input, self.len
-        c = s[self.pos]
+        pos = self.pos
+        c = s[pos]
         if c == "<":
-            nxt = self._peek(1)
-            if nxt == "/" and self._peek(2) in _ALPHA:
-                self._parse_end_tag(out)
-                return out
-            if nxt == "/" and self._peek(2) not in _ALPHA:
+            nxt = s[pos + 1] if pos + 1 < n else "\0"
+            if nxt == "/":
+                c2 = s[pos + 2] if pos + 2 < n else "\0"
+                if c2 in _ALPHA:
+                    self._parse_end_tag(out)
+                    return out
                 # reference deviation: emit literal '<' (src/tokenizer.c:1544-1550)
                 self._error("invalid end tag")
                 out.type = TOKEN_CHARACTER
                 out.data = "<"
                 self.pos += 1
                 return out
-            if nxt == "!" and self._peek(2) == "-" and self._peek(3) == "-":
+            if nxt == "!" and s[pos + 2:pos + 4] == "--":
                 self._parse_comment(out)
                 return out
             if nxt == "!" and self._starts_with_ci("<!DOCTYPE"):

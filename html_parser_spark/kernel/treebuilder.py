@@ -141,6 +141,12 @@ _BLOCK_LIKE = frozenset(
      "main", "nav", "ol", "p", "plaintext", "pre", "section", "table", "ul")
 )
 _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+# tags with a dedicated branch in _in_body_start_document; anything
+# else takes its generic fast path
+_IN_BODY_SPECIAL = frozenset((
+    "html", "body", "select", "table", "svg", "math",
+    "applet", "marquee", "object", "template", "form",
+)) | _HEADINGS
 _SELECT_CHILDREN = frozenset(("option", "optgroup"))
 _WS_ONLY = frozenset(" \n\t\r\f")
 _WS_STR = " \n\t\r\f"
@@ -479,9 +485,11 @@ class TreeBuilder:
         last_tag, last_el = fl[-1]
         if last_tag is MARKER:
             return
+        if last_el is not None:
+            for x in st:
+                if x is last_el:
+                    return
         stack_ids = {id(x) for x in st}
-        if last_el is not None and id(last_el) in stack_ids:
-            return
         first = 0
         for i in range(len(fl) - 1, 0, -1):
             etag, eel = fl[i - 1]
@@ -609,10 +617,14 @@ class TreeBuilder:
 
     def _ensure_body(self):
         self._ensure_html()
-        if self.body is not None:
-            if not any(x is self.body for x in self.st):
-                self._push(self.body)
-            return self.body
+        body = self.body
+        if body is not None:
+            st = self.st
+            for x in st:
+                if x is body:
+                    return body
+            self._push(body)
+            return body
         self.body = Node(ELEMENT, "body")
         self.html.append_child(self.body)
         self._push(self.body)
@@ -993,6 +1005,24 @@ class TreeBuilder:
         name = t.name
         self_closing = t.self_closing
         attrs = t.attrs
+        if name not in _IN_BODY_SPECIAL:
+            # fast path: generic element insertion (identical to the
+            # tail below — the special-tag chain can't apply)
+            is_fmt = name in FMT_TAGS
+            if is_fmt:
+                self._reconstruct_formatting(self._current())
+            self._body_autoclose(name)
+            if not self._in_template_context():
+                self._ensure_body()
+            n = Node(ELEMENT, name or "")
+            self._attach(n, attrs)
+            self._current().append_child(n)
+            if not self_closing and name not in _VOID_ELEMENTS:
+                self._push(n)
+                if is_fmt:
+                    self._fmt_push(name, n)
+            self._set_form_owner(n, name)
+            return
         in_template = self._in_template_context()
         is_fmt = name in FMT_TAGS
         if is_fmt:
@@ -1193,7 +1223,8 @@ class TreeBuilder:
     # ------------------------------------------------------------------
     def _pre_switch(self, t):
         # foreign content (2973-2994 / 3979-3999)
-        acn = self._top()
+        st = self.st
+        acn = st[-1] if st else None
         if acn is not None and acn.ns != NS_HTML:
             consumed, fc_reprocess = self._process_foreign(t)
             if consumed:
@@ -1210,12 +1241,13 @@ class TreeBuilder:
                     self.tz.raw_tag = ""
                 return _REPROCESS if fc_reprocess else _BREAK
 
-        if self.mode == IN_TEMPLATE:
+        mode = self.mode
+        if mode == IN_TEMPLATE:
             handled, reprocess = self._handle_in_template(t)
             if handled:
                 return _REPROCESS if reprocess else _BREAK
 
-        if self.mode == IN_TABLE_TEXT:
+        if mode == IN_TABLE_TEXT:
             if t.type == TOKEN_CHARACTER and t.data:
                 self.table_text.append(t.data)
                 if t.data.strip(_WS_STR):
@@ -1332,9 +1364,22 @@ class TreeBuilder:
         if act is not None:
             return act
 
+        # hot-path dispatch first (token types are exclusive, so the
+        # check order is semantics-free; EOF/DOCTYPE happen once/doc)
+        ttype = t.type
+        if ttype == TOKEN_START_TAG:
+            return self._start_tag_document(t)
+        if ttype == TOKEN_CHARACTER:
+            return self._character_document(t)
+        if ttype == TOKEN_END_TAG:
+            return self._end_tag_document(t)
+        if ttype == TOKEN_COMMENT:
+            self._current().append_child(Node(COMMENT, None, t.data or ""))
+            return _CHECK
+
         mode = self.mode
         # EOF handling (3127-3190)
-        if t.type == TOKEN_EOF:
+        if ttype == TOKEN_EOF:
             if mode == INITIAL:
                 self._err("eof-before-doctype")
                 self.dmode = DOC_QUIRKS
@@ -1368,7 +1413,6 @@ class TreeBuilder:
                 return _STOP
             return _STOP
 
-        ttype = t.type
         if ttype == TOKEN_DOCTYPE:
             if self.mode != INITIAL:
                 self._err("stray-doctype")
@@ -1378,19 +1422,6 @@ class TreeBuilder:
             self.dmode = determine_doc_mode(t)
             self.mode = BEFORE_HTML
             return _CHECK
-
-        if ttype == TOKEN_START_TAG:
-            return self._start_tag_document(t)
-
-        if ttype == TOKEN_END_TAG:
-            return self._end_tag_document(t)
-
-        if ttype == TOKEN_COMMENT:
-            self._current().append_child(Node(COMMENT, None, t.data or ""))
-            return _CHECK
-
-        if ttype == TOKEN_CHARACTER:
-            return self._character_document(t)
 
         return _STOP
 
@@ -2307,23 +2338,26 @@ class TreeBuilder:
     # ------------------------------------------------------------------
     def _run(self, dispatch):
         tz = self.tz
+        st = self.st  # never rebound (only cleared), so safe to bind
+        tz_next = tz.next
+        raw_states = (RCDATA, RAWTEXT, SCRIPT_DATA)
         while True:
-            top = self.st[-1] if self.st else None
+            top = st[-1] if st else None
             tz.allow_cdata = top is not None and top.ns != NS_HTML
-            t = tz.next()
-            act = _REPROCESS
+            t = tz_next()
+            act = dispatch(t)
             while act == _REPROCESS:
                 act = dispatch(t)
-                if act == _CHECK:
-                    # MODE_TEXT entry after a start tag (3892-3897 / 4651-4656)
-                    if (
-                        t.type == TOKEN_START_TAG
-                        and self.mode != MODE_TEXT
-                        and tz.state in (RCDATA, RAWTEXT, SCRIPT_DATA)
-                    ):
-                        self.original_mode = self.mode
-                        self.mode = MODE_TEXT
-            if act == _STOP:
+            if act == _CHECK:
+                # MODE_TEXT entry after a start tag (3892-3897 / 4651-4656)
+                if (
+                    t.type == TOKEN_START_TAG
+                    and self.mode != MODE_TEXT
+                    and tz.state in raw_states
+                ):
+                    self.original_mode = self.mode
+                    self.mode = MODE_TEXT
+            elif act == _STOP:
                 return
 
     def _flush_table_text_at_stop(self):

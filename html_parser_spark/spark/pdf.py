@@ -301,7 +301,10 @@ def _parse_literal_string(buf: bytes, i: int):
 def _scan_objects(data: bytes) -> dict:
     """num -> (dict_or_value, stream_bytes_or_None). Byte scan, not
     xref-driven (robust to broken xref; last definition of a repeated
-    object number wins, matching incremental-update semantics)."""
+    object number wins, matching incremental-update semantics). After
+    the scan, objects packed inside /ObjStm object streams (PDF 1.5+)
+    are unpacked too — those are invisible to the byte scan because
+    they live inside a Flate stream."""
     objs = {}
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
@@ -330,7 +333,48 @@ def _scan_objects(data: bytes) -> dict:
                 raw = raw.rstrip(b"\r\n")
             stream = raw
         objs[num] = (val, stream)
+    _unpack_object_streams(objs)
     return objs
+
+
+def _unpack_object_streams(objs: dict) -> None:
+    """Expand /Type /ObjStm containers in place. Layout per spec: the
+    decoded stream starts with /N pairs of white-separated integers
+    "objnum offset" (offsets relative to /First), followed by the
+    concatenated objects. A direct (non-packed) definition of the same
+    object number wins — packed objects are the base layer that
+    incremental updates override."""
+    packed = {}
+    for num, (val, stream) in list(objs.items()):
+        if (not isinstance(val, dict) or val.get("Type") != "ObjStm"
+                or stream is None):
+            continue
+        n = _resolve(objs, val.get("N"))
+        first = _resolve(objs, val.get("First"))
+        filt = _resolve(objs, val.get("Filter"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            continue
+        body = stream
+        if filt == "FlateDecode" or filt == ["FlateDecode"]:
+            try:
+                body = zlib.decompress(stream)
+            except zlib.error:
+                continue
+        elif filt is not None:
+            continue  # unsupported filter on the container
+        header = body[:first].split()
+        if len(header) < 2 * n:
+            continue
+        for k in range(n):
+            try:
+                onum = int(header[2 * k])
+                off = int(header[2 * k + 1])
+                v, _ = _parse_value(body, first + off)
+            except (ValueError, IndexError):
+                continue
+            packed[onum] = (v, None)
+    for onum, entry in packed.items():
+        objs.setdefault(onum, entry)
 
 
 def _resolve(objs: dict, v, depth: int = 0):

@@ -117,6 +117,41 @@ class TestRobustness:
         _, _, text, ok = pdf_extract(bytes(out))
         assert ok and text == "first\nsecond"
 
+    def test_object_stream_unpacking(self):
+        """PDF 1.5 /ObjStm: catalog/pages/page live INSIDE a Flate
+        object stream (invisible to the byte scan); the content stream
+        stays outside (streams cannot be packed). Extraction must
+        unpack the container and still find the page tree."""
+        content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (packed objects) Tj ET"
+        inner = [
+            (3, b"<< /Type /Catalog /Pages 4 0 R >>"),
+            (4, b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>"),
+            (5, b"<< /Type /Page /Parent 4 0 R /Contents 1 0 R >>"),
+        ]
+        header = []
+        body = b""
+        for num, objbytes in inner:
+            header.append(f"{num} {len(body)}".encode())
+            body += objbytes + b" "
+        head = b" ".join(header) + b" "
+        payload_stream = zlib.compress(head + body)
+        objstm_dict = (
+            f"<< /Type /ObjStm /N {len(inner)} /First {len(head)} "
+            f"/Length {len(payload_stream)} /Filter /FlateDecode >>"
+        ).encode()
+        objs = [
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",          # 1
+            objstm_dict + b"\nstream\n" + payload_stream
+            + b"\nendstream",                                        # 2
+        ]
+        out = bytearray(b"%PDF-1.5\n")
+        for i, b in enumerate(objs):
+            out += f"{i + 1} 0 obj\n".encode() + b + b"\nendobj\n"
+        out += b"trailer\n<< /Size 6 /Root 3 0 R >>\n%%EOF\n"
+        n_pages, runs, text, ok = pdf_extract(bytes(out))
+        assert ok and n_pages == 1 and text == "packed objects"
+
     def test_not_a_pdf_raises(self):
         with pytest.raises(ValueError):
             pdf_extract(b"GIF89a nope")
