@@ -43,7 +43,16 @@ def _spread(df: DataFrame) -> DataFrame:
     shuffle appears in the 100 TB plan."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # probe with inputFiles() (a cheap catalog listing) rather than
+    # df.rdd.getNumPartitions(), which forces full physical planning
+    # (~0.4s of driver time PER QUERY BUILD). Heuristic: fewer files
+    # than slots -> spread. An in-memory relation (tests) lists zero
+    # files and also spreads, which is harmless at that size.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # pragma: no cover — exotic sources
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits < target:
         return df.repartition(target)
     return df
 
@@ -124,16 +133,16 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
     # input. The array is never empty (shingle_hashes falls back to a
     # one-element array), so outer semantics are identical.
     rows = sh.select("doc_id", F.explode_outer("sh_hashes").alias("h"))
+    # SQL-string exprs: one parse each instead of ~4 py4j round trips
+    # per aggregate (driver-side build time, not executor time)
     aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh_{k}")
+        F.expr(f"min(xxhash64(h, {k})) AS mh_{k}")
         for k in range(num_hashes)
     ]
     grouped = rows.groupBy("doc_id").agg(*aggs)
+    sig = ", ".join(f"mh_{k}" for k in range(num_hashes))
     return grouped.select(
-        "doc_id",
-        F.array(*[F.col(f"mh_{k}") for k in range(num_hashes)])
-        .alias("signature"),
-    )
+        "doc_id", F.expr(f"array({sig})").alias("signature"))
 
 
 def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
@@ -143,27 +152,20 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
     (band_id, band_hash); no pairwise cross join ever materializes."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, shingle_n)
+
+    def band_struct(b):
+        cols = ", ".join(
+            f"cast(element_at(signature, {b * rows_per_band + r + 1})"
+            " as string)"
+            for r in range(rows_per_band)
+        )
+        return (f"struct({b} AS band_id, "
+                f"xxhash64(concat_ws(',', {cols})) AS band_hash)")
+
+    bands_expr = ", ".join(band_struct(b) for b in range(bands))
     banded = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature",
-                                             b * rows_per_band + r + 1)
-                                .cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
+        F.explode(F.expr(f"array({bands_expr})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
     left = banded.alias("l")
     right = banded.alias("r")
@@ -232,21 +234,21 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
         "doc_id",
         F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
     )
-    aggs = [F.count("h").alias("n")] + [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
-        .alias(f"ones_{b}")
+    # expressions as SQL strings: the Column-builder form costs one
+    # py4j round trip per F.* call (~700 for 64 bits -> seconds of
+    # DRIVER time per query build); each expr() is a single parse and
+    # produces the identical Catalyst tree (snapshot-oracle-verified)
+    aggs = [F.expr("count(h) AS n")] + [
+        F.expr(f"sum(shiftright(h, {b}) & 1) AS ones_{b}")
         for b in range(bits)
     ]
     voted = rows.groupBy("doc_id").agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp.bitwiseOR(
-            F.when(
-                (2 * F.col(f"ones_{b}")) > F.col("n"),
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return voted.select("doc_id", fp.alias("simhash"))
+    fp = " | ".join(
+        f"(CASE WHEN 2 * ones_{b} > n THEN shiftleft(CAST(1 AS BIGINT),"
+        f" {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return voted.select("doc_id", F.expr(fp).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
