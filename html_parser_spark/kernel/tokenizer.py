@@ -70,6 +70,9 @@ _TAG_NAME_RUN = re.compile(r"[^ \n\t\f\r/>\x00]+")
 _ATTR_NAME_RUN = re.compile(r"[^ \n\t\f\r=/>\x00]+")
 _UQ_VALUE_RUN = re.compile(r"[^ \n\t\f\r>\x00]+")
 _ATTR_NAME_BAD = re.compile(r"[^0-9A-Za-z\-_:]")
+(ST_TAG_NAME, ST_BEFORE_ATTR_NAME, ST_ATTR_NAME, ST_AFTER_ATTR_NAME,
+ ST_BEFORE_ATTR_VALUE, ST_ATTR_VALUE_DQ, ST_ATTR_VALUE_SQ,
+ ST_ATTR_VALUE_UQ, ST_SELF_CLOSING) = range(9)
 # end-tag name run: stops at ws / ">" / "/" (same set as the
 # per-char loop it replaces)
 _END_NAME_RUN = re.compile(r"[^ \n\t\f\r>/]*")
@@ -821,11 +824,21 @@ class Tokenizer:
                 return
         out.attrs.append((name, value))
 
-    def _parse_start_tag(self, out: Token) -> None:
-        (ST_TAG_NAME, ST_BEFORE_ATTR_NAME, ST_ATTR_NAME, ST_AFTER_ATTR_NAME,
-         ST_BEFORE_ATTR_VALUE, ST_ATTR_VALUE_DQ, ST_ATTR_VALUE_SQ,
-         ST_ATTR_VALUE_UQ, ST_SELF_CLOSING) = range(9)
+    def _enter_raw_for(self, name: str) -> None:
+        # tokenizer-level raw-state entry (src/tokenizer.c:1373-1387)
+        if name in _RCDATA_TAGS:
+            self.raw_tag = name
+            self.state = RCDATA
+        elif name == "script":
+            self.raw_tag = name
+            self.state = SCRIPT_DATA
+        elif name in _RAWTEXT_TAGS:
+            self.raw_tag = name
+            self.state = RAWTEXT
+        elif name == "plaintext":
+            self.state = PLAINTEXT
 
+    def _parse_start_tag(self, out: Token) -> None:
         s, n = self.input, self.len
         tag_name = []
         attr_name: list = []
@@ -833,6 +846,22 @@ class Tokenizer:
         out.type = TOKEN_START_TAG
         self.pos += 1  # '<'
         state = ST_TAG_NAME
+
+        # fast path: `<name>` with no attributes (the overwhelmingly
+        # common shape) — one regex run, no state machine. The caller
+        # guarantees s[pos] is alpha, so the run match cannot fail.
+        m = _TAG_NAME_RUN.match(s, self.pos)
+        if m is not None:
+            end = m.end()
+            nm = ascii_lower(m.group())
+            if end < n and s[end] == ">":
+                self.pos = end + 1
+                out.name = nm
+                self._enter_raw_for(nm)
+                return
+            # seed the state machine with the already-matched name run
+            tag_name.append(nm)
+            self.pos = end
 
         while self.pos <= n:
             p_ = self.pos
@@ -1018,20 +1047,7 @@ class Tokenizer:
         out.name = "".join(tag_name)
         if out.name == "":
             self._error("tag name missing")
-
-        # tokenizer-level raw-state entry (src/tokenizer.c:1373-1387)
-        name = out.name
-        if name in _RCDATA_TAGS:
-            self.raw_tag = name
-            self.state = RCDATA
-        elif name == "script":
-            self.raw_tag = name
-            self.state = SCRIPT_DATA
-        elif name in _RAWTEXT_TAGS:
-            self.raw_tag = name
-            self.state = RAWTEXT
-        elif name == "plaintext":
-            self.state = PLAINTEXT
+        self._enter_raw_for(out.name)
 
     # -- main dispatch (tokenizer_next, src/tokenizer.c:1505-1619) --
 
