@@ -143,9 +143,13 @@ Raw times local[{n_small}]: {result['times_small']}
 Raw times local[{n_big}]: {result['times_big']}
 
 Reference single-node baseline (BASELINE.md): 9.77 MB/s single-thread
-parse throughput. This pipeline's per-turn extraction at local[32]
-exceeds 1M turns/sec on the mixed corpus (see BENCH_r*.json), with the
-tiered fast path keeping markup-free turns entirely JVM-side.
+parse throughput. bench.py at local[32] (sf0.1, full-materialization
+noop sink) records the authoritative mixed-corpus turns/sec and dense-
+HTML MB/s per round in BENCH_r*.json — round 3: ~184k turns/sec mixed,
+~32 MB/s dense vs the reference's 9.77 single-thread — with the tiered
+fast path keeping markup-free turns entirely JVM-side. (The scaling
+table above amplifies the corpus 32x and caches it, so its absolute
+turns/sec are not comparable with bench.py's cold-scan numbers.)
 
 ## Round-2 note: headline metric + error-text feature
 
