@@ -12,8 +12,12 @@ parser is PURE STDLIB and REAL for the subset it claims:
   - object parser: recursive descent over dicts/arrays/names/numbers/
     booleans/null, literal strings (all escape forms incl. octal and
     line continuations), hex strings, indirect references
-  - streams: /Length (direct or indirect), /FlateDecode via zlib, or
-    unfiltered; unsupported filters mark the page, never raise
+  - streams: /Length (direct or indirect), FlateDecode /
+    ASCIIHexDecode filter chains, or unfiltered; unsupported filters
+    mark the page, never raise
+  - /ObjStm object streams (PDF 1.5+): packed objects are unpacked
+    after the byte scan (they live inside Flate streams the scan
+    cannot see); direct definitions win, matching incremental updates
   - page tree: trailer /Root -> catalog /Pages -> /Kids walk (depth-
     first, cycle-guarded), falling back to document-order /Type /Page
     objects when the tree is absent or broken
@@ -28,9 +32,10 @@ parser is PURE STDLIB and REAL for the subset it claims:
 Out of scope (documented, detected, tolerated): CID/composite fonts,
 per-font /Encoding differences (text is assumed to be the writer-side
 ASCII subset; bytes outside it pass through latin-1), encryption, and
-object streams (/ObjStm). A payload using those yields decode_ok=false
-rather than an exception — at 100 TB one weird PDF must mark its row,
-not kill the batch (same policy as decode_media).
+filters beyond Flate/ASCIIHex (LZW, DCT, RunLength). A payload using
+those yields decode_ok=false rather than an exception — at 100 TB one
+weird PDF must mark its row, not kill the batch (same policy as
+decode_media).
 
 The deterministic writer `pdf_encode` exists so the synthetic corpus
 carries REAL payloads; writer and parser are independent inverse
@@ -354,13 +359,8 @@ def _unpack_object_streams(objs: dict) -> None:
         filt = _resolve(objs, val.get("Filter"))
         if not isinstance(n, int) or not isinstance(first, int):
             continue
-        body = stream
-        if filt == "FlateDecode" or filt == ["FlateDecode"]:
-            try:
-                body = zlib.decompress(stream)
-            except zlib.error:
-                continue
-        elif filt is not None:
+        body = _apply_filters(stream, filt)
+        if body is None:
             continue  # unsupported filter on the container
         header = body[:first].split()
         if len(header) < 2 * n:
@@ -440,6 +440,35 @@ def _page_order(data: bytes, objs: dict) -> list:
     return pages
 
 
+def _apply_filters(stream: bytes, filt) -> bytes | None:
+    """Decode a stream through its filter chain. Supported:
+    FlateDecode, ASCIIHexDecode (and any chain of the two, e.g.
+    [/ASCIIHexDecode /FlateDecode]). None for unsupported filters or
+    corrupt data — the caller treats that as a tolerated decode
+    failure, never an exception."""
+    chain = filt if isinstance(filt, list) else ([] if filt is None
+                                                 else [filt])
+    for f in chain:
+        name = str(f)
+        if name == "FlateDecode":
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error:
+                return None
+        elif name == "ASCIIHexDecode":
+            body = stream.split(b">")[0]
+            hx = re.sub(rb"\s+", b"", body)
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                stream = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+        else:
+            return None
+    return stream
+
+
 def _page_content(objs: dict, page: dict) -> bytes | None:
     """Decoded, concatenated content stream(s) of one page. None when
     a stream uses an unsupported filter (the tolerated-subset marker)."""
@@ -454,14 +483,9 @@ def _page_content(objs: dict, page: dict) -> bytes | None:
         if stream is None or not isinstance(d, dict):
             return None
         filt = _resolve(objs, d.get("Filter"))
-        if filt in (None, "FlateDecode") or filt == ["FlateDecode"]:
-            if filt is not None:
-                try:
-                    stream = zlib.decompress(stream)
-                except zlib.error:
-                    return None
-        else:
-            return None  # unsupported filter: tolerated, not decoded
+        stream = _apply_filters(stream, filt)
+        if stream is None:
+            return None  # unsupported filter/corrupt data: tolerated
         out.append(stream)
     return b"\n".join(out)
 

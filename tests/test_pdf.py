@@ -152,6 +152,40 @@ class TestRobustness:
         n_pages, runs, text, ok = pdf_extract(bytes(out))
         assert ok and n_pages == 1 and text == "packed objects"
 
+    def test_asciihex_filter_and_chain(self):
+        """ASCIIHexDecode streams and [ASCIIHex, Flate] chains decode;
+        a still-unsupported filter (LZW) marks the page not-ok."""
+        content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (hex stream) Tj ET"
+
+        def doc_with(stream_bytes, filter_clause):
+            objs = [
+                (f"<< /Length {len(stream_bytes)} {filter_clause} >>"
+                 .encode()) + b"\nstream\n" + stream_bytes + b"\nendstream",
+                b"<< /Type /Page /Parent 4 0 R /Contents 1 0 R >>",
+                b"<< /Type /Catalog /Pages 4 0 R >>",
+                b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>",
+            ]
+            out = bytearray(b"%PDF-1.4\n")
+            for i, b in enumerate(objs):
+                out += f"{i + 1} 0 obj\n".encode() + b + b"\nendobj\n"
+            out += b"trailer\n<< /Size 5 /Root 3 0 R >>\n%%EOF\n"
+            return bytes(out)
+
+        hexed = content.hex().encode() + b">"
+        _, _, text, ok = pdf_extract(
+            doc_with(hexed, "/Filter /ASCIIHexDecode"))
+        assert ok and text == "hex stream"
+
+        # chain: hex-encoding OF the deflated bytes -> [AHx, Fl]
+        chained = zlib.compress(content).hex().encode() + b">"
+        _, _, text, ok = pdf_extract(doc_with(
+            chained, "/Filter [/ASCIIHexDecode /FlateDecode]"))
+        assert ok and text == "hex stream"
+
+        _, _, text, ok = pdf_extract(
+            doc_with(content, "/Filter /LZWDecode"))
+        assert not ok and text == ""
+
     def test_not_a_pdf_raises(self):
         with pytest.raises(ValueError):
             pdf_extract(b"GIF89a nope")
