@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+_SPREAD_CACHE: dict = {}  # (sc id, file set) -> scan partition count
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Spread compute-heavy per-row work across all cores when the scan
     produced fewer partitions than the cluster has slots (tiny-file /
@@ -43,15 +46,22 @@ def _spread(df: DataFrame) -> DataFrame:
     shuffle appears in the 100 TB plan."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # probe with inputFiles() (a cheap catalog listing) rather than
-    # df.rdd.getNumPartitions(), which forces full physical planning
-    # (~0.4s of driver time PER QUERY BUILD). Heuristic: fewer files
-    # than slots -> spread. An in-memory relation (tests) lists zero
-    # files and also spreads, which is harmless at that size.
+    # the TRUE scan partition count needs df.rdd.getNumPartitions(),
+    # which forces a physical-planning pass (~0.4s of driver time) —
+    # memoize it per file-set so repeated query builds over the same
+    # table pay it once. File count alone is NOT a valid proxy: a few
+    # large splittable files already scan as many partitions, and
+    # repartitioning those would shuffle the whole input for nothing.
     try:
-        n_splits = len(df.inputFiles())
+        files = tuple(sorted(df.inputFiles()))
     except Exception:  # pragma: no cover — exotic sources
+        files = ()
+    key = (id(sc), files)
+    n_splits = _SPREAD_CACHE.get(key) if files else None
+    if n_splits is None:
         n_splits = df.rdd.getNumPartitions()
+        if files:
+            _SPREAD_CACHE[key] = n_splits
     if n_splits < target:
         return df.repartition(target)
     return df
@@ -598,7 +608,10 @@ def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
     centroids = _ivf_seed_anchors(train, n_cells, seed)
     dim = len(centroids[0])
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = _spread(train).select(vec_d.alias("vec"))
+    # persist: every Lloyd iteration is a separate job over the same
+    # training vectors — without this the scan + sample filter +
+    # spread shuffle + cast re-execute n_iters times
+    base = _spread(train).select(vec_d.alias("vec")).persist()
     for _ in range(n_iters):
         assigned = base.withColumn(
             "cell", _nearest_cell_expr(F.col("vec"), centroids))
@@ -619,6 +632,7 @@ def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
         if new == centroids:
             break
         centroids = new
+    base.unpersist()
     return centroids
 
 

@@ -311,11 +311,16 @@ def _scan_objects(data: bytes) -> dict:
     are unpacked too — those are invisible to the byte scan because
     they live inside a Flate stream."""
     objs = {}
-    for m in _OBJ_RE.finditer(data):
+    fixups = []  # nums whose /Length was indirect at scan time
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            break
         num = int(m.group(1))
-        i = m.end()
+        pos = m.end()
         try:
-            val, j = _parse_value(data, i)
+            val, j = _parse_value(data, pos)
         except (ValueError, IndexError):
             continue
         stream = None
@@ -335,9 +340,32 @@ def _scan_objects(data: bytes) -> dict:
             if isinstance(ln, int) and 0 <= ln <= len(raw):
                 raw = raw[:ln]
             else:
-                raw = raw.rstrip(b"\r\n")
+                # indirect/absent Length: resolve after the full scan
+                # (the length object may be defined later in the file)
+                fixups.append(num)
             stream = raw
+            # resume the scan PAST the stream body: raw binary stream
+            # bytes (images, fonts) can contain spurious "N G obj"
+            # matches that would clobber real objects
+            pos = end + len(b"endstream")
+        else:
+            pos = j
         objs[num] = (val, stream)
+    for num in fixups:
+        val, raw = objs[num]
+        if raw is None:  # redefined later without a stream
+            continue
+        ln = _resolve(objs, val.get("Length")) if isinstance(val, dict) \
+            else None
+        if isinstance(ln, int) and 0 <= ln <= len(raw):
+            raw = raw[:ln]
+        # else: strip at most ONE trailing EOL separator — a blanket
+        # rstrip would eat Flate bytes that legitimately end in \n/\r
+        elif raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+        objs[num] = (val, raw)
     _unpack_object_streams(objs)
     return objs
 
@@ -473,6 +501,8 @@ def _page_content(objs: dict, page: dict) -> bytes | None:
     """Decoded, concatenated content stream(s) of one page. None when
     a stream uses an unsupported filter (the tolerated-subset marker)."""
     contents = page.get("Contents")
+    if contents is None:
+        return b""  # a page with no /Contents is a valid EMPTY page
     refs = contents if isinstance(contents, list) else [contents]
     out = []
     for ref in refs:
@@ -550,6 +580,14 @@ def _content_runs(content: bytes) -> list:
         j = i
         while j < n and content[j] not in _WS and content[j] not in _DELIM:
             j += 1
+        if j == i:
+            # stray delimiter byte (unmatched ) ] > { } — inline image
+            # data, Type-3 glyphs, corrupt-but-inflatable streams):
+            # skip it, or the loop never advances (a hang the per-row
+            # try/except cannot catch)
+            i += 1
+            stack.clear()
+            continue
         op = content[i:j]
         i = j
         if op == b"BT":

@@ -115,7 +115,12 @@ def conversation_sessions(extracted: DataFrame,
 
         t = pd.Timestamp(ts)
         if t.tzinfo is None:
-            t = t.tz_localize(session_tz)
+            # DST folds/gaps: pick the DST interpretation for ambiguous
+            # wall times and shift nonexistent ones forward — both
+            # deterministic, and at worst 1h of idle-timeout slack
+            # twice a year (raising here would kill the whole query)
+            t = t.tz_localize(session_tz, ambiguous=True,
+                              nonexistent="shift_forward")
         return int(t.timestamp() * 1000)
 
     def fn(key, pdfs, state):

@@ -152,6 +152,76 @@ class TestRobustness:
         n_pages, runs, text, ok = pdf_extract(bytes(out))
         assert ok and n_pages == 1 and text == "packed objects"
 
+    def test_stray_delimiter_does_not_hang(self):
+        """Regression: a bare unmatched delimiter in a content stream
+        (inline image data, corrupt-but-inflatable payloads) must be
+        skipped, not spin the interpreter forever."""
+        from html_parser_spark.spark.pdf import _content_runs
+
+        runs = _content_runs(
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (abc) Tj ET )")
+        assert [r[2] for r in runs] == ["abc"]
+        runs = _content_runs(b"] } > BT (x) Tj ET")  # leading strays
+        assert [r[2] for r in runs] == ["x"]
+
+    def test_stream_body_does_not_clobber_objects(self):
+        """Regression: raw binary stream bytes containing 'N G obj'
+        must not overwrite real object N (the scan resumes past
+        endstream)."""
+        payload = pdf_encode([[(72, 700, "survives")]], compress=False)
+        evil = (b"9 0 obj\n<< /Length 11 >>\nstream\n"
+                b"3 0 obj 7 \nendstream\nendobj\n")
+        # splice the evil stream BEFORE the real objects so a naive
+        # rescan of its body would redefine object 3 (the page)
+        hacked = payload.replace(b"1 0 obj", evil + b"1 0 obj", 1)
+        _, _, text, ok = pdf_extract(hacked)
+        assert ok and text == "survives"
+
+    def test_indirect_length_with_trailing_eol_bytes(self):
+        """Regression: /Length as an indirect ref with Flate data that
+        legitimately ends in EOL bytes must not be rstripped away."""
+        content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (indirect len) Tj ET"
+        # brute-force a zlib payload whose LAST byte is an EOL byte by
+        # padding the plaintext with a trailing %-comment (ignored by
+        # the content interpreter)
+        body = None
+        for pad in range(2000):
+            cand = zlib.compress(
+                content + b" %" + bytes([65 + pad % 26]) * (pad // 26 + 1))
+            if cand.endswith((b"\n", b"\r")):
+                body = cand
+                break
+        assert body is not None, "no trailing-EOL zlib sample found"
+        objs = [
+            b"<< /Length 5 0 R /Filter /FlateDecode >>\nstream\n"
+            + body + b"\nendstream",                                  # 1
+            b"<< /Type /Page /Parent 4 0 R /Contents 1 0 R >>",       # 2
+            b"<< /Type /Catalog /Pages 4 0 R >>",                     # 3
+            b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>",             # 4
+            str(len(body)).encode(),                                  # 5
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        for i, b in enumerate(objs):
+            out += f"{i + 1} 0 obj\n".encode() + b + b"\nendobj\n"
+        out += b"trailer\n<< /Size 6 /Root 3 0 R >>\n%%EOF\n"
+        _, _, text, ok = pdf_extract(bytes(out))
+        assert ok and text == "indirect len"
+
+    def test_contentless_page_is_valid_empty(self):
+        """A page with no /Contents key is a legal empty page, not a
+        decode failure."""
+        objs = [
+            b"<< /Type /Page /Parent 3 0 R >>",                       # 1
+            b"<< /Type /Catalog /Pages 3 0 R >>",                     # 2
+            b"<< /Type /Pages /Kids [1 0 R] /Count 1 >>",             # 3
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        for i, b in enumerate(objs):
+            out += f"{i + 1} 0 obj\n".encode() + b + b"\nendobj\n"
+        out += b"trailer\n<< /Size 4 /Root 2 0 R >>\n%%EOF\n"
+        n_pages, runs, text, ok = pdf_extract(bytes(out))
+        assert ok and n_pages == 1 and text == "" and runs == []
+
     def test_asciihex_filter_and_chain(self):
         """ASCIIHexDecode streams and [ASCIIHex, Flate] chains decode;
         a still-unsupported filter (LZW) marks the page not-ok."""
