@@ -340,6 +340,44 @@ class TestSparkOperator:
         assert "BatchEvalPython" not in plan
 
 
+def test_fuzz_mutated_payloads_terminate():
+    """Robustness fuzz: random byte corruptions of valid payloads must
+    terminate promptly and either extract or raise ValueError — the
+    only exception type the Spark kernel's contract documents. A hang
+    here is the one failure mode per-row tolerance cannot absorb."""
+    import random
+    import signal
+
+    rng = random.Random(20260816)
+    base_payloads = [p for _d, p, *_ in synth_pdf_corpus(6, 42)[:6]]
+
+    def on_alarm(_sig, _frm):  # pragma: no cover — only fires on bug
+        raise TimeoutError("pdf_extract hung on mutated payload")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    try:
+        for trial in range(300):
+            payload = bytearray(rng.choice(base_payloads))
+            for _ in range(rng.randint(1, 8)):
+                op = rng.random()
+                pos = rng.randrange(len(payload))
+                if op < 0.5:
+                    payload[pos] = rng.randrange(256)
+                elif op < 0.8:  # truncate
+                    payload = payload[:max(pos, 16)]
+                else:  # duplicate a slice (fake incremental update)
+                    payload += payload[pos:pos + 64]
+            signal.alarm(10)
+            try:
+                pdf_extract(bytes(payload))
+            except ValueError:
+                pass
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+
+
 def test_property_roundtrip_random_layout():
     """Hypothesis: arbitrary word grids at arbitrary positions survive
     the writer->parser->layout roundtrip."""
