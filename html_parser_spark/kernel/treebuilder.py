@@ -1879,6 +1879,12 @@ class TreeBuilder:
         data = t.data
         if not data:
             return _CHECK
+        if self.mode == IN_BODY and data.strip(_WS_STR):
+            # fast path: non-whitespace text in body (the dominant
+            # shape) — identical to the fall-through below
+            self._reconstruct_formatting(self._current())
+            self._current().append_child(Node(TEXT, None, data))
+            return _CHECK
         if not data.strip(_WS_STR):
             if self.mode == IN_BODY:
                 if not self._in_template_context():
@@ -1934,8 +1940,21 @@ class TreeBuilder:
         if act is not None:
             return act
 
+        # hot-path dispatch first (token types are exclusive, so the
+        # check order is semantics-free; EOF happens once per fragment)
+        ttype = t.type
+        if ttype == TOKEN_START_TAG:
+            return self._start_tag_fragment(t)
+        if ttype == TOKEN_CHARACTER:
+            return self._character_fragment(t)
+        if ttype == TOKEN_END_TAG:
+            return self._end_tag_fragment(t)
+        if ttype == TOKEN_COMMENT:
+            self._current().append_child(Node(COMMENT, None, t.data or ""))
+            return _CHECK
+
         mode = self.mode
-        if t.type == TOKEN_EOF:
+        if ttype == TOKEN_EOF:
             # (4132-4178)
             if mode == IN_TEMPLATE:
                 return _STOP
@@ -1958,16 +1977,6 @@ class TreeBuilder:
                 return _STOP
             return _STOP
 
-        ttype = t.type
-        if ttype == TOKEN_START_TAG:
-            return self._start_tag_fragment(t)
-        if ttype == TOKEN_END_TAG:
-            return self._end_tag_fragment(t)
-        if ttype == TOKEN_COMMENT:
-            self._current().append_child(Node(COMMENT, None, t.data or ""))
-            return _CHECK
-        if ttype == TOKEN_CHARACTER:
-            return self._character_fragment(t)
         # NOTE: a DOCTYPE token in the fragment loop falls into the C
         # switch's default -> goto stop_parsing (4646-4648). Reproduced.
         return _STOP
