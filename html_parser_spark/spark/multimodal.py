@@ -17,14 +17,14 @@ forbidden, so everything here is PURE STDLIB):
     uncompressed-GIF technique; dispatch is by magic bytes.
   - audio/wav : REAL decode + encode (stdlib `wave` + struct, 16-bit
     PCM).
-  - video/mp4 : container demux is REAL (ISO-BMFF box parsing —
-    mvhd duration, tkhd dimensions via `mp4_probe`); only SAMPLE
-    decoding is stubbed: an honest NotImplementedError under
-    strict=True (the documented integration point for a real codec,
-    e.g. pyav shipped via --py-files) and a deterministic payload
-    digest otherwise, so the Spark-side plumbing (schema,
-    partitioning, batch shape, frame-grid explode) is real and tested
-    even where the codec is not.
+  - video/mp4 : container demux is REAL — box parsing (`mp4_probe`:
+    mvhd duration, tkhd dims, v0/v1/largesize) AND the sample table
+    (`mp4_samples`: stts/stsc/stsz/stco -> absolute per-sample byte
+    ranges + timestamps), so `sample_frames` emits the ACTUAL sample
+    bytes nearest each grid point. Only PIXEL decoding of a sample is
+    stubbed: an honest NotImplementedError under strict=True (the
+    documented integration point for a real codec, e.g. pyav shipped
+    via --py-files) and a deterministic payload digest otherwise.
 
 Everything around the kernels is production-shaped: payloads never
 pass through Python row-at-a-time, metadata is JVM-prunable, and frame
@@ -401,8 +401,13 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
                     "sample_rate": 16000}
         else:
             dur = 1000 * (1 + i % 30)
-            payload = mp4_encode_stub(
-                dur, 64, 48, _noise(f"{seed}:vid:{i}", 256 + (i % 5) * 128))
+            # REAL sample table: one frame blob per second of duration
+            nf = 1 + i % 30
+            frames = [
+                _noise(f"{seed}:vid:{i}:f{k}", 96 + (k % 4) * 32)
+                for k in range(nf)
+            ]
+            payload = mp4_encode_stub(dur, 64, 48, b"", frames=frames)
             meta = {"format": "mp4", "width": 64, "height": 48,
                     "duration_ms": dur, "sample_rate": None}
         rows.append((i, kind, bytearray(payload), meta))
@@ -576,10 +581,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                   max_frames: int = 8) -> DataFrame:
     """Frame sampling for video: JVM-side explode of the sample GRID
     (timestamps from metadata — no payload touched), then one batched
-    kernel slicing payload bytes per sampled frame (the byte slicing
-    stands in for the stubbed mp4 demux). At scale the pre-explode
-    keeps Python traffic proportional to sampled frames, not to video
-    bytes."""
+    kernel that demuxes the REAL ISO-BMFF sample table (mp4_samples:
+    stts/stsc/stsz/stco) and emits the actual sample bytes nearest
+    each grid timestamp; payloads without a sample table fall back to
+    proportional byte slicing. At scale the pre-explode keeps Python
+    traffic proportional to sampled frames, not to video bytes."""
     vids = df.where(F.col("kind") == "video").select(
         "media_id", "payload",
         F.least(
@@ -599,11 +605,27 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
         for pdf in batches:
             payloads = []
-            for payload, idx in zip(pdf["payload"], pdf["frame_idx"]):
+            table_cache: dict = {}
+            for payload, idx, fms in zip(pdf["payload"], pdf["frame_idx"],
+                                         pdf["frame_ms"]):
                 b = bytes(payload)
-                chunk = max(len(b) // max_frames, 1)
-                start = int(idx) * chunk
-                payloads.append(bytearray(b[start:start + chunk]))
+                if b not in table_cache:  # keyed by content: the same
+                    # payload appears once per exploded grid row
+                    try:
+                        table_cache[b] = mp4_samples(b)
+                    except ValueError:
+                        table_cache[b] = []
+                samples = table_cache[b]
+                if samples:
+                    # real demux: the sample whose timestamp is
+                    # nearest the grid point
+                    off, size, _t = min(
+                        samples, key=lambda sm: abs(sm[2] - int(fms)))
+                    payloads.append(bytearray(b[off:off + size]))
+                else:  # no sample table: proportional byte slice
+                    chunk = max(len(b) // max_frames, 1)
+                    start = int(idx) * chunk
+                    payloads.append(bytearray(b[start:start + chunk]))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "frame_idx": pdf["frame_idx"],
@@ -684,17 +706,143 @@ def _box(btype: bytes, body: bytes) -> bytes:
 
 
 def mp4_encode_stub(duration_ms: int, width: int, height: int,
-                    payload: bytes) -> bytes:
-    """Minimal VALID ISO-BMFF skeleton (ftyp + moov{mvhd,trak{tkhd}} +
-    mdat carrying `payload`) so the demux path runs on real boxes; no
-    codec samples are encoded (the stub boundary)."""
+                    payload: bytes, frames: list | None = None) -> bytes:
+    """VALID ISO-BMFF skeleton (ftyp + moov{mvhd, trak{tkhd, mdia{
+    mdhd, minf{stbl{stsd,stts,stsc,stsz,stco}}}}} + mdat) so the demux
+    path runs on real boxes. With `frames` (list of per-frame byte
+    blobs) a REAL sample table is written: uniform stts durations,
+    one-chunk stsc, per-sample stsz, absolute stco offset into mdat.
+    Only the CODEC (pixel decode of the sample bytes) stays stubbed."""
     timescale = 1000
     mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
             + struct.pack(">II", timescale, duration_ms)
             + b"\x00" * 80)
     tkhd = (b"\x00\x00\x00\x07" + b"\x00" * 72
             + struct.pack(">II", width << 16, height << 16))
-    moov = _box(b"moov", _box(b"mvhd", mvhd)
-                + _box(b"trak", _box(b"tkhd", tkhd)))
-    return (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-            + moov + _box(b"mdat", payload))
+    trak_body = _box(b"tkhd", tkhd)
+    mdat_body = payload
+    stco_fixup = None
+    if frames:
+        mdat_body = b"".join(frames)
+        n = len(frames)
+        dur_per = max(duration_ms // n, 1)
+        mdhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">II", timescale, duration_ms)
+                + b"\x00" * 4)
+        stsd = b"\x00" * 4 + struct.pack(">I", 0)
+        stts = (b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">II", n, dur_per))
+        stsc = (b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">III", 1, n, 1))
+        stsz = (b"\x00" * 4 + struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+        # stco offset is absolute within the file; patched below once
+        # the moov size is known
+        stco = (b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">I", 0))
+        stbl = (_box(b"stsd", stsd) + _box(b"stts", stts)
+                + _box(b"stsc", stsc) + _box(b"stsz", stsz)
+                + _box(b"stco", stco))
+        minf = _box(b"minf", _box(b"stbl", stbl))
+        trak_body += _box(b"mdia", _box(b"mdhd", mdhd) + minf)
+        stco_fixup = True
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", trak_body))
+    head = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    if stco_fixup:
+        # first sample starts right after the 8-byte mdat header
+        off = struct.pack(">I", len(head) + 8)
+        idx = head.rindex(b"stco")
+        head = head[:idx + 12] + off + head[idx + 16:]
+    return head + _box(b"mdat", mdat_body)
+
+
+def mp4_samples(data: bytes) -> list:
+    """REAL sample-table demux: returns [(offset, size, time_ms)] per
+    sample by walking moov/trak/mdia/minf/stbl and combining stts
+    (durations), stsz (sizes), stsc (sample->chunk), stco/co64 (chunk
+    offsets). Offsets are absolute file offsets, so callers can slice
+    actual sample bytes out of the payload. Raises ValueError on
+    non-BMFF; returns [] when the file carries no sample table."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    boxes = {}
+
+    def walk(buf, base):
+        pos = 0
+        while pos + 8 <= len(buf):
+            (size,) = struct.unpack(">I", buf[pos:pos + 4])
+            btype = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > len(buf):
+                    break
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = len(buf) - pos
+            if size < hdr:
+                break
+            body = buf[pos + hdr:pos + size]
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, base + pos + hdr)
+            elif btype in (b"stts", b"stsz", b"stsc", b"stco", b"co64",
+                           b"mdhd"):
+                boxes.setdefault(btype, body)
+            pos += size
+
+    walk(data, 0)
+    if not all(k in boxes for k in (b"stts", b"stsz", b"stco")):
+        return []
+    # timescale from mdhd (v0)
+    timescale = 1000
+    mdhd = boxes.get(b"mdhd")
+    if mdhd is not None and len(mdhd) >= 20 and mdhd[0] == 0:
+        (timescale,) = struct.unpack(">I", mdhd[12:16])
+        timescale = timescale or 1000
+    # sizes
+    b = boxes[b"stsz"]
+    uniform, count = struct.unpack(">II", b[4:12])
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack(f">{count}I", b[12:12 + 4 * count]))
+    # durations -> per-sample start times
+    b = boxes[b"stts"]
+    (n_ent,) = struct.unpack(">I", b[4:8])
+    times = []
+    t = 0
+    for e in range(n_ent):
+        cnt, dur = struct.unpack(">II", b[8 + 8 * e:16 + 8 * e])
+        for _ in range(cnt):
+            times.append(int(t * 1000 / timescale))
+            t += dur
+    # chunk offsets
+    b = boxes[b"stco"]
+    (n_chunks,) = struct.unpack(">I", b[4:8])
+    chunk_offs = list(struct.unpack(f">{n_chunks}I", b[8:8 + 4 * n_chunks]))
+    # sample->chunk map (default: all samples in chunk 1)
+    spc = [(1, len(sizes))]
+    if b"stsc" in boxes:
+        sb = boxes[b"stsc"]
+        (n_stsc,) = struct.unpack(">I", sb[4:8])
+        spc = []
+        for e in range(n_stsc):
+            first, per, _desc = struct.unpack(
+                ">III", sb[8 + 12 * e:20 + 12 * e])
+            spc.append((first, per))
+    samples = []
+    si = 0
+    for ci, coff in enumerate(chunk_offs, start=1):
+        per = spc[0][1]
+        for first, p in spc:
+            if first <= ci:
+                per = p
+        off = coff
+        for _ in range(per):
+            if si >= len(sizes):
+                break
+            samples.append(
+                (off, sizes[si], times[si] if si < len(times) else 0))
+            off += sizes[si]
+            si += 1
+    return samples

@@ -292,6 +292,45 @@ class TestMultimodal:
         data3 = _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov + tail
         assert mp4_probe(data3)[:3] == (dur_ms, w, h)
 
+    def test_mp4_sample_table_roundtrip(self):
+        """Writer and demux are inverse: stts/stsc/stsz/stco written by
+        mp4_encode_stub parse back to the exact frame byte ranges."""
+        from html_parser_spark.spark.multimodal import (
+            mp4_encode_stub, mp4_probe, mp4_samples,
+        )
+
+        frames = [bytes([65 + k]) * (80 + 13 * k) for k in range(6)]
+        data = mp4_encode_stub(6000, 64, 48, b"", frames=frames)
+        assert mp4_probe(data)[:3] == (6000, 64, 48)
+        samples = mp4_samples(data)
+        assert len(samples) == 6
+        for (off, size, t), f, k in zip(samples, frames, range(6)):
+            assert data[off:off + size] == f
+            assert t == k * 1000
+        # payload without a sample table -> [] (byte-slice fallback)
+        legacy = mp4_encode_stub(3000, 64, 48, b"x" * 500)
+        assert mp4_samples(legacy) == []
+
+    def test_sample_frames_returns_real_sample_bytes(self, spark):
+        """The Spark operator must emit the ACTUAL demuxed sample bytes
+        (nearest the grid timestamp), not byte slices, for payloads
+        carrying a sample table."""
+        from html_parser_spark.spark.multimodal import (
+            sample_frames, synth_media_df, mp4_samples,
+        )
+
+        df = synth_media_df(spark, 9)
+        vids = {r.media_id: bytes(r.payload)
+                for r in df.where("kind = 'video'").collect()}
+        rows = sample_frames(df, every_ms=1000, max_frames=4).collect()
+        assert rows
+        for r in rows:
+            samples = mp4_samples(vids[r.media_id])
+            assert samples, "synthetic videos must carry sample tables"
+            off, size, _t = min(
+                samples, key=lambda sm: abs(sm[2] - r.frame_ms))
+            assert bytes(r.payload) == vids[r.media_id][off:off + size]
+
     def test_frame_sampling_counts(self, spark):
         from html_parser_spark.spark.multimodal import (
             sample_frames, synth_media_df,
