@@ -605,17 +605,18 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
         for pdf in batches:
             payloads = []
-            table_cache: dict = {}
-            for payload, idx, fms in zip(pdf["payload"], pdf["frame_idx"],
-                                         pdf["frame_ms"]):
+            table_cache: dict = {}  # media_id -> parsed sample table
+            for mid, payload, idx, fms in zip(
+                    pdf["media_id"], pdf["payload"], pdf["frame_idx"],
+                    pdf["frame_ms"]):
                 b = bytes(payload)
-                if b not in table_cache:  # keyed by content: the same
-                    # payload appears once per exploded grid row
+                mid = int(mid)
+                if mid not in table_cache:
                     try:
-                        table_cache[b] = mp4_samples(b)
+                        table_cache[mid] = mp4_samples(b)
                     except ValueError:
-                        table_cache[b] = []
-                samples = table_cache[b]
+                        table_cache[mid] = []
+                samples = table_cache[mid]
                 if samples:
                     # real demux: the sample whose timestamp is
                     # nearest the grid point
@@ -791,8 +792,23 @@ def mp4_samples(data: bytes) -> list:
             pos += size
 
     walk(data, 0)
-    if not all(k in boxes for k in (b"stts", b"stsz", b"stco")):
+    has_offsets = b"stco" in boxes or b"co64" in boxes
+    if not (b"stts" in boxes and b"stsz" in boxes and has_offsets):
         return []
+    try:
+        return _parse_sample_table(boxes, len(data))
+    except (struct.error, IndexError, ValueError):
+        # corrupt/truncated table: tolerated (same per-row policy as
+        # every other media decode path), never a batch-killing escape
+        return []
+
+
+def _parse_sample_table(boxes: dict, file_len: int) -> list:
+    """The trusting part of mp4_samples, isolated so the caller can
+    catch struct/index errors from truncated boxes. Every count field
+    is corruption-controlled 32-bit data: bound it by what the BOX
+    BODY can actually hold before materializing any list (a crafted
+    ~100-byte payload must not allocate gigabytes)."""
     # timescale from mdhd (v0)
     timescale = 1000
     mdhd = boxes.get(b"mdhd")
@@ -803,33 +819,56 @@ def mp4_samples(data: bytes) -> list:
     b = boxes[b"stsz"]
     uniform, count = struct.unpack(">II", b[4:12])
     if uniform:
+        # a file cannot hold more uniform-size samples than bytes
+        count = min(count, file_len // max(uniform, 1) + 1)
         sizes = [uniform] * count
     else:
+        if 12 + 4 * count > len(b):
+            raise ValueError("stsz count exceeds box body")
         sizes = list(struct.unpack(f">{count}I", b[12:12 + 4 * count]))
+    max_samples = len(sizes)
     # durations -> per-sample start times
     b = boxes[b"stts"]
     (n_ent,) = struct.unpack(">I", b[4:8])
+    if 8 + 8 * n_ent > len(b):
+        raise ValueError("stts entries exceed box body")
     times = []
     t = 0
     for e in range(n_ent):
         cnt, dur = struct.unpack(">II", b[8 + 8 * e:16 + 8 * e])
+        cnt = min(cnt, max_samples - len(times))  # bounded by stsz
         for _ in range(cnt):
             times.append(int(t * 1000 / timescale))
             t += dur
-    # chunk offsets
-    b = boxes[b"stco"]
-    (n_chunks,) = struct.unpack(">I", b[4:8])
-    chunk_offs = list(struct.unpack(f">{n_chunks}I", b[8:8 + 4 * n_chunks]))
+        if len(times) >= max_samples:
+            break
+    # chunk offsets: stco (32-bit) or co64 (64-bit)
+    if b"stco" in boxes:
+        b = boxes[b"stco"]
+        (n_chunks,) = struct.unpack(">I", b[4:8])
+        if 8 + 4 * n_chunks > len(b):
+            raise ValueError("stco entries exceed box body")
+        chunk_offs = list(struct.unpack(
+            f">{n_chunks}I", b[8:8 + 4 * n_chunks]))
+    else:
+        b = boxes[b"co64"]
+        (n_chunks,) = struct.unpack(">I", b[4:8])
+        if 8 + 8 * n_chunks > len(b):
+            raise ValueError("co64 entries exceed box body")
+        chunk_offs = list(struct.unpack(
+            f">{n_chunks}Q", b[8:8 + 8 * n_chunks]))
     # sample->chunk map (default: all samples in chunk 1)
     spc = [(1, len(sizes))]
     if b"stsc" in boxes:
         sb = boxes[b"stsc"]
         (n_stsc,) = struct.unpack(">I", sb[4:8])
+        if 8 + 12 * n_stsc > len(sb):
+            raise ValueError("stsc entries exceed box body")
         spc = []
         for e in range(n_stsc):
             first, per, _desc = struct.unpack(
                 ">III", sb[8 + 12 * e:20 + 12 * e])
-            spc.append((first, per))
+            spc.append((first, min(per, max_samples)))
     samples = []
     si = 0
     for ci, coff in enumerate(chunk_offs, start=1):

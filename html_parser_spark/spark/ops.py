@@ -56,11 +56,24 @@ def _spread(df: DataFrame) -> DataFrame:
         files = tuple(sorted(df.inputFiles()))
     except Exception:  # pragma: no cover — exotic sources
         files = ()
-    key = (id(sc), files)
-    n_splits = _SPREAD_CACHE.get(key) if files else None
+    # applicationId (not id(sc)) keys the cache: object ids recycle
+    # across context restarts and would serve stale counts. In-memory
+    # relations (no files) key on the canonicalized-plan hash instead
+    # of bypassing the cache entirely.
+    if files:
+        key = (sc.applicationId, files)
+    else:
+        try:
+            key = (sc.applicationId,
+                   df._jdf.queryExecution().logical().semanticHash())
+        except Exception:  # pragma: no cover
+            key = None
+    n_splits = _SPREAD_CACHE.get(key) if key is not None else None
     if n_splits is None:
         n_splits = df.rdd.getNumPartitions()
-        if files:
+        if key is not None:
+            if len(_SPREAD_CACHE) > 256:  # bound: tiny, rarely hit
+                _SPREAD_CACHE.clear()
             _SPREAD_CACHE[key] = n_splits
     if n_splits < target:
         return df.repartition(target)
@@ -612,6 +625,14 @@ def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
     # training vectors — without this the scan + sample filter +
     # spread shuffle + cast re-execute n_iters times
     base = _spread(train).select(vec_d.alias("vec")).persist()
+    try:
+        return _lloyd_iterate(base, centroids, dim, n_iters)
+    finally:
+        base.unpersist()
+
+
+def _lloyd_iterate(base: DataFrame, centroids: list, dim: int,
+                   n_iters: int) -> list:
     for _ in range(n_iters):
         assigned = base.withColumn(
             "cell", _nearest_cell_expr(F.col("vec"), centroids))
@@ -632,7 +653,6 @@ def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
         if new == centroids:
             break
         centroids = new
-    base.unpersist()
     return centroids
 
 

@@ -351,7 +351,7 @@ def _scan_objects(data: bytes) -> dict:
         else:
             pos = j
         objs[num] = (val, stream)
-    for num in fixups:
+    for num in dict.fromkeys(fixups):  # dedupe: one-EOL strip must run once
         val, raw = objs[num]
         if raw is None:  # redefined later without a stream
             continue

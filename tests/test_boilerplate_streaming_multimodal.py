@@ -311,6 +311,46 @@ class TestMultimodal:
         legacy = mp4_encode_stub(3000, 64, 48, b"x" * 500)
         assert mp4_samples(legacy) == []
 
+    def test_mp4_sample_table_corruption_bounded(self):
+        """Corruption-controlled count fields must neither escape as
+        struct.error nor allocate unbounded lists; co64 (64-bit chunk
+        offsets) parses like stco."""
+        import struct
+
+        from html_parser_spark.spark.multimodal import _box, mp4_samples
+
+        def bmff(*stbl_boxes):
+            stbl = b"".join(stbl_boxes)
+            moov = _box(b"moov", _box(b"trak", _box(
+                b"mdia", _box(b"minf", _box(b"stbl", stbl)))))
+            return _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+
+        z4 = b"\x00" * 4
+        # truncated stsz body: tolerated, not struct.error
+        bad = bmff(_box(b"stsz", b"\x00" * 6),
+                   _box(b"stts", z4 + struct.pack(">I", 0)),
+                   _box(b"stco", z4 + struct.pack(">I", 0)))
+        assert mp4_samples(bad) == []
+        # 0xFFFFFFFF counts: bounded by what the file can hold
+        crafted = bmff(
+            _box(b"stsz", z4 + struct.pack(">II", 7, 0xFFFFFFFF)),
+            _box(b"stts", z4 + struct.pack(">I", 1)
+                 + struct.pack(">II", 0xFFFFFFFF, 1)),
+            _box(b"stco", z4 + struct.pack(">I", 1)
+                 + struct.pack(">I", 0)),
+        )
+        assert len(mp4_samples(crafted)) < 100
+        # co64
+        good = bmff(
+            _box(b"stsz", z4 + struct.pack(">II", 0, 2)
+                 + struct.pack(">II", 10, 20)),
+            _box(b"stts", z4 + struct.pack(">I", 1)
+                 + struct.pack(">II", 2, 500)),
+            _box(b"co64", z4 + struct.pack(">I", 1)
+                 + struct.pack(">Q", 100)),
+        )
+        assert mp4_samples(good) == [(100, 10, 0), (110, 20, 500)]
+
     def test_sample_frames_returns_real_sample_bytes(self, spark):
         """The Spark operator must emit the ACTUAL demuxed sample bytes
         (nearest the grid timestamp), not byte slices, for payloads
