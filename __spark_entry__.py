@@ -419,6 +419,30 @@ def _q_pdf_extract(spark, sf_dir):
     )
 
 
+def _q_source_stats(spark, sf_dir):
+    from html_parser_spark.spark.ops import source_stats
+
+    return source_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_knn_label_purity(spark, sf_dir):
+    # similarity-search application layer: k-NN majority-label
+    # classification over the embedding space (exact top-k; purity is
+    # an exact k-denominator fraction so values hash stably)
+    from html_parser_spark.spark.ops import knn_label_purity
+
+    return knn_label_purity(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+def _q_event_sessions(spark, sf_dir):
+    # batch gap-based sessionization (the SQL-oracled face of the
+    # streaming conversation_sessions operator)
+    from html_parser_spark.spark.ops import event_sessions
+
+    return event_sessions(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -452,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
         "pdf_extract": _q_pdf_extract,
+        "source_stats": _q_source_stats,
+        "knn_label_purity": _q_knn_label_purity,
+        "event_sessions": _q_event_sessions,
     }
 
 
@@ -799,6 +826,79 @@ def oracle_sql() -> dict[str, str]:
             "extracted_text, spans, parse_error_texts",
         ),
         "minhash_lsh": _snap("minhash_lsh", "doc_a, doc_b"),
+        "source_stats": """
+            SELECT source,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(count(distinct md5(text)) as bigint)
+                       AS n_unique_texts,
+                   cast(sum(length(text)) as bigint) AS n_chars_total
+            FROM documents GROUP BY source
+        """,
+        "knn_label_purity": """
+            WITH v AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> cast(x as double))
+                           AS vec
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, vec AS qvec FROM v
+                WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+            ), scored AS (
+                SELECT q.query_id, v.vec_id AS corpus_id, v.label,
+                       list_sum(list_transform(generate_series(1, len(qvec)),
+                                i -> qvec[i] * vec[i]))
+                       / (sqrt(list_sum(list_transform(qvec, x -> x*x)))
+                          * sqrt(list_sum(list_transform(vec, x -> x*x))))
+                           AS cosine
+                FROM q, v WHERE v.vec_id <> q.query_id
+            ), topk AS (
+                SELECT query_id, corpus_id, label FROM (
+                    SELECT query_id, corpus_id, label,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+                    FROM scored
+                ) WHERE rank <= 5
+            ), lab AS (
+                SELECT query_id, label, count(*) AS n
+                FROM topk GROUP BY query_id, label
+            ), best AS (
+                SELECT query_id, label, n FROM (
+                    SELECT query_id, label, n,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY n DESC, label ASC) AS rk
+                    FROM lab
+                ) WHERE rk = 1
+            )
+            SELECT b.query_id,
+                   qe.label AS query_label,
+                   b.label AS majority_label,
+                   b.n / 5.0 AS purity
+            FROM best b JOIN embeddings qe ON qe.vec_id = b.query_id
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   cast(session_id as bigint) AS session_id,
+                   cast(count(*) as bigint) AS n_events,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts
+            FROM sess GROUP BY user_id, session_id
+        """,
         # pdf_extract: GENERATOR-side expected values (independent of
         # the parser — see _q_pdf_extract docstring), not an output pin
         "pdf_extract": f"""

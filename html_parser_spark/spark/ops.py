@@ -764,3 +764,100 @@ def winnowing_fingerprints(documents: DataFrame, k: int = 8,
         F.when(n >= k + w - 1, F.array_min(fps))
         .otherwise(F.md5("text")).alias("min_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus analytics + similarity-search application layer (round 3)
+# ---------------------------------------------------------------------------
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus rollup for curation dashboards: doc count,
+    distinct-text count (exact-dedup rate per source), and total
+    characters. One groupBy shuffle; all-integer aggregates so the
+    values are exactly deterministic under any partitioning."""
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+            F.sum(F.length("text")).alias("n_chars_total"),
+        )
+    )
+
+
+def knn_label_purity(embeddings: DataFrame, query_ids: list[int],
+                     k: int = 5) -> DataFrame:
+    """k-NN classification over the embedding space: for each query
+    vector, the majority label among its exact cosine top-k (the
+    similarity-search APPLICATION layer — dedup/clustering quality in
+    one number). Majority ties break to the smallest label; purity is
+    an exact k-denominator fraction, so values are hash-stable.
+    Scale path: reuses ann_bruteforce's broadcast-query top-k; the
+    label join is a broadcast of (vec_id, label) onto k*|queries|
+    rows."""
+    from pyspark.sql import Window
+
+    topk = ann_bruteforce(embeddings, query_ids, k)
+    labels = embeddings.select("vec_id", "label")
+    labeled = topk.join(
+        F.broadcast(labels.withColumnRenamed("vec_id", "corpus_id")),
+        "corpus_id",
+    )
+    counts = labeled.groupBy("query_id", "label").agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n"), F.asc("label"))
+    best = counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1)
+    qlab = embeddings.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+    )
+    return (
+        best.join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id", "query_label",
+            F.col("label").alias("majority_label"),
+            (F.col("n") / k).alias("purity"),
+        )
+    )
+
+
+def event_sessions(events: DataFrame,
+                   gap_minutes: int = 30) -> DataFrame:
+    """Batch gap-based sessionization of the events stream: a new
+    session starts when a user's inter-event gap exceeds
+    `gap_minutes`. Classic two-window plan — lag to flag session
+    starts, cumulative sum to number sessions — then one aggregate.
+    All outputs are integers/timestamps (no double sums), so results
+    are partitioning-deterministic. The windows partition by user_id:
+    the per-user event list is the unit of state, exactly how the
+    streaming variant (conversation_sessions) shards its state store."""
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    # parquet timestamps read as TIMESTAMP_NTZ, which Spark refuses to
+    # cast straight to long — hop through timestamp (wall time in the
+    # session tz, matching DuckDB's epoch() on the same naive value)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    flagged = events.select(
+        "user_id", "event_id", "ts",
+        F.when(
+            epoch - F.lag(epoch).over(w_user) > gap_s, 1
+        ).otherwise(0).alias("new_session"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )

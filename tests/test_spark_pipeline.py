@@ -484,6 +484,66 @@ def test_minhash_cross_derivation(spark):
         assert got[doc_id] == sig, doc_id
 
 
+def test_source_stats_rollup(spark):
+    from html_parser_spark.spark.ops import source_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa", "en", "web", 2), (2, "aa", "en", "web", 2),
+         (3, "bb", "en", "web", 2), (4, "cc", "en", "books", 2)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    rows = {r.source: r for r in source_stats(df).collect()}
+    assert rows["web"].n_docs == 3
+    assert rows["web"].n_unique_texts == 2  # "aa" deduped
+    assert rows["web"].n_chars_total == 6
+    assert rows["books"].n_docs == 1
+
+
+def test_knn_label_purity_on_clusters(spark):
+    """On well-separated labeled clusters, the exact top-k neighbors
+    of any member share its label -> purity 1.0 and majority ==
+    query label."""
+    from html_parser_spark.spark.ops import knn_label_purity
+
+    emb = _clustered_embeddings(spark)  # 4 clusters of 25
+    labeled = emb.selectExpr(
+        "vec_id", "embedding",
+        "cast(vec_id / 25 as int) AS label")
+    rows = knn_label_purity(labeled, [0, 25, 50, 75], k=5).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.majority_label == r.query_label
+        assert r.purity == 1.0
+
+
+def test_event_sessions_gap_split(spark):
+    import datetime
+
+    from html_parser_spark.spark.ops import event_sessions
+
+    t0 = datetime.datetime(2020, 1, 1, 10, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid,
+                "click", 1.0, "{}")
+
+    df = spark.createDataFrame(
+        [ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 20),   # session 0
+         ev(4, 7, 120), ev(5, 7, 125),              # session 1 (gap>30)
+         ev(6, 9, 0)],                              # other user
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {(r.user_id, r.session_id): r
+            for r in event_sessions(df, gap_minutes=30).collect()}
+    assert rows[(7, 0)].n_events == 3
+    assert rows[(7, 1)].n_events == 2
+    assert rows[(9, 0)].n_events == 1
+    assert rows[(7, 1)].first_ts == t0 + __import__(
+        "datetime").timedelta(minutes=120)
+
+
 def test_ann_ivf_full_probe_equals_bruteforce(spark):
     """IVF with n_probe == n_cells searches every cell — the result
     must equal exact brute force, rank for rank."""
