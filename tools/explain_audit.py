@@ -169,6 +169,33 @@ def main():
          and "EvalPython" not in p),
     ])
 
+    audit("source_stats (per-source rollup)",
+          qs["source_stats"](spark, SF_DIR), [
+        ("partial (map-side) aggregation",
+         lambda p: p.count("HashAggregate") >= 2
+         or p.count("ObjectHashAggregate") >= 2),
+        ("no join, no Python", lambda p: "Join" not in p
+         and "EvalPython" not in p),
+    ])
+
+    audit("knn_label_purity (k-NN classification)",
+          qs["knn_label_purity"](spark, SF_DIR), [
+        ("no cartesian/broadcast-nested-loop join",
+         lambda p: "CartesianProduct" not in p),
+        ("label + query joins broadcast",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("per-query top-k + majority windows",
+         lambda p: "row_number" in p),
+    ])
+
+    audit("event_sessions (gap sessionization)",
+          qs["event_sessions"](spark, SF_DIR), [
+        ("single user_id shuffle feeds both windows and the aggregate",
+         lambda p: p.count("hashpartitioning(user_id") == 1),
+        ("no join, no Python",
+         lambda p: "Join" not in p and "EvalPython" not in p),
+    ])
+
     audit("pdf_extract (Arrow-batched kernel)",
           qs["pdf_extract"](spark, SF_DIR), [
         ("exactly one Python crossing (MapInPandas)",
