@@ -1007,12 +1007,18 @@ class TreeBuilder:
         attrs = t.attrs
         if name not in _IN_BODY_SPECIAL:
             # fast path: generic element insertion (identical to the
-            # tail below — the special-tag chain can't apply)
+            # tail below — the special-tag chain can't apply).
+            # in_template MUST be read at entry, as the slow path does:
+            # _body_autoclose can pop the template content wrapper, and
+            # reading it afterwards would re-ensure <body> where the
+            # reference inserts at document level (found by fuzz seed
+            # 10026: "<tbody><template ><thead").
+            in_template = self._in_template_context()
             is_fmt = name in FMT_TAGS
             if is_fmt:
                 self._reconstruct_formatting(self._current())
             self._body_autoclose(name)
-            if not self._in_template_context():
+            if not in_template:
                 self._ensure_body()
             n = Node(ELEMENT, name or "")
             self._attach(n, attrs)

@@ -240,3 +240,33 @@ class TestDeepNesting:
             if want.endswith("\n"):
                 want = want[:-1]
             assert parse_document(text).dump() == want
+
+
+class TestTemplateAutocloseInterplay:
+    """Regression for the round-3 in-body fast path: in_template must
+    be read BEFORE _body_autoclose (which can pop the template content
+    wrapper). Found by differential fuzz (seed 10026); the reference
+    inserts the section tag at DOCUMENT level here."""
+
+    CASES = [
+        "<tbody><template ><thead",
+        "<tbody><template><thead></thead>",
+        "<template><tbody><thead>x",
+        "<tbody><template ><tfoot",
+        "<table><template><colgroup>",
+    ]
+
+    def test_template_autoclose_matches_reference(self, refbuild):
+        import subprocess
+
+        for text in self.CASES:
+            path = "/tmp/_tmpl_case.html"
+            with open(path, "w") as f:
+                f.write(text)
+            p = subprocess.run(["./parse_html", path], cwd=refbuild,
+                               capture_output=True, timeout=60)
+            out = p.stdout.decode("utf-8", errors="surrogateescape")
+            want = "\n".join(out.split("\n")[1:])
+            if want.endswith("\n"):
+                want = want[:-1]
+            assert parse_document(text).dump() == want, text
