@@ -18,6 +18,10 @@ from html_parser_spark.kernel.tree import serialize_html
 
 
 def _load(refbuild, case):
+    if case.get("input_b64"):  # synthetic case: bytes embedded in json
+        import base64
+
+        return base64.b64decode(case["input_b64"])
     with open(os.path.join(refbuild, case["file"]), "rb") as f:
         return f.read()
 

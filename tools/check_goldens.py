@@ -45,7 +45,12 @@ def main():
         name = case["case"]
         if filters and not any(f in name for f in filters):
             continue
-        raw = open(os.path.join(REFBUILD, case["file"]), "rb").read()
+        if case.get("input_b64"):
+            import base64
+
+            raw = base64.b64decode(case["input_b64"])
+        else:
+            raw = open(os.path.join(REFBUILD, case["file"]), "rb").read()
         try:
             if case["mode"] == "document":
                 res = parse_document(raw)

@@ -32,8 +32,13 @@ def main() -> int:
     for case in cases:
         if args and not any(a in case["case"] for a in args):
             continue
-        with open(os.path.join(REFBUILD, case["file"]), "rb") as f:
-            raw = f.read()
+        if case.get("input_b64"):
+            import base64
+
+            raw = base64.b64decode(case["input_b64"])
+        else:
+            with open(os.path.join(REFBUILD, case["file"]), "rb") as f:
+                raw = f.read()
         if case["mode"] == "document":
             res = parse_document(raw)
         else:

@@ -81,11 +81,71 @@ def parse_error_texts(stderr: str) -> list[str]:
     ]
 
 
+# Synthetic stress inputs minted with EMBEDDED bytes (input_b64): the
+# refbuild tests dir is recreated from the read-only reference, so
+# these cannot live there as files. Family chosen from fuzz-found weak
+# spots: template x table-section interplay (the r3 order-of-read
+# regression), foster parenting + templates, AAA over table modes.
+SYNTH_DOC_CASES = [
+    ("synth_tmpl_thead_eof", "<tbody><template ><thead"),
+    ("synth_tmpl_thead_closed", "<tbody><template><thead></thead>"),
+    ("synth_tmpl_tbody_thead", "<template><tbody><thead>x"),
+    ("synth_tmpl_tfoot_eof", "<tbody><template ><tfoot"),
+    ("synth_tmpl_colgroup", "<table><template><colgroup>"),
+    ("synth_tmpl_caption", "<tr><template><caption>y</caption></template>"),
+    ("synth_tmpl_table_in_tmpl", "<template><table><td>z"),
+    ("synth_tmpl_select", "<td><template><select><option>o"),
+    ("synth_tmpl_nested", "<template><template><tr><td>n"),
+    ("synth_tmpl_form", "<template><form><input><form>"),
+    ("synth_foster_tmpl", "<table><template>x</template>y</table>"),
+    ("synth_tbody_b_thead", "<tbody><b><thead>t"),
+    ("synth_table_tr_tmpl_td", "<table><tr><template><td>c"),
+    ("synth_aaa_table", "<b><table><td></b><i></table>w"),
+    ("synth_section_after_html", "</html><thead>q"),
+    ("synth_tmpl_frameset", "<template><frameset>"),
+    ("synth_tmpl_head_meta", "<template><meta charset='x'><title>t"),
+    ("synth_tmpl_script_raw", "<template><script><td></script><td>s"),
+]
+
+
 def main():
     fixtures = sorted(
         f for f in os.listdir(TESTS) if f.endswith(".html")
     )
     cases = []
+
+    import base64
+
+    for name, html in SYNTH_DOC_CASES:
+        tmp = os.path.join(TESTS, "_synth_case.html")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(html)
+        rel = "tests/_synth_case.html"
+        rc, out, _ = run(["./parse_html", rel])
+        if rc != 0:
+            print(f"SKIP synth {name}: rc={rc}", file=sys.stderr)
+            continue
+        lines = out.split("\n")
+        dump = "\n".join(lines[1:])
+        if dump.endswith("\n"):
+            dump = dump[:-1]
+        _, _, err = run(["./parse_html", rel],
+                        env={"HTMLPARSER_PARSE_ERRORS": "1"})
+        rc2, ser, _ = run(["./serialize_demo", rel])
+        cases.append({
+            "case": name,
+            "mode": "document",
+            "context": None,
+            "file": None,
+            "input_b64": base64.b64encode(
+                html.encode("utf-8")).decode("ascii"),
+            "dump": dump,
+            "serialized": ser if rc2 == 0 else None,
+            "error_count": count_parse_errors(err),
+            "errors": parse_error_texts(err),
+        })
+    if os.path.exists(os.path.join(TESTS, "_synth_case.html")):
+        os.unlink(os.path.join(TESTS, "_synth_case.html"))
     for fx in fixtures:
         rel = f"tests/{fx}"
         rc, out, _ = run(["./parse_html", rel])
