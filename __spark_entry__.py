@@ -16,7 +16,7 @@ oracle_sql()   — a DuckDB oracle for EVERY query: real ANSI-SQL
                  conversation rollup; pinned deterministic snapshots
                  (tools/mint_oracle_snapshots.py) for the seeded-hash
                  and kernel-surface queries, whose byte-level gates
-                 are tests/ (3,865 golden cases + differential fuzz
+                 are tests/ (3,883 golden cases + differential fuzz
                  vs the reference binaries, incl. parse-error TEXTS).
 """
 
