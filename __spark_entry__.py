@@ -721,8 +721,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, corpus_id, rank FROM (
                 SELECT query_id, corpus_id,
+                       -- round like the Spark side (ops.ann_bruteforce
+                       -- ranks round(cosine, 6)) so near-ties at the
+                       -- k boundary collapse identically
                        row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cosine DESC, corpus_id ASC)
+                                          ORDER BY round(cosine, 6) DESC,
+                                                   corpus_id ASC)
                            AS rank
                 FROM scored
             ) WHERE rank <= 5
@@ -856,7 +860,8 @@ def oracle_sql() -> dict[str, str]:
                     SELECT query_id, corpus_id, label,
                            row_number() OVER (
                                PARTITION BY query_id
-                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+                               ORDER BY round(cosine, 6) DESC,
+                                        corpus_id ASC) AS rank
                     FROM scored
                 ) WHERE rank <= 5
             ), lab AS (
@@ -880,9 +885,14 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
-                                PARTITION BY user_id
-                                ORDER BY ts, event_id) > 1800
+                       -- floor to whole seconds: Spark's
+                       -- cast(ts as long) truncates, so the oracle
+                       -- must compare at the same precision or
+                       -- near-1800s gaps split on one side only
+                       CASE WHEN cast(floor(epoch(ts)) as bigint)
+                                - lag(cast(floor(epoch(ts)) as bigint))
+                                  OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) > 1800
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
             ), sess AS (

@@ -605,18 +605,21 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
         for pdf in batches:
             payloads = []
-            table_cache: dict = {}  # media_id -> parsed sample table
-            for mid, payload, idx, fms in zip(
-                    pdf["media_id"], pdf["payload"], pdf["frame_idx"],
-                    pdf["frame_ms"]):
+            # keyed by a CONTENT digest: media_id alone would apply the
+            # first row's sample table to a different payload if ids
+            # ever duplicate upstream; one blake2b pass per exploded
+            # row (<= max_frames per video) is the price of safety
+            table_cache: dict = {}
+            for payload, idx, fms in zip(
+                    pdf["payload"], pdf["frame_idx"], pdf["frame_ms"]):
                 b = bytes(payload)
-                mid = int(mid)
-                if mid not in table_cache:
+                key = hashlib.blake2b(b, digest_size=16).digest()
+                if key not in table_cache:
                     try:
-                        table_cache[mid] = mp4_samples(b)
+                        table_cache[key] = mp4_samples(b)
                     except ValueError:
-                        table_cache[mid] = []
-                samples = table_cache[mid]
+                        table_cache[key] = []
+                samples = table_cache[key]
                 if samples:
                     # real demux: the sample whose timestamp is
                     # nearest the grid point
@@ -871,17 +874,22 @@ def _parse_sample_table(boxes: dict, file_len: int) -> list:
             spc.append((first, min(per, max_samples)))
     samples = []
     si = 0
+    spc_i = 0  # advancing index: stsc first_chunk is monotonic, so the
+    # per-chunk rescan a crafted huge stsc could turn quadratic is
+    # unnecessary — one pass over chunks + one over entries
+    per = spc[0][1] if spc else len(sizes)
     for ci, coff in enumerate(chunk_offs, start=1):
-        per = spc[0][1]
-        for first, p in spc:
-            if first <= ci:
-                per = p
+        while spc_i + 1 < len(spc) and spc[spc_i + 1][0] <= ci:
+            spc_i += 1
+        per = spc[spc_i][1]
         off = coff
         for _ in range(per):
             if si >= len(sizes):
-                break
+                return samples
             samples.append(
                 (off, sizes[si], times[si] if si < len(times) else 0))
             off += sizes[si]
             si += 1
+        if si >= len(sizes):
+            break
     return samples

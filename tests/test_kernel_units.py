@@ -256,11 +256,12 @@ class TestTemplateAutocloseInterplay:
         "<table><template><colgroup>",
     ]
 
-    def test_template_autoclose_matches_reference(self, refbuild):
+    def test_template_autoclose_matches_reference(self, refbuild,
+                                                   tmp_path):
         import subprocess
 
-        for text in self.CASES:
-            path = "/tmp/_tmpl_case.html"
+        for i, text in enumerate(self.CASES):
+            path = str(tmp_path / f"tmpl_case_{i}.html")
             with open(path, "w") as f:
                 f.write(text)
             p = subprocess.run(["./parse_html", path], cwd=refbuild,

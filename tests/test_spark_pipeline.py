@@ -540,6 +540,21 @@ def test_event_sessions_gap_split(spark):
     assert rows[(7, 0)].n_events == 3
     assert rows[(7, 1)].n_events == 2
     assert rows[(9, 0)].n_events == 1
+    # near-boundary fractional gaps: semantics are floor-EACH-then-
+    # diff (both the operator and its oracle truncate per timestamp):
+    # .900 -> .100 is a true 1799.2s gap whose floored diff is exactly
+    # 1800 -> merged; the next floored diff is 1801 -> split
+    import datetime as _dt
+    frac = spark.createDataFrame(
+        [(1, _dt.datetime(2020, 1, 1, 10, 0, 0, 900000), 5, "c", 1.0, "{}"),
+         (2, _dt.datetime(2020, 1, 1, 10, 30, 0, 100000), 5, "c", 1.0, "{}"),
+         (3, _dt.datetime(2020, 1, 1, 11, 0, 1, 200000), 5, "c", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted((r.session_id, r.n_events)
+                 for r in event_sessions(frac, gap_minutes=30).collect())
+    assert got == [(0, 2), (1, 1)], got
     assert rows[(7, 1)].first_ts == t0 + __import__(
         "datetime").timedelta(minutes=120)
 

@@ -126,6 +126,7 @@ def main():
             print(f"SKIP synth {name}: rc={rc}", file=sys.stderr)
             continue
         lines = out.split("\n")
+        assert lines[0].startswith("--- "), lines[0]
         dump = "\n".join(lines[1:])
         if dump.endswith("\n"):
             dump = dump[:-1]
