@@ -443,6 +443,17 @@ def _q_event_sessions(spark, sf_dir):
     return event_sessions(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _q_curate_corpus(spark, sf_dir):
+    # the end-to-end curation composition (quality gate -> exact dedup
+    # -> LSH-candidate near-dup strip) as one declarative plan; the
+    # oracle re-derives every stage in ANSI SQL (exact all-pairs
+    # jaccard at oracle scale; the Spark side verifies only LSH
+    # candidates — recall at j>=0.8 with 16x2 banding is ~1-1e-7)
+    from html_parser_spark.spark.ops import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -479,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": _q_source_stats,
         "knn_label_purity": _q_knn_label_purity,
         "event_sessions": _q_event_sessions,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -881,6 +893,48 @@ def oracle_sql() -> dict[str, str]:
                    b.label AS majority_label,
                    b.n / 5.0 AS purity
             FROM best b JOIN embeddings qe ON qe.vec_id = b.query_id
+        """,
+        "curate_corpus": f"""
+            WITH q AS (
+                SELECT doc_id, text, source, lang,
+                       round((length(regexp_replace(text, '[^a-zA-Z]',
+                                                    '', 'g'))
+                              / greatest(length(text), 1)
+                              + len(list_filter(string_split(text, ' '),
+                                                t -> t in {_EN_STOP}))
+                              / greatest(len(string_split(text, ' ')), 1)
+                              + case when length(text) between 100 and 2000
+                                     then 1.0 else 0.5 end) / 3.0, 6)
+                           AS quality
+                FROM documents
+            ), qs AS (
+                SELECT * FROM q WHERE quality >= 0.55
+            ), canon AS (
+                SELECT min(doc_id) AS doc_id FROM qs GROUP BY md5(text)
+            ), ek AS (
+                SELECT qs.* FROM qs JOIN canon USING (doc_id)
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                         list_distinct(list_transform(
+                           generate_series(0,
+                               len(string_split(text,' ')) - 3),
+                           i -> array_to_string(
+                               string_split(text,' ')[i+1:i+3], ' ')))
+                       ELSE [array_to_string(string_split(text,' '), ' ')]
+                       END AS shingles
+                FROM ek
+            ), drops AS (
+                SELECT DISTINCT b.doc_id
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.shingles, b.shingles))
+                      / (len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles)))
+                      >= 0.8
+            )
+            SELECT ek.doc_id, ek.source, ek.lang
+            FROM ek ANTI JOIN drops USING (doc_id)
         """,
         "event_sessions": """
             WITH flagged AS (

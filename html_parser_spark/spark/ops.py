@@ -861,3 +861,39 @@ def event_sessions(events: DataFrame,
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
+                  jaccard_threshold: float = 0.8) -> DataFrame:
+    """END-TO-END training-data curation as ONE declarative plan —
+    the composition a 100 TB corpus actually runs:
+
+      1. quality gate   — heuristic score >= quality_min (rounded to
+                          6dp on both engines so the boundary is
+                          identical in Spark and the SQL oracle)
+      2. exact dedup    — keep the min doc_id per md5(text)
+      3. near-dup strip — minhash-LSH candidates (16x2 banding:
+                          collision probability at jaccard 0.8 is
+                          1-(1-0.64)^16 ~ 1-1e-7) verified by exact
+                          jaccard; of each verified pair the higher
+                          doc_id is dropped (single-pass rule — no
+                          transitive closure, so the plan stays a
+                          bounded DAG; the canonical survivor of a
+                          dup CLUSTER is reachable in one more pass)
+
+    Everything stays in Catalyst: two aggregations, one band-keyed
+    equi-join, one anti-join — no cross join, no Python. Returns the
+    surviving (doc_id, source, lang)."""
+    q = quality_score(documents).where(
+        F.col("quality") >= quality_min).select("doc_id")
+    base = documents.join(q, "doc_id").select(
+        "doc_id", "text", "source", "lang")
+    canon = base.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"))
+    exact_kept = base.join(canon.select("doc_id"), "doc_id")
+    cand = minhash_lsh_candidates(exact_kept, num_hashes=32, bands=16)
+    dup_pairs = ngram_jaccard_pairs(
+        exact_kept, threshold=jaccard_threshold, candidates=cand)
+    drops = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact_kept.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang")

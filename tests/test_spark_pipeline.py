@@ -559,6 +559,35 @@ def test_event_sessions_gap_split(spark):
         "datetime").timedelta(minutes=120)
 
 
+def test_curate_corpus_stages(spark):
+    """Planted scenario: the curation plan must drop the low-quality
+    doc, the exact duplicate, and the near-duplicate — and keep the
+    canonical + unique survivors."""
+    from html_parser_spark.spark.ops import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog wanders off to find a quiet spot by the river "
+            "where the grass grows tall and the water runs clear "
+            "under the old wooden bridge near the mill") * 2
+    near = good + " extra tail words here"
+    other = ("a completely different passage about spark shuffles and "
+             "the cost of wide transformations across a cluster of "
+             "executors reading columnar files from object storage "
+             "with adaptive query execution enabled for the join") * 2
+    docs = [
+        (1, good, "en", "web", len(good)),
+        (2, good, "en", "web", len(good)),      # exact dup of 1
+        (3, near, "en", "web", len(near)),      # near dup of 1
+        (4, other, "en", "books", len(other)),  # unique
+        (5, "x y z", "en", "web", 5),           # low quality (short)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    kept = sorted(r.doc_id for r in curate_corpus(df).collect())
+    assert kept == [1, 4], kept
+
+
 def test_ann_ivf_full_probe_equals_bruteforce(spark):
     """IVF with n_probe == n_cells searches every cell — the result
     must equal exact brute force, rank for rank."""

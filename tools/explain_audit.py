@@ -196,6 +196,18 @@ def main():
          lambda p: "Join" not in p and "EvalPython" not in p),
     ])
 
+    audit("curate_corpus (end-to-end curation DAG)",
+          qs["curate_corpus"](spark, SF_DIR), [
+        ("no cartesian/broadcast-nested-loop anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python in the plan",
+         lambda p: "EvalPython" not in p and "MapInArrow" not in p
+         and "MapInPandas" not in p),
+        ("near-dup drop is an anti-join",
+         lambda p: "LeftAnti" in p),
+    ])
+
     audit("pdf_extract (Arrow-batched kernel)",
           qs["pdf_extract"](spark, SF_DIR), [
         ("exactly one Python crossing (MapInPandas)",
