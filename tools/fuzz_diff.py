@@ -151,6 +151,39 @@ def gen_rawbytes(rng: random.Random) -> bytes:
                               for _ in range(rng.randint(0, 6)))
 
 
+_TABLE_TAGS = ["table", "thead", "tbody", "tfoot", "tr", "td", "th",
+               "caption", "colgroup", "col", "template", "select",
+               "option", "form", "b", "p", "div"]
+
+
+def gen_tables(rng: random.Random) -> str:
+    """Template x table-section interplay stress (the region where the
+    r3 order-of-read fast-path regression hid): dense streams of
+    section/template/form tags, unterminated tags at EOF, stray end
+    tags — the mode-replace + autoclose + foster machinery."""
+    parts = []
+    for _ in range(rng.randint(2, 24)):
+        r = rng.random()
+        tag = rng.choice(_TABLE_TAGS)
+        if r < 0.45:
+            sp = rng.choice(["", " ", "  "])
+            parts.append(f"<{tag}{sp}>")
+        elif r < 0.65:
+            parts.append(f"</{tag}>")
+        elif r < 0.75:
+            parts.append(rng.choice(["x", " ", "yz", "&amp;"]))
+        elif r < 0.85:
+            parts.append(f"<{tag} a='1'")  # unterminated
+            if rng.random() < 0.5:
+                break
+        else:
+            parts.append(rng.choice([
+                "</html>", "<!--c-->", "<template><thead",
+                "<table><template>", "</template>", "<input hidden>",
+            ]))
+    return "".join(parts)
+
+
 def gen(rng: random.Random) -> str:
     parts = []
     for _ in range(rng.randint(1, 40)):
@@ -224,7 +257,8 @@ def main():
     else:
         style = "mixed"
     gen_fn = {"mixed": gen, "formatting": gen_formatting,
-              "foreign": gen_foreign, "rawbytes": gen_rawbytes}[style]
+              "foreign": gen_foreign, "rawbytes": gen_rawbytes,
+              "tables": gen_tables}[style]
     args = [a for a in sys.argv[1:] if not a.startswith("--")
             and a not in ("formatting", "foreign", "mixed", "rawbytes")]
     if args:
