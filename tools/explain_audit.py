@@ -57,14 +57,28 @@ def main():
         tdf.write.mode("overwrite").parquet(tpath)
     tp = spark.read.parquet(tpath)
     ext = extract_turns(tp, ordered=True)
-    audit("extract_turns (tiered)", ext, [
-        ("exactly one Python stage (the hard tier)",
+    audit("extract_turns (single-scan default)", ext, [
+        ("exactly one Python stage",
          lambda p: p.count("+- MapInArrow") + p.count("+- PythonMapInArrow")
          == 1 and "EvalPython" not in p and "MapInPandas" not in p),
+        ("reads the input ONCE (no union-of-filters double scan)",
+         # formatted plans name each scan twice (tree + detail header)
+         lambda p: p.count("+- Scan parquet") == 1 and "Union" not in p),
         ("window for stable ordering present",
          lambda p: "Window" in p),
         ("scan prunes to transcript columns",
          lambda p: "ReadSchema" in p),
+    ])
+
+    ext_tiered = extract_turns(tp, ordered=True, single_scan=False)
+    audit("extract_turns (JVM tier split)", ext_tiered, [
+        ("exactly one Python stage (the hard tier)",
+         lambda p: p.count("+- MapInArrow") + p.count("+- PythonMapInArrow")
+         == 1 and "EvalPython" not in p and "MapInPandas" not in p),
+        ("trivial tier stays JVM-side (union of two subplans)",
+         lambda p: "Union" in p),
+        ("window for stable ordering present",
+         lambda p: "Window" in p),
     ])
 
     qs = se.queries()
