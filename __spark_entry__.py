@@ -445,10 +445,14 @@ def _q_event_sessions(spark, sf_dir):
 
 def _q_curate_corpus(spark, sf_dir):
     # the end-to-end curation composition (quality gate -> exact dedup
-    # -> LSH-candidate near-dup strip) as one declarative plan; the
-    # oracle re-derives every stage in ANSI SQL (exact all-pairs
-    # jaccard at oracle scale; the Spark side verifies only LSH
-    # candidates — recall at j>=0.8 with 16x2 banding is ~1-1e-7)
+    # -> LSH-candidate near-dup strip) as one declarative plan. The
+    # oracle re-derives every stage in ANSI SQL with EXACT all-pairs
+    # jaccard at oracle scale, while the Spark side verifies only LSH
+    # candidates: a pair at exactly j=0.8 misses all 16 2-row bands
+    # with probability (1-0.8^2)^16 = 7.9e-8 (smaller above 0.8, where
+    # real dups live), so a gate divergence needs a borderline pair
+    # AND a 1-in-12.6M banding miss — accepted and documented rather
+    # than silently depended on
     from html_parser_spark.spark.ops import curate_corpus
 
     return curate_corpus(_t(spark, sf_dir, "documents"))

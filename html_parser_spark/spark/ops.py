@@ -881,16 +881,22 @@ def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
                           bounded DAG; the canonical survivor of a
                           dup CLUSTER is reachable in one more pass)
 
-    Everything stays in Catalyst: two aggregations, one band-keyed
-    equi-join, one anti-join — no cross join, no Python. Returns the
+    Everything stays in Catalyst — no cross join, no Python node.
+    NOTE on recompute: as a PURE plan (so the correctness gate can run
+    it cold), the quality-gate + dedup subtree is re-evaluated by each
+    consumer (minhash branch, both jaccard sides, the final anti-join
+    left — ~5 scans of the source at this size). A production 100 TB
+    run materializes `exact_kept` between stages (persist(), or the
+    checkpoint writer in spark/checkpoint.py) and pays ONE scan per
+    stage; the composition and results are identical. Returns the
     surviving (doc_id, source, lang)."""
     q = quality_score(documents).where(
         F.col("quality") >= quality_min).select("doc_id")
     base = documents.join(q, "doc_id").select(
         "doc_id", "text", "source", "lang")
-    canon = base.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id"))
-    exact_kept = base.join(canon.select("doc_id"), "doc_id")
+    canon = exact_dedup(base).select(
+        F.col("canonical_doc_id").alias("doc_id"))
+    exact_kept = base.join(canon, "doc_id")
     cand = minhash_lsh_candidates(exact_kept, num_hashes=32, bands=16)
     dup_pairs = ngram_jaccard_pairs(
         exact_kept, threshold=jaccard_threshold, candidates=cand)

@@ -27,6 +27,10 @@ from .udfs import EXTRACT_SPARK_SCHEMA, _calibrate, make_extract_map_in_arrow
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "ts"]
+_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, "
+    "ts timestamp, " + EXTRACT_SPARK_SCHEMA
+)
 
 # characters that force the Python kernel: markup, charrefs, CR (the
 # reference's CR fast-path quirk), NUL
@@ -61,31 +65,13 @@ def extract_turns(df: DataFrame, mode: str = "fragment",
     boilerplate=True applies the DOM block-scoring strip; every row
     takes the kernel path (scoring needs the block structure), with the
     Python-level '<'-free fast path still active inside the kernel."""
-    if boilerplate:
-        out_schema = ", ".join(
-            f"{c} {t}" for c, t in [
-                ("conv_id", "string"), ("turn_idx", "int"),
-                ("role", "string"), ("tool", "string"), ("ts", "timestamp"),
-            ]
-        ) + ", " + EXTRACT_SPARK_SCHEMA
-        kernel_fn = make_extract_map_in_arrow(PASSTHROUGH, mode, context,
-                                              boilerplate=True)
-        out = df.select(*PASSTHROUGH, "text").mapInArrow(kernel_fn, out_schema)
-        if ordered:
-            w = Window.partitionBy("conv_id").orderBy("turn_idx")
-            out = out.withColumn("turn_rank", F.row_number().over(w))
-        return out
-
-    if single_scan:
-        out_schema = ", ".join(
-            f"{c} {t}" for c, t in [
-                ("conv_id", "string"), ("turn_idx", "int"),
-                ("role", "string"), ("tool", "string"), ("ts", "timestamp"),
-            ]
-        ) + ", " + EXTRACT_SPARK_SCHEMA
-        kernel_fn = make_extract_map_in_arrow(PASSTHROUGH, mode, context)
+    if boilerplate or single_scan:
+        # one scan, one Arrow crossing: the kernel handles every row
+        # (boilerplate additionally applies the DOM block scoring)
+        kernel_fn = make_extract_map_in_arrow(
+            PASSTHROUGH, mode, context, boilerplate=boilerplate)
         out = df.select(*PASSTHROUGH, "text").mapInArrow(
-            kernel_fn, out_schema)
+            kernel_fn, _OUT_SCHEMA)
         if ordered:
             w = Window.partitionBy("conv_id").orderBy("turn_idx")
             out = out.withColumn("turn_rank", F.row_number().over(w))
@@ -137,15 +123,9 @@ def extract_turns(df: DataFrame, mode: str = "fragment",
          .otherwise(_texts_lit(t_x)).alias("parse_error_texts"),
     )
 
-    out_schema = ", ".join(
-        f"{c} {t}" for c, t in [
-            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
-            ("tool", "string"), ("ts", "timestamp"),
-        ]
-    ) + ", " + EXTRACT_SPARK_SCHEMA
     kernel_fn = make_extract_map_in_arrow(PASSTHROUGH, mode, context)
     hard_out = hard.select(*PASSTHROUGH, "text").mapInArrow(
-        kernel_fn, out_schema
+        kernel_fn, _OUT_SCHEMA
     )
 
     out = trivial_out.unionByName(hard_out)

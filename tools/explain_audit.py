@@ -79,6 +79,8 @@ def main():
          lambda p: "Union" in p),
         ("window for stable ordering present",
          lambda p: "Window" in p),
+        ("scan prunes to transcript columns",
+         lambda p: "ReadSchema" in p),
     ])
 
     qs = se.queries()

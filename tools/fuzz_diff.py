@@ -260,7 +260,8 @@ def main():
               "foreign": gen_foreign, "rawbytes": gen_rawbytes,
               "tables": gen_tables}[style]
     args = [a for a in sys.argv[1:] if not a.startswith("--")
-            and a not in ("formatting", "foreign", "mixed", "rawbytes")]
+            and a not in ("formatting", "foreign", "mixed", "rawbytes",
+                          "tables")]
     if args:
         n = int(args[0])
     if "--seed" in sys.argv:
