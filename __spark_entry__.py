@@ -532,7 +532,13 @@ def oracle_sql() -> dict[str, str]:
             f"t -> t in {words}))"
         )
         for lg, words in _LANG_STOP.items()
+        if lg != "zh"
     }
+    # zh: CJK codepoint count (unsegmented text has no space tokens).
+    # Same LITERAL char-class as the Spark side (ops._CJK_CLASS) —
+    # valid in both Java regex and RE2; DuckDB needs the 'g' flag for
+    # a global replace (Spark's regexp_replace is global by default).
+    hits["zh"] = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
     lang_pred = (
         "case when greatest({en},{es},{fr},{de},{zh}) = 0 then 'und' "
         "when {en} = greatest({en},{es},{fr},{de},{zh}) then 'en' "

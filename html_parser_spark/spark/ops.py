@@ -331,13 +331,31 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+# Chinese is written without spaces, so token-exact stopword matching
+# can never fire on real zh text (round-2/3 finding). Detect it by CJK
+# codepoint count instead: strip everything outside the CJK Unified
+# Ideographs block (U+4E00..U+9FFF) and count what's left. The char
+# class is built from LITERAL codepoints (Python resolves the \u
+# escapes below) so the identical pattern string is valid in both Java
+# regex (Spark) and RE2 (DuckDB oracle) — no engine-specific escapes.
+_CJK_CLASS = "[^一-鿿]"
+
+
+def _cjk_hits(col):
+    """Number of CJK-ideograph codepoints in `col` — the zh signal,
+    comparable to the other languages' stopword-token hit counts."""
+    return F.length(F.regexp_replace(col, _CJK_CLASS, ""))
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
-    """Stopword-hit language ID over {en,es,fr,de,zh}: argmax of
-    token-exact stopword hits, 'und' when all zero (SQL-oracled)."""
+    """Language ID over {en,es,fr,de,zh}: argmax of token-exact
+    stopword hits for the space-segmented languages and CJK
+    codepoint count for zh, 'und' when all zero (SQL-oracled)."""
     hit_cols = [
         _word_hits(F.col("text"), words).alias(f"hits_{lang}")
         for lang, words in _STOPWORDS.items()
-    ]
+        if lang != "zh"
+    ] + [_cjk_hits(F.col("text")).alias("hits_zh")]
     scored = documents.select("doc_id", "lang", *hit_cols)
     langs = list(_STOPWORDS.keys())
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
