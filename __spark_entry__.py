@@ -905,7 +905,7 @@ def oracle_sql() -> dict[str, str]:
             FROM best b JOIN embeddings qe ON qe.vec_id = b.query_id
         """,
         "curate_corpus": f"""
-            WITH q AS (
+            WITH RECURSIVE q AS (
                 SELECT doc_id, text, source, lang,
                        round((length(regexp_replace(text, '[^a-zA-Z]',
                                                     '', 'g'))
@@ -934,14 +934,31 @@ def oracle_sql() -> dict[str, str]:
                        ELSE [array_to_string(string_split(text,' '), ' ')]
                        END AS shingles
                 FROM ek
-            ), drops AS (
-                SELECT DISTINCT b.doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb
                 FROM sh a, sh b
                 WHERE a.doc_id < b.doc_id
                   AND len(list_intersect(a.shingles, b.shingles))
                       / (len(a.shingles) + len(b.shingles)
                          - len(list_intersect(a.shingles, b.shingles)))
                       >= 0.8
+            ), edges AS (
+                -- undirected: both orientations
+                SELECT pa AS ea, pb AS eb FROM pairs
+                UNION
+                SELECT pb AS ea, pa AS eb FROM pairs
+            ), reach AS (
+                -- (node, root): root reaches node; min(root) per node
+                -- is the connected-component minimum — mirrors the
+                -- Spark side's min-label propagation exactly
+                SELECT ea AS node, ea AS root FROM edges
+                UNION
+                SELECT e.eb AS node, r.root AS root
+                FROM reach r JOIN edges e ON e.ea = r.node
+            ), comp AS (
+                SELECT node, min(root) AS root FROM reach GROUP BY node
+            ), drops AS (
+                SELECT node AS doc_id FROM comp WHERE node <> root
             )
             SELECT ek.doc_id, ek.source, ek.lang
             FROM ek ANTI JOIN drops USING (doc_id)

@@ -881,10 +881,64 @@ def event_sessions(events: DataFrame,
     )
 
 
+def _components_min_label(edges: DataFrame,
+                          max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list
+    (doc_a, doc_b) by min-label propagation: returns (node, root)
+    where root is the SMALLEST id reachable from node — the canonical
+    representative of its dup cluster.
+
+    Driver-side fixed-point loop: each iteration pushes every node's
+    current best label one hop, so it converges in O(cluster diameter)
+    iterations; real near-dup clusters are shallow (dup graphs are
+    dense blobs, not paths), and `max_iter` bounds pathological
+    chains. The edge and label frames are PAIR-scale (only docs that
+    appear in a verified dup pair), orders of magnitude smaller than
+    the corpus, so persisting them between iterations is the ivf-
+    centroid kind of small-artifact materialization — without it the
+    lineage doubles per iteration."""
+    sym = edges.select("doc_a", "doc_b").unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("node")).distinct()
+        .withColumn("root", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            prop = (
+                sym.join(labels.withColumnRenamed("node", "doc_a"),
+                         "doc_a")
+                .select(F.col("doc_b").alias("node"), "root")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("node").agg(F.min("root").alias("root"))
+                .persist()
+            )
+            changed = (
+                new_labels
+                .join(labels.withColumnRenamed("root", "prev"), "node")
+                .where(F.col("root") != F.col("prev"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels
+
+
 def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
-                  jaccard_threshold: float = 0.8) -> DataFrame:
-    """END-TO-END training-data curation as ONE declarative plan —
-    the composition a 100 TB corpus actually runs:
+                  jaccard_threshold: float = 0.8,
+                  materialize: bool = True) -> DataFrame:
+    """END-TO-END training-data curation — the composition a 100 TB
+    corpus actually runs:
 
       1. quality gate   — heuristic score >= quality_min (rounded to
                           6dp on both engines so the boundary is
@@ -893,21 +947,28 @@ def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
       3. near-dup strip — minhash-LSH candidates (16x2 banding:
                           collision probability at jaccard 0.8 is
                           1-(1-0.64)^16 ~ 1-1e-7) verified by exact
-                          jaccard; of each verified pair the higher
-                          doc_id is dropped (single-pass rule — no
-                          transitive closure, so the plan stays a
-                          bounded DAG; the canonical survivor of a
-                          dup CLUSTER is reachable in one more pass)
+                          jaccard, then collapsed to dup CLUSTERS by
+                          connected components (min-label
+                          propagation): each cluster keeps exactly
+                          its smallest doc_id, so chains and stars
+                          (A~C, B~C with A!~B) fully collapse instead
+                          of leaving pairwise residue
 
-    Everything stays in Catalyst — no cross join, no Python node.
-    NOTE on recompute: as a PURE plan (so the correctness gate can run
-    it cold), the quality-gate + dedup subtree is re-evaluated by each
-    consumer (minhash branch, both jaccard sides, the final anti-join
-    left — ~5 scans of the source at this size). A production 100 TB
-    run materializes `exact_kept` between stages (persist(), or the
-    checkpoint writer in spark/checkpoint.py) and pays ONE scan per
-    stage; the composition and results are identical. Returns the
-    surviving (doc_id, source, lang)."""
+    No cross join, no Python node in any per-document stage; the only
+    driver actions are the component loop's convergence counts over
+    PAIR-scale frames (see _components_min_label).
+
+    `materialize=True` (the production default) persists the gated +
+    exact-deduped corpus between stages so the minhash branch, both
+    jaccard sides, and the final anti-join read ONE evaluation of
+    that subtree instead of re-running it ~5x — at 100 TB that
+    recompute is the job's cost. `materialize=False` keeps the fully
+    pure plan (every consumer re-derives the subtree); both modes are
+    property-tested output-identical. The persisted block is left
+    cached for the returned (lazy) DataFrame; callers that are done
+    with it can spark.catalog.clearCache().
+
+    Returns the surviving (doc_id, source, lang)."""
     q = quality_score(documents).where(
         F.col("quality") >= quality_min).select("doc_id")
     base = documents.join(q, "doc_id").select(
@@ -915,9 +976,13 @@ def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
     canon = exact_dedup(base).select(
         F.col("canonical_doc_id").alias("doc_id"))
     exact_kept = base.join(canon, "doc_id")
+    if materialize:
+        exact_kept = exact_kept.persist()
     cand = minhash_lsh_candidates(exact_kept, num_hashes=32, bands=16)
     dup_pairs = ngram_jaccard_pairs(
         exact_kept, threshold=jaccard_threshold, candidates=cand)
-    drops = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    comp = _components_min_label(dup_pairs.select("doc_a", "doc_b"))
+    drops = comp.where(F.col("node") != F.col("root")).select(
+        F.col("node").alias("doc_id"))
     return exact_kept.join(drops, "doc_id", "left_anti").select(
         "doc_id", "source", "lang")

@@ -724,3 +724,66 @@ def test_lang_id_detects_unsegmented_chinese(spark):
     assert pred[4] == "es"
     assert pred[5] == "und"
     assert pred[6] == "en"  # tie at 1-1 -> first-wins fixed order
+
+
+def _star_cluster_docs(spark):
+    """Star dup cluster where PAIRWISE drop leaves residue: doc3 is a
+    near-dup of doc1 AND doc2 (j = 10/11 ~ 0.909 each) but doc1/doc2
+    are below threshold vs each other (j = 10/12 ~ 0.833 < 0.85).
+    Pairwise 'drop doc_b of each pair' keeps {1, 2}; connected
+    components keep only the cluster minimum {1}. doc4 is unrelated."""
+    mid = ("alpha beta gamma delta epsilon zeta eta theta iota "
+           "kappa lambda mu")           # 12 words -> 10 shingles
+    t3 = mid
+    t1 = mid + " omega"                 # +1 trailing shingle
+    t2 = "sigma " + mid                 # +1 leading shingle
+    t4 = ("an entirely different document about columnar storage "
+          "formats and vectorized execution engines with nothing "
+          "shared at all")
+    rows = [(i, t, "en", "web", len(t))
+            for i, t in [(1, t1), (2, t2), (3, t3), (4, t4)]]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def test_curate_corpus_collapses_dup_clusters(spark):
+    """Transitive closure: the star cluster {1,2,3} must collapse to
+    its minimum member even though 1 and 2 are not pairwise dups."""
+    from html_parser_spark.spark.ops import curate_corpus
+
+    df = _star_cluster_docs(spark)
+    kept = sorted(r.doc_id for r in curate_corpus(
+        df, quality_min=0.0, jaccard_threshold=0.85).collect())
+    assert kept == [1, 4], kept
+
+
+def test_curate_corpus_modes_identical(spark):
+    """materialize=True (persisted single-scan-per-stage) and
+    materialize=False (pure plan) must be output-identical."""
+    from html_parser_spark.spark.ops import curate_corpus
+
+    df = _star_cluster_docs(spark)
+    a = sorted(tuple(r) for r in curate_corpus(
+        df, quality_min=0.0, jaccard_threshold=0.85,
+        materialize=True).collect())
+    b = sorted(tuple(r) for r in curate_corpus(
+        df, quality_min=0.0, jaccard_threshold=0.85,
+        materialize=False).collect())
+    assert a == b and len(a) == 2
+
+
+def test_components_min_label_chain_and_star(spark):
+    """Min-label propagation: a 4-node chain and a star both collapse
+    to their minimum; an isolated pair keeps its own min."""
+    from html_parser_spark.spark.ops import _components_min_label
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),   # chain 10-11-12-13
+         (1, 3), (2, 3),                 # star centred on 3
+         (20, 21)],                      # isolated pair
+        "doc_a long, doc_b long")
+    roots = {r.node: r.root
+             for r in _components_min_label(edges).collect()}
+    assert roots == {10: 10, 11: 10, 12: 10, 13: 10,
+                     1: 1, 2: 1, 3: 1, 20: 20, 21: 20}
