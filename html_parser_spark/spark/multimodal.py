@@ -18,13 +18,16 @@ forbidden, so everything here is PURE STDLIB):
   - audio/wav : REAL decode + encode (stdlib `wave` + struct, 16-bit
     PCM).
   - video/mp4 : container demux is REAL — box parsing (`mp4_probe`:
-    mvhd duration, tkhd dims, v0/v1/largesize) AND the sample table
-    (`mp4_samples`: stts/stsc/stsz/stco -> absolute per-sample byte
-    ranges + timestamps), so `sample_frames` emits the ACTUAL sample
-    bytes nearest each grid point. Only PIXEL decoding of a sample is
-    stubbed: an honest NotImplementedError under strict=True (the
-    documented integration point for a real codec, e.g. pyav shipped
-    via --py-files) and a deterministic payload digest otherwise.
+    mvhd duration, tkhd dims, v0/v1/largesize) AND the per-trak
+    sample table (`mp4_samples`: stts/stsc/stsz/stco -> absolute
+    per-sample byte ranges + timestamps), so `sample_frames` emits
+    the ACTUAL sample bytes nearest each grid point. PIXEL decode is
+    REAL for the 'raw ' codec (uncompressed RGB24/gray8 samples,
+    declared by a real stsd VisualSampleEntry and read back by
+    `_decode_raw_frame`); COMPRESSED codecs (avc1, ...) stay an
+    honest NotImplementedError under strict=True (the documented
+    integration point for a real codec, e.g. pyav shipped via
+    --py-files) and a deterministic payload digest otherwise.
 
 Everything around the kernels is production-shaped: payloads never
 pass through Python row-at-a-time, metadata is JVM-prunable, and frame
@@ -401,14 +404,18 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
                     "sample_rate": 16000}
         else:
             dur = 1000 * (1 + i % 30)
-            # REAL sample table: one frame blob per second of duration
+            # REAL sample table + REAL raw-codec frames: one
+            # uncompressed RGB24 frame (vw*vh*3 bytes) per second of
+            # duration, declared by a 'raw ' VisualSampleEntry so the
+            # pixel decode path runs end to end
             nf = 1 + i % 30
+            vw, vh = 16, 12
             frames = [
-                _noise(f"{seed}:vid:{i}:f{k}", 96 + (k % 4) * 32)
+                _noise(f"{seed}:vid:{i}:f{k}", vw * vh * 3)
                 for k in range(nf)
             ]
-            payload = mp4_encode_stub(dur, 64, 48, b"", frames=frames)
-            meta = {"format": "mp4", "width": 64, "height": 48,
+            payload = mp4_encode_stub(dur, vw, vh, b"", frames=frames)
+            meta = {"format": "mp4", "width": vw, "height": vh,
                     "duration_ms": dur, "sample_rate": None}
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -466,27 +473,72 @@ def _audio_features(payload: bytes) -> list:
                 + [float(v) / n for v in hist])
 
 
-def _video_features(payload: bytes) -> list:
-    """REAL ISO-BMFF container demux (duration/dims/box count from the
-    actual boxes) + a deterministic payload digest standing in for the
-    stubbed SAMPLE decoder. Replace the digest with real frame features
-    at the decode_media strict-branch integration point."""
+def _decode_raw_frame(sample: bytes, width: int, height: int,
+                      depth: int = 24):
+    """Decode one 'raw ' codec sample: uncompressed interleaved
+    RGB24 (or gray8 at depth 8), row-major. Raises ValueError when
+    the byte count does not match the declared geometry."""
+    import numpy as np
+
+    ch = {8: 1, 24: 3, 32: 4}.get(depth)
+    if ch is None or len(sample) != width * height * ch:
+        raise ValueError("sample bytes do not match raw geometry")
+    return np.frombuffer(sample, dtype=np.uint8).reshape(
+        height, width, ch)
+
+
+def _video_features(payload: bytes):
+    """REAL ISO-BMFF demux (duration/dims/box count from the actual
+    boxes) + REAL pixel statistics when the stsd declares the 'raw '
+    codec (uncompressed samples — decoded by _decode_raw_frame).
+    Returns (features, pixels_decoded): compressed codecs (avc1, ...)
+    have no decoder in this container, so their rows carry a
+    deterministic payload digest instead and pixels_decoded=False —
+    decode_media(strict=True) raises on those."""
     try:
         dur, w, h, n_boxes = mp4_probe(payload)
+        entry = mp4_sample_entry(payload)
+        samples = mp4_samples(payload)
     except ValueError:
         dur = w = h = n_boxes = 0
+        entry, samples = None, []
+    if entry is not None and entry[0] == "raw " and samples:
+        import numpy as np
+
+        fourcc, ew, eh, depth = entry
+        frames = [
+            _decode_raw_frame(payload[off:off + size], ew, eh, depth)
+            for off, size, _t in samples
+        ]  # ValueError on any geometry mismatch -> caller's per-row
+        # tolerance marks the row decode_ok=false
+        px = np.concatenate([f.reshape(-1) for f in frames])
+        hist = np.bincount(px >> 4, minlength=16)
+        frame_means = [float(f.mean()) / 255.0 for f in frames[:8]]
+        frame_means += [0.0] * (8 - len(frame_means))
+        feats = _pad(
+            [dur or 0, w or 0, h or 0, n_boxes, len(frames),
+             float(px.mean()) / 255.0, float(px.std()) / 255.0]
+            + [float(v) / px.size for v in hist]
+            + frame_means
+        )
+        return feats, True
     digest = hashlib.blake2b(payload, digest_size=58).digest()
     return _pad([dur or 0, w or 0, h or 0, n_boxes]
-                + [x / 255.0 for x in digest])
+                + [x / 255.0 for x in digest]), False
 
 
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas).
 
-    image/png and audio/wav decode FOR REAL (pure-stdlib codecs above).
-    video: strict=True raises NotImplementedError from inside the
-    kernel (the documented production integration point for a real
-    container codec); strict=False substitutes the deterministic fake.
+    image/png, audio/wav, and RAW-codec video decode FOR REAL
+    (pure-stdlib codecs above; mp4 'raw ' sample streams are demuxed
+    via the real sample table and their pixels decoded by
+    _decode_raw_frame). Compressed video codecs (avc1, hev1, ...)
+    have no decoder in this container: strict=True raises
+    NotImplementedError for those rows (the documented production
+    integration point for a real codec, e.g. pyav shipped via
+    --py-files); strict=False substitutes a deterministic payload
+    digest for the pixel part of the feature vector.
     """
 
     def _kernel(batches: Iterator) -> Iterator:
@@ -502,14 +554,6 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                         hashlib.blake2b(b, digest_size=4).digest(), "little"
                     )
                 )
-                if kind == "video" and strict:
-                    raise NotImplementedError(
-                        "video SAMPLE decoding not available in this "
-                        "container (the ISO-BMFF demux is real — see "
-                        "mp4_probe); ship a real decoder (e.g. pyav) "
-                        "via --py-files and replace the digest part of "
-                        "_video_features at this integration point"
-                    )
                 # per-row tolerance: ONE corrupt payload in a 100 TB
                 # corpus must mark its row, not kill the batch
                 try:
@@ -518,8 +562,21 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                     elif kind == "audio":
                         feats.append(_audio_features(b))
                     else:
-                        feats.append(_video_features(b))
+                        vf, pixels_decoded = _video_features(b)
+                        if strict and not pixels_decoded:
+                            raise NotImplementedError(
+                                "no pixel decoder for this video's "
+                                "codec (only 'raw ' sample streams "
+                                "decode in this container); ship a "
+                                "real codec (e.g. pyav) via "
+                                "--py-files and extend "
+                                "_video_features at this "
+                                "integration point"
+                            )
+                        feats.append(vf)
                     oks.append(True)
+                except NotImplementedError:
+                    raise
                 except Exception:  # noqa: BLE001 — corrupt payload
                     feats.append([])
                     oks.append(False)
@@ -709,14 +766,36 @@ def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body) + 8) + btype + body
 
 
+def _visual_sample_entry(fourcc: bytes, width: int, height: int,
+                         depth: int = 24) -> bytes:
+    """ISO 14496-12 VisualSampleEntry box (size+format header + the
+    78-byte fixed field layout): the codec declaration inside stsd."""
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)        # reserved, data_ref_idx
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi h/v
+        + struct.pack(">I", 0)                     # reserved
+        + struct.pack(">H", 1)                     # frame_count
+        + b"\x00" * 32                             # compressorname
+        + struct.pack(">H", depth)
+        + struct.pack(">h", -1)                    # pre_defined
+    )
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
 def mp4_encode_stub(duration_ms: int, width: int, height: int,
-                    payload: bytes, frames: list | None = None) -> bytes:
+                    payload: bytes, frames: list | None = None,
+                    codec: bytes = b"raw ") -> bytes:
     """VALID ISO-BMFF skeleton (ftyp + moov{mvhd, trak{tkhd, mdia{
     mdhd, minf{stbl{stsd,stts,stsc,stsz,stco}}}}} + mdat) so the demux
     path runs on real boxes. With `frames` (list of per-frame byte
     blobs) a REAL sample table is written: uniform stts durations,
-    one-chunk stsc, per-sample stsz, absolute stco offset into mdat.
-    Only the CODEC (pixel decode of the sample bytes) stays stubbed."""
+    one-chunk stsc, per-sample stsz, absolute stco offset into mdat —
+    and stsd carries a real VisualSampleEntry declaring `codec`
+    (default 'raw ': uncompressed interleaved RGB24, the sample format
+    _decode_raw_frame reads back; pass e.g. b'avc1' to model a
+    compressed stream this container has no decoder for)."""
     timescale = 1000
     mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
             + struct.pack(">II", timescale, duration_ms)
@@ -733,7 +812,8 @@ def mp4_encode_stub(duration_ms: int, width: int, height: int,
         mdhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
                 + struct.pack(">II", timescale, duration_ms)
                 + b"\x00" * 4)
-        stsd = b"\x00" * 4 + struct.pack(">I", 0)
+        stsd = (b"\x00" * 4 + struct.pack(">I", 1)
+                + _visual_sample_entry(codec, width, height))
         stts = (b"\x00" * 4 + struct.pack(">I", 1)
                 + struct.pack(">II", n, dur_per))
         stsc = (b"\x00" * 4 + struct.pack(">I", 1)
@@ -760,18 +840,16 @@ def mp4_encode_stub(duration_ms: int, width: int, height: int,
     return head + _box(b"mdat", mdat_body)
 
 
-def mp4_samples(data: bytes) -> list:
-    """REAL sample-table demux: returns [(offset, size, time_ms)] per
-    sample by walking moov/trak/mdia/minf/stbl and combining stts
-    (durations), stsz (sizes), stsc (sample->chunk), stco/co64 (chunk
-    offsets). Offsets are absolute file offsets, so callers can slice
-    actual sample bytes out of the payload. Raises ValueError on
-    non-BMFF; returns [] when the file carries no sample table."""
+def _collect_traks(data: bytes) -> list:
+    """Walk the box tree and return one {box_type: body} dict PER
+    trak (sample-table boxes scoped to their own track — a multi-trak
+    file must not mix, say, the video stts with the audio stsz).
+    Raises ValueError on non-BMFF input."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF file")
-    boxes = {}
+    traks: list = []
 
-    def walk(buf, base):
+    def walk(buf, boxes):
         pos = 0
         while pos + 8 <= len(buf):
             (size,) = struct.unpack(">I", buf[pos:pos + 4])
@@ -787,23 +865,68 @@ def mp4_samples(data: bytes) -> list:
             if size < hdr:
                 break
             body = buf[pos + hdr:pos + size]
-            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                walk(body, base + pos + hdr)
+            if btype == b"trak":
+                tb: dict = {}
+                walk(body, tb)
+                traks.append(tb)
+            elif btype in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, boxes)
             elif btype in (b"stts", b"stsz", b"stsc", b"stco", b"co64",
-                           b"mdhd"):
+                           b"mdhd", b"stsd"):
+                # first box of each type WITHIN this trak wins
                 boxes.setdefault(btype, body)
             pos += size
 
-    walk(data, 0)
-    has_offsets = b"stco" in boxes or b"co64" in boxes
-    if not (b"stts" in boxes and b"stsz" in boxes and has_offsets):
-        return []
-    try:
-        return _parse_sample_table(boxes, len(data))
-    except (struct.error, IndexError, ValueError):
-        # corrupt/truncated table: tolerated (same per-row policy as
-        # every other media decode path), never a batch-killing escape
-        return []
+    walk(data, {})
+    return traks
+
+
+def mp4_samples(data: bytes) -> list:
+    """REAL sample-table demux: returns [(offset, size, time_ms)] per
+    sample by walking moov/trak/mdia/minf/stbl and combining stts
+    (durations), stsz (sizes), stsc (sample->chunk), stco/co64 (chunk
+    offsets). Box collection is scoped PER TRAK (first trak with a
+    complete, parseable table wins) so multi-trak files never mix
+    sample-table boxes across tracks. Offsets are absolute file
+    offsets, so callers can slice actual sample bytes out of the
+    payload. Raises ValueError on non-BMFF; returns [] when no trak
+    carries a usable sample table."""
+    for boxes in _collect_traks(data):
+        if not (b"stts" in boxes and b"stsz" in boxes
+                and (b"stco" in boxes or b"co64" in boxes)):
+            continue
+        try:
+            samples = _parse_sample_table(boxes, len(data))
+        except (struct.error, IndexError, ValueError):
+            # corrupt/truncated table: tolerated (same per-row policy
+            # as every other media decode path), try the next trak
+            continue
+        if samples:
+            return samples
+    return []
+
+
+def mp4_sample_entry(data: bytes):
+    """Codec declaration of the first trak that has one: parse stsd's
+    first VisualSampleEntry and return (fourcc, width, height, depth),
+    or None when no trak carries a well-formed visual entry. Raises
+    ValueError on non-BMFF input."""
+    for boxes in _collect_traks(data):
+        sd = boxes.get(b"stsd")
+        if sd is None or len(sd) < 16:
+            continue
+        (n_entries,) = struct.unpack(">I", sd[4:8])
+        if n_entries < 1:
+            continue
+        (esize,) = struct.unpack(">I", sd[8:12])
+        fourcc = sd[12:16].decode("latin-1")
+        ebody = sd[16:8 + min(esize, len(sd) - 8)]
+        if len(ebody) < 78:  # fixed VisualSampleEntry field block
+            continue
+        width, height = struct.unpack(">HH", ebody[24:28])
+        (depth,) = struct.unpack(">H", ebody[74:76])
+        return fourcc, width, height, depth
+    return None
 
 
 def _parse_sample_table(boxes: dict, file_len: int) -> list:

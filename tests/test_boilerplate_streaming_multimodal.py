@@ -114,16 +114,29 @@ class TestStreaming:
 
 
 class TestMultimodal:
-    def test_decode_strict_raises_at_kernel(self, spark):
+    def test_decode_strict_raises_on_compressed_codec(self, spark):
+        """Raw-codec synth videos decode for real even under
+        strict=True; a COMPRESSED codec (avc1 — no decoder in this
+        container) must still raise at the kernel."""
         from html_parser_spark.spark.multimodal import (
-            decode_media, synth_media_df,
+            decode_media, mp4_encode_stub, synth_media_df,
         )
 
-        df = synth_media_df(spark, 8)
+        ok = decode_media(synth_media_df(spark, 8), strict=True).collect()
+        assert len(ok) == 8 and all(r.decode_ok for r in ok)
+
+        avc = mp4_encode_stub(2000, 16, 12, b"", frames=[b"x" * 100],
+                              codec=b"avc1")
+        df = spark.createDataFrame(
+            [(0, "video", bytearray(avc),
+              ("mp4", 16, 12, 2000, None))],
+            "media_id bigint, kind string, payload binary, "
+            "meta struct<format:string, width:int, height:int, "
+            "duration_ms:int, sample_rate:int>")
         with pytest.raises(Exception) as ei:
             decode_media(df, strict=True).collect()
         assert "NotImplementedError" in str(ei.value) or \
-            "media codecs" in str(ei.value)
+            "codec" in str(ei.value)
 
     def test_decode_fake_deterministic(self, spark):
         from html_parser_spark.spark.multimodal import (
@@ -385,6 +398,126 @@ class TestMultimodal:
         for mid, idxs in by_media.items():
             assert sorted(idxs) == list(range(len(idxs)))
             assert len(idxs) <= 4
+
+    def test_raw_codec_pixels_roundtrip(self):
+        """'raw ' frames written by mp4_encode_stub decode back to the
+        exact pixel arrays, and _video_features reports REAL pixel
+        statistics (mean/std recomputed independently with scalar
+        Python — no numpy — from the source frames)."""
+        import numpy as np
+
+        from html_parser_spark.spark.multimodal import (
+            _decode_raw_frame, _video_features, mp4_encode_stub,
+            mp4_sample_entry, mp4_samples,
+        )
+
+        w, h = 8, 6
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 256, w * h * 3, dtype=np.uint8)
+                  .tobytes() for _ in range(3)]
+        data = mp4_encode_stub(3000, w, h, b"", frames=frames)
+        assert mp4_sample_entry(data) == ("raw ", w, h, 24)
+        for (off, size, _t), f in zip(mp4_samples(data), frames):
+            arr = _decode_raw_frame(data[off:off + size], w, h, 24)
+            assert arr.shape == (h, w, 3)
+            assert arr.tobytes() == f
+        feats, decoded = _video_features(data)
+        assert decoded
+        # independent scalar cross-derivation of the pixel stats
+        allpx = [b for f in frames for b in f]
+        mean = sum(allpx) / len(allpx)
+        var = sum((x - mean) ** 2 for x in allpx) / len(allpx)
+        assert feats[4] == 3.0                       # n_frames
+        assert abs(feats[5] - mean / 255.0) < 1e-6   # mean
+        assert abs(feats[6] - var ** 0.5 / 255.0) < 1e-5  # std
+        hist = [0] * 16
+        for x in allpx:
+            hist[x >> 4] += 1
+        for b in range(16):
+            assert abs(feats[7 + b] - hist[b] / len(allpx)) < 1e-6
+        # geometry mismatch must refuse, not misread
+        with pytest.raises(ValueError):
+            _decode_raw_frame(b"\x00" * 10, w, h, 24)
+
+    def test_mp4_multi_trak_tables_not_mixed(self):
+        """A two-trak file (e.g. video + audio) must take its sample
+        table from ONE trak — never video stts with audio stsz. The
+        first trak here has a complete table; the second, a
+        different-sized complete table: demux must return exactly the
+        first trak's ranges."""
+        import struct
+
+        from html_parser_spark.spark.multimodal import _box, mp4_samples
+
+        z4 = b"\x00" * 4
+
+        def stbl(sizes, dur, off0):
+            n = len(sizes)
+            return (
+                _box(b"stts", z4 + struct.pack(">I", 1)
+                     + struct.pack(">II", n, dur))
+                + _box(b"stsc", z4 + struct.pack(">I", 1)
+                       + struct.pack(">III", 1, n, 1))
+                + _box(b"stsz", z4 + struct.pack(">II", 0, n)
+                       + b"".join(struct.pack(">I", s) for s in sizes))
+                + _box(b"stco", z4 + struct.pack(">I", 1)
+                       + struct.pack(">I", off0))
+            )
+
+        def trak(body):
+            return _box(b"trak", _box(b"mdia", _box(
+                b"minf", _box(b"stbl", body))))
+
+        moov = _box(b"moov",
+                    trak(stbl([10, 20], 500, 100))
+                    + trak(stbl([7, 7, 7], 250, 400)))
+        data = _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+        assert mp4_samples(data) == [(100, 10, 0), (110, 20, 500)]
+        # first trak's table incomplete (no stco) -> falls through to
+        # the SECOND trak's complete table, never a cross-trak mix
+        incomplete = (
+            _box(b"stts", z4 + struct.pack(">I", 1)
+                 + struct.pack(">II", 2, 500))
+            + _box(b"stsz", z4 + struct.pack(">II", 0, 2)
+                   + struct.pack(">II", 10, 20))
+        )
+        moov2 = _box(b"moov",
+                     trak(incomplete) + trak(stbl([7, 7, 7], 250, 400)))
+        data2 = _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov2
+        assert mp4_samples(data2) == [
+            (400, 7, 0), (407, 7, 250), (414, 7, 500)]
+
+    def test_media_features_cross_derivation(self, spark):
+        """Independent value check for the media_features snapshot
+        oracle: recompute image/audio feature rows with scalar Python
+        (no numpy, no shared code path) from the raw payloads and
+        compare against the Spark kernel output."""
+        from html_parser_spark.spark.multimodal import (
+            _decode_image, decode_media, synth_media_df, wav_decode,
+        )
+
+        df = synth_media_df(spark, 12)
+        payloads = {r.media_id: (r.kind, bytes(r.payload))
+                    for r in df.collect()}
+        out = {r.media_id: list(r.features)
+               for r in decode_media(df).collect()}
+        checked = 0
+        for mid, (kind, b) in payloads.items():
+            f = out[mid]
+            if kind == "image":
+                w, h, ch, px = _decode_image(b)
+                mean = sum(px) / len(px)
+                assert f[0] == float(w) and f[1] == float(h)
+                assert abs(f[3] - mean / 255.0) < 1e-6
+                checked += 1
+            elif kind == "audio":
+                rate, nch, samples = wav_decode(b)
+                mean_abs = sum(abs(s) for s in samples) / len(samples)
+                assert f[0] == float(rate)
+                assert f[1] == float(len(samples))
+                assert abs(f[3] - mean_abs / 32768.0) < 1e-6
+                checked += 1
+        assert checked >= 8
 
 
 class TestStatefulSessions:
