@@ -260,16 +260,34 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     # expressions as SQL strings: the Column-builder form costs one
     # py4j round trip per F.* call (~700 for 64 bits -> seconds of
     # DRIVER time per query build); each expr() is a single parse and
-    # produces the identical Catalyst tree (snapshot-oracle-verified)
+    # produces the identical Catalyst tree (snapshot-oracle-verified).
+    #
+    # PACKED bit counters: each SUM carries TWO counters in one
+    # bigint — bit b in the low 32-bit field, bit b+half in the high
+    # field — halving the aggregate count (and its per-agg buffer +
+    # codegen-update overhead). EXACT for any representable document:
+    # per-doc token count n < 2^31 (a Spark string caps at 2 GB, so
+    # even one-char tokens can't reach 2^31), hence the low field
+    # never carries into the high one (needs n >= 2^32) and the high
+    # field's sum n * 2^32 stays below the 2^63 ANSI overflow line.
+    # Tighter packings (4 or 8 counters per bigint) would corrupt
+    # counts silently past 2^21/2^8 tokens — rejected.
+    half = bits // 2
     aggs = [F.expr("count(h) AS n")] + [
-        F.expr(f"sum(shiftright(h, {b}) & 1) AS ones_{b}")
-        for b in range(bits)
+        F.expr(
+            f"sum((shiftright(h, {b}) & 1) | "
+            f"shiftleft(shiftright(h, {b + half}) & 1, 32)) AS p_{b}"
+        )
+        for b in range(half)
     ]
     voted = rows.groupBy("doc_id").agg(*aggs)
     fp = " | ".join(
-        f"(CASE WHEN 2 * ones_{b} > n THEN shiftleft(CAST(1 AS BIGINT),"
-        f" {b}) ELSE CAST(0 AS BIGINT) END)"
-        for b in range(bits)
+        f"(CASE WHEN 2 * (p_{b} & 4294967295) > n THEN "
+        f"shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
+        f" | (CASE WHEN 2 * shiftright(p_{b}, 32) > n THEN "
+        f"shiftleft(CAST(1 AS BIGINT), {b + half}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(half)
     )
     return voted.select("doc_id", F.expr(fp).alias("simhash"))
 
