@@ -143,6 +143,7 @@ def pdf_encode(pages: list, compress: bool = True,
 # ---------------------------------------------------------------------------
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -212,12 +213,15 @@ def _parse_value(buf: bytes, i: int):
         return False, i + 5
     if buf[i:i + 4] == b"null":
         return None, i + 4
-    # number, possibly an `N G R` indirect reference
-    m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", buf[i:])
+    # number, possibly an `N G R` indirect reference. match(buf, i)
+    # with a pos argument, NOT buf[i:]: slicing copies the entire
+    # remaining buffer per numeric token, turning content-stream
+    # parsing O(n^2) on multi-MB real-world streams
+    m = _NUM_RE.match(buf, i)
     if not m:
         raise ValueError(f"bad PDF token at {i}: {buf[i:i + 16]!r}")
     tok = m.group(0)
-    j = i + len(tok)
+    j = m.end()
     if b"." not in tok:
         ref = re.match(rb"\s+(\d+)\s+R\b", buf[j:j + 32])
         if ref:
@@ -527,6 +531,17 @@ def _page_content(objs: dict, page: dict) -> bytes | None:
 _TJ_SPACE_KERN = -180  # em/1000; gaps at least this wide render a space
 
 
+def _num(v):
+    """Numeric operand, or None when a crafted/corrupt stream puts an
+    array, dict, name, string, or indirect ref where a positioning
+    operator expects a number (e.g. 'BT [(x)] TL ET'): the operator is
+    skipped instead of letting float() raise a TypeError past the
+    documented ValueError-only robustness contract."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None
+    return float(v)
+
+
 def _content_runs(content: bytes) -> list:
     """[(x, y, text)] from one page's content stream. Tracks the text
     matrix translation (full CTM composition is out of scope — the
@@ -596,19 +611,27 @@ def _content_runs(content: bytes) -> list:
         elif op == b"ET":
             in_text = False
         elif op == b"Tm" and len(stack) >= 6:
-            x = lx = float(stack[-2])
-            y = ly = float(stack[-1])
+            a, b = _num(stack[-2]), _num(stack[-1])
+            if a is not None and b is not None:
+                x = lx = a
+                y = ly = b
         elif op == b"Td" and len(stack) >= 2:
-            lx += float(stack[-2])
-            ly += float(stack[-1])
-            x, y = lx, ly
+            a, b = _num(stack[-2]), _num(stack[-1])
+            if a is not None and b is not None:
+                lx += a
+                ly += b
+                x, y = lx, ly
         elif op == b"TD" and len(stack) >= 2:
-            leading = -float(stack[-1])
-            lx += float(stack[-2])
-            ly += float(stack[-1])
-            x, y = lx, ly
+            a, b = _num(stack[-2]), _num(stack[-1])
+            if a is not None and b is not None:
+                leading = -b
+                lx += a
+                ly += b
+                x, y = lx, ly
         elif op == b"TL" and stack:
-            leading = float(stack[-1])
+            a = _num(stack[-1])
+            if a is not None:
+                leading = a
         elif op == b"T*":
             ly -= leading
             x, y = lx, ly

@@ -164,6 +164,26 @@ class TestRobustness:
         runs = _content_runs(b"] } > BT (x) Tj ET")  # leading strays
         assert [r[2] for r in runs] == ["x"]
 
+    def test_nonnumeric_positioning_operands_skipped(self):
+        """Regression: array/dict/name/string operands where a
+        positioning operator expects numbers must SKIP the operator
+        (tolerant parse), not TypeError past the ValueError-only
+        contract."""
+        from html_parser_spark.spark.pdf import _content_runs
+
+        for payload in (
+            b"BT [(x)] TL (a) Tj ET",
+            b"BT <</X 1>> TL (a) Tj ET",
+            b"BT (s) (t) Td (a) Tj ET",
+            b"BT /N 1 0 0 1 (u) (v) Tm (a) Tj ET",
+            b"BT [(k)] 2 TD (a) Tj ET",
+        ):
+            runs = _content_runs(payload)
+            assert [r[2] for r in runs] == ["a"], payload
+        # numeric positioning still applies
+        runs = _content_runs(b"BT 1 0 0 1 72 700 Tm (a) Tj ET")
+        assert runs == [(72.0, 700.0, "a")]
+
     def test_stream_body_does_not_clobber_objects(self):
         """Regression: raw binary stream bytes containing 'N G obj'
         must not overwrite real object N (the scan resumes past
