@@ -619,7 +619,11 @@ def _ivf_seed_anchors(embeddings: DataFrame, n_cells: int,
 
 def _nearest_cell_expr(vec, centroids: list):
     """Per-row argmax-cosine cell assignment over centroid literals —
-    no shuffle, no join; the same expression ann_ivf search uses."""
+    no shuffle, no join; the same expression ann_ivf search uses.
+    Expression size is dim * n_cells literals: right for the small
+    quantizers the registered queries use, wrong past a few thousand
+    values (driver plan build + interpreted HOFs) — _ivf_method picks
+    the Arrow path there."""
     entries = []
     for i, c in enumerate(centroids):
         a = F.array(*[F.lit(v) for v in c])
@@ -628,8 +632,67 @@ def _nearest_cell_expr(vec, centroids: list):
     return F.array_max(F.array(*entries)).getField("cell")
 
 
+# literal-expression assignment is the fast zero-shuffle path for the
+# small coarse quantizers; past this many values (dim * n_cells) the
+# expression tree starts to dominate driver plan-build time and the
+# vectorized Arrow path wins
+_IVF_EXPR_MAX_VALUES = 4096
+
+
+def _ivf_method(method: str, centroids: list) -> str:
+    if method != "auto":
+        return method
+    values = len(centroids) * (len(centroids[0]) if centroids else 0)
+    return "expr" if values <= _IVF_EXPR_MAX_VALUES else "arrow"
+
+
+def _make_cell_udfs(centroids: list, n_probe: int = 1):
+    """Arrow-vectorized cell assignment for realistic dimensionality
+    (e.g. 768-dim x 64 cells, where the literal-expression path would
+    inline ~50k literals into one plan): a Pandas UDF closure over the
+    L2-normalized centroid matrix, one numpy matmul per Arrow batch.
+    |v| scales every cell's cosine equally per row, so argmax/ordering
+    need no per-row normalization. Tie semantics mirror the expression
+    path exactly: equal cosines prefer the LARGER cell id (struct max
+    / reversed sort order there, reversed-argmax and lexsort here).
+    Returns (cell_of, probes_of) UDFs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (d, k)
+    k = C.shape[0]
+
+    def _cos_matrix(vecs):
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return V @ Cn  # (batch, k)
+
+    def _cell_fn(vecs):
+        cos = _cos_matrix(vecs)
+        # last max index == larger cell id on exact ties
+        return pd.Series((k - 1) - np.argmax(cos[:, ::-1], axis=1))
+
+    def _probes_fn(vecs):
+        cos = _cos_matrix(vecs)
+        cells = np.arange(k)
+        out = []
+        for row in cos:
+            order = np.lexsort((-cells, -row))  # cos desc, cell desc
+            out.append([int(c) for c in order[:n_probe]])
+        return pd.Series(out)
+
+    # real annotation OBJECTS (not strings): this module runs under
+    # `from __future__ import annotations`, which would stringify
+    # inline hints and break pandas_udf's signature inference
+    for fn in (_cell_fn, _probes_fn):
+        fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf("int")(_cell_fn), pandas_udf("array<int>")(_probes_fn)
+
+
 def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
-            n_iters: int = 5, train_fraction: float = 1.0) -> list:
+            n_iters: int = 5, train_fraction: float = 1.0,
+            method: str = "auto") -> list:
     """IVF coarse-quantizer TRAINING action: REAL spherical k-means
     (Lloyd's), the analogue of KMeans.fit — the deliberate driver-side
     jobs in the IVF path; search itself stays pure plan construction.
@@ -662,16 +725,20 @@ def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
     # spread shuffle + cast re-execute n_iters times
     base = _spread(train).select(vec_d.alias("vec")).persist()
     try:
-        return _lloyd_iterate(base, centroids, dim, n_iters)
+        return _lloyd_iterate(base, centroids, dim, n_iters, method)
     finally:
         base.unpersist()
 
 
 def _lloyd_iterate(base: DataFrame, centroids: list, dim: int,
-                   n_iters: int) -> list:
+                   n_iters: int, method: str = "auto") -> list:
     for _ in range(n_iters):
-        assigned = base.withColumn(
-            "cell", _nearest_cell_expr(F.col("vec"), centroids))
+        if _ivf_method(method, centroids) == "arrow":
+            cell_of, _probes = _make_cell_udfs(centroids)
+            assigned = base.withColumn("cell", cell_of("vec"))
+        else:
+            assigned = base.withColumn(
+                "cell", _nearest_cell_expr(F.col("vec"), centroids))
         stats = assigned.groupBy("cell").agg(
             F.count("*").alias("n"),
             *[
@@ -693,40 +760,64 @@ def _lloyd_iterate(base: DataFrame, centroids: list, dim: int,
 
 
 def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
-            k: int = 5, n_probe: int = 4) -> DataFrame:
+            k: int = 5, n_probe: int = 4,
+            method: str = "auto") -> DataFrame:
     """IVF-flat ANN: assign every vector to its nearest anchor cell
-    with a PER-ROW expression (argmax over the anchor literals — no
-    shuffle, no join for assignment), probe the `n_probe` nearest
-    cells per query, and run exact cosine + top-k inside the probed
-    cells only. The candidate join is keyed by cell id — never
+    per-row (no shuffle, no join for assignment), probe the `n_probe`
+    nearest cells per query, and run exact cosine + top-k inside the
+    probed cells only. The candidate join is keyed by cell id — never
     all-pairs. With n_probe == len(anchors) the result equals
-    ann_bruteforce exactly (property-tested)."""
+    ann_bruteforce exactly (property-tested).
+
+    Assignment method: 'expr' inlines the anchors as literals (zero
+    extra stages, whole-stage codegen — right for small quantizers;
+    what every registered query uses), 'arrow' runs the vectorized
+    numpy matmul UDF (right for realistic dimensionality, e.g.
+    768-dim x 64 cells where the expression tree would carry ~50k
+    literals); 'auto' switches on dim * n_cells. Both paths share the
+    exact JVM cosine for final scoring; assignment tie semantics are
+    mirrored (see _make_cell_udfs)."""
     from pyspark.sql import Window
 
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-
-    def cell_scores(vec):
-        entries = []
-        for i, anchor in enumerate(anchors):
-            a = F.array(*[F.lit(v) for v in anchor])
-            cos = _dot(vec, a) / (_norm(vec) * _norm(a))
-            entries.append(F.struct(cos.alias("cos"),
-                                    F.lit(i).alias("cell")))
-        return F.array(*entries)
-
-    scores = cell_scores(F.col("vec"))
     base = _spread(embeddings).select("vec_id", vec_d.alias("vec"))
-    corpus = base.select(
-        F.col("vec_id").alias("corpus_id"), F.col("vec").alias("cvec"),
-        F.array_max(scores).getField("cell").alias("cell"),
-    )
-    probes = F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
-    queries = base.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
-        F.explode_outer(
-            F.transform(probes, lambda s: s.getField("cell"))
-        ).alias("cell"),
-    )
+
+    if _ivf_method(method, anchors) == "arrow":
+        cell_of, probes_of = _make_cell_udfs(anchors, n_probe)
+        corpus = base.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("vec").alias("cvec"),
+            cell_of("vec").alias("cell"),
+        )
+        queries = base.where(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.explode_outer(probes_of("vec")).alias("cell"),
+        )
+    else:
+        def cell_scores(vec):
+            entries = []
+            for i, anchor in enumerate(anchors):
+                a = F.array(*[F.lit(v) for v in anchor])
+                cos = _dot(vec, a) / (_norm(vec) * _norm(a))
+                entries.append(F.struct(cos.alias("cos"),
+                                        F.lit(i).alias("cell")))
+            return F.array(*entries)
+
+        scores = cell_scores(F.col("vec"))
+        corpus = base.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("vec").alias("cvec"),
+            F.array_max(scores).getField("cell").alias("cell"),
+        )
+        probes = F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
+        queries = base.where(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.explode_outer(
+                F.transform(probes, lambda s: s.getField("cell"))
+            ).alias("cell"),
+        )
     joined = corpus.join(
         F.broadcast(queries),
         (corpus.cell == queries.cell)

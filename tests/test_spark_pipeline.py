@@ -787,3 +787,55 @@ def test_components_min_label_chain_and_star(spark):
              for r in _components_min_label(edges).collect()}
     assert roots == {10: 10, 11: 10, 12: 10, 13: 10,
                      1: 1, 2: 1, 3: 1, 20: 20, 21: 20}
+
+
+def test_ivf_arrow_path_at_realistic_dims(spark):
+    """IVF at 384 dims x 16 cells (dim*cells > the literal-expression
+    envelope): the auto-selected Arrow assignment path must fit and
+    search without inlining ~6k literals into the plan, with
+    n_probe=1 recall >= 0.9 on planted clusters and full-probe
+    equality with bruteforce."""
+    from html_parser_spark.spark.ops import (
+        _ivf_method, ann_bruteforce, ann_ivf, ivf_fit,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=16, per_cluster=10,
+                                dim=384, seed=3)
+    centroids = ivf_fit(emb, n_cells=16, seed=7, n_iters=3)
+    assert _ivf_method("auto", centroids) == "arrow"
+    qids = [0, 10, 40, 80, 120]
+    bf = {}
+    for r in ann_bruteforce(emb, qids, k=5).collect():
+        bf.setdefault(r.query_id, set()).add(r.corpus_id)
+    ivf = {}
+    for r in ann_ivf(emb, qids, centroids, k=5, n_probe=1).collect():
+        ivf.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(len(bf[q] & ivf.get(q, set())) for q in qids)
+    total = sum(len(bf[q]) for q in qids)
+    assert hits / total >= 0.9, f"arrow IVF n_probe=1: {hits}/{total}"
+    # full probe == bruteforce, exactly (final scoring shares the
+    # same JVM cosine expression in both assignment paths)
+    full = sorted(
+        (r.query_id, r.corpus_id, r.cosine, r.rank)
+        for r in ann_ivf(emb, qids, centroids, k=5,
+                         n_probe=16).collect())
+    want = sorted(
+        (r.query_id, r.corpus_id, r.cosine, r.rank)
+        for r in ann_bruteforce(emb, qids, k=5).collect())
+    assert full == want
+
+
+def test_ivf_expr_and_arrow_assignments_agree(spark):
+    """On the low-dim planted clusters both assignment methods (and
+    their probe orderings) must produce identical search results —
+    tie semantics are mirrored by construction."""
+    from html_parser_spark.spark.ops import ann_ivf, ivf_fit
+
+    emb = _clustered_embeddings(spark)
+    centroids = ivf_fit(emb, n_cells=4, seed=7, n_iters=3)
+    qids = [0, 25, 50, 75]
+    a = sorted(tuple(r) for r in ann_ivf(
+        emb, qids, centroids, k=5, n_probe=2, method="expr").collect())
+    b = sorted(tuple(r) for r in ann_ivf(
+        emb, qids, centroids, k=5, n_probe=2, method="arrow").collect())
+    assert a == b and len(a) == 20
