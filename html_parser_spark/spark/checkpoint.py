@@ -110,18 +110,21 @@ def run_with_checkpoint(spark, transcripts: DataFrame, out_dir: str,
         "n_chars", F.length("extracted_text").cast("bigint")
     )
     out_path = os.path.join(out_dir, "extracted")
+    # Collect the pending part keys BEFORE the write: they're
+    # metadata-scale (<= `buckets` values, column-pruned to part_key,
+    # no kernel run), and collecting first means the write is the LAST
+    # evaluation of the todo lineage — nothing re-executes after it.
+    new_keys = [
+        r.part_key for r in todo.select("part_key").distinct().collect()
+    ]
     (extracted.write.mode("overwrite")
      .partitionBy("part_key")
      .parquet(out_path))
     # Manifest metrics come from THIS run's committed files only: the
-    # pending part keys are metadata-scale (<= `buckets` values), and
-    # the read-back is partition-pruned to exactly those keys plus
+    # read-back is partition-pruned to exactly the new keys plus
     # column-pruned to the small metric columns (n_chars precomputed at
     # write time so extracted_text is never re-read). Never a full scan
     # of the cumulative output, and no second run of the parse kernel.
-    new_keys = [
-        r.part_key for r in todo.select("part_key").distinct().collect()
-    ]
     if new_keys:
         done = spark.read.parquet(out_path).where(
             F.col("part_key").isin(new_keys)
