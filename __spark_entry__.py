@@ -458,6 +458,19 @@ def _q_curate_corpus(spark, sf_dir):
     return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+def _q_dup_components(spark, sf_dir):
+    # near-dup clustering as a first-class result (the clustering view
+    # of curate_corpus's drop rule): LSH-verified pairs collapsed to
+    # connected components. Threshold 0.5 matches the registered
+    # ngram_jaccard query so the pair set (and hence the LSH-recall
+    # risk profile, documented there) is identical — the oracle closes
+    # the exact all-pairs graph with a recursive CTE.
+    from html_parser_spark.spark.ops import dup_components
+
+    return dup_components(_t(spark, sf_dir, "documents"),
+                          jaccard_threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -495,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_purity": _q_knn_label_purity,
         "event_sessions": _q_event_sessions,
         "curate_corpus": _q_curate_corpus,
+        "dup_components": _q_dup_components,
     }
 
 
@@ -753,6 +767,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
             ORDER BY query_id, rank
+        """,
+        "dup_components": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(0, len(string_split(text,' ')) - 3),
+                         i -> array_to_string(
+                             string_split(text,' ')[i+1:i+3], ' ')))
+                     ELSE [array_to_string(string_split(text,' '), ' ')]
+                     END AS shingles
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.shingles, b.shingles))
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)))
+                    >= 0.5
+            ), edges AS (
+              SELECT pa AS ea, pb AS eb FROM pairs
+              UNION
+              SELECT pb AS ea, pa AS eb FROM pairs
+            ), reach AS (
+              SELECT ea AS node, ea AS root FROM edges
+              UNION
+              SELECT e.eb AS node, r.root AS root
+              FROM reach r JOIN edges e ON e.ea = r.node
+            )
+            SELECT node AS doc_id, min(root) AS cluster_root
+            FROM reach GROUP BY node
         """,
         "ngram_jaccard": """
             WITH sh AS (

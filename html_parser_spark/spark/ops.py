@@ -1043,6 +1043,27 @@ def _components_min_label(edges: DataFrame,
     return labels
 
 
+def dup_components(documents: DataFrame,
+                   jaccard_threshold: float = 0.8) -> DataFrame:
+    """Near-dup CLUSTERS as a first-class result: minhash-LSH
+    candidates verified by exact jaccard, collapsed to connected
+    components — returns (doc_id, cluster_root) for every document
+    that belongs to a dup cluster (root = smallest member id, the
+    canonical representative). This is the clustering view of what
+    curate_corpus consumes as a drop rule; a 100 TB curation run
+    materializes it once and both dedup and provenance reporting read
+    it. SQL-oracled end to end (recursive reachability CTE on the
+    DuckDB side)."""
+    cand = minhash_lsh_candidates(documents, num_hashes=32, bands=16)
+    pairs = ngram_jaccard_pairs(
+        documents, threshold=jaccard_threshold, candidates=cand)
+    comp = _components_min_label(pairs.select("doc_a", "doc_b"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("root").alias("cluster_root"),
+    )
+
+
 def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
                   jaccard_threshold: float = 0.8,
                   materialize: bool = True) -> DataFrame:

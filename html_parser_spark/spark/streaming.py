@@ -166,3 +166,23 @@ def conversation_sessions(extracted: DataFrame,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_dedup(docs: DataFrame,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: the md5 fingerprint
+    of lowercased, whitespace-collapsed text (the same normalization
+    as the batch `fingerprint` operator, so batch and stream agree on
+    what counts as a duplicate) deduplicated via
+    dropDuplicatesWithinWatermark — the state store keeps one tiny
+    row per fingerprint only until the event-time watermark passes,
+    which is what makes exact dedup feasible on an unbounded stream
+    (the full-history variant, plain dropDuplicates, grows state
+    forever; cross-window dups are a batch/compaction concern).
+    Expects a `ts` event-time column alongside `text`."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        docs.withColumn("fingerprint", F.md5(norm))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

@@ -112,6 +112,61 @@ class TestStreaming:
         assert agg.isStreaming
         assert "window" in agg.columns
 
+    def test_stream_dedup_matches_batch(self, spark, tmp_path):
+        """Streaming exact dedup (bounded-state, watermarked) keeps
+        exactly one row per normalized-text fingerprint — same
+        surviving set as batch dropDuplicates on the same key, with
+        dups planted across micro-batch files."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from html_parser_spark.spark.streaming import stream_dedup
+
+        src = str(tmp_path / "dd_in")
+        out = str(tmp_path / "dd_out")
+        ckpt = str(tmp_path / "dd_ckpt")
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (i, text, t0 + datetime.timedelta(seconds=i))
+            for i, text in enumerate(
+                ["alpha beta", "ALPHA   beta", "gamma", "delta",
+                 "gamma", "  alpha beta ", "epsilon", "delta"]
+            )
+        ]
+        schema = "doc_id long, text string, ts timestamp"
+        # two files -> two-ish micro-batches; dups straddle them
+        spark.createDataFrame(rows[:4], schema).coalesce(1).write.parquet(
+            src)
+        spark.createDataFrame(rows[4:], schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_dedup(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(out).collect()
+        fps = [r.fingerprint for r in got]
+        assert len(fps) == len(set(fps)) == 4  # alpha-beta/gamma/delta/epsilon
+        batch = (
+            spark.read.parquet(src)
+            .withColumn("fingerprint", F.md5(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))))
+            .dropDuplicates(["fingerprint"])
+        )
+        assert sorted(fps) == sorted(
+            r.fingerprint for r in batch.collect())
+
 
 class TestMultimodal:
     def test_decode_strict_raises_on_compressed_codec(self, spark):

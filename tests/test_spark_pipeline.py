@@ -839,3 +839,15 @@ def test_ivf_expr_and_arrow_assignments_agree(spark):
     b = sorted(tuple(r) for r in ann_ivf(
         emb, qids, centroids, k=5, n_probe=2, method="arrow").collect())
     assert a == b and len(a) == 20
+
+
+def test_dup_components_star_cluster(spark):
+    """dup_components returns (doc_id, cluster_root) for exactly the
+    docs in dup clusters, with root = smallest member — including the
+    star case where pairwise membership alone would miss doc2."""
+    from html_parser_spark.spark.ops import dup_components
+
+    df = _star_cluster_docs(spark)
+    rows = {r.doc_id: r.cluster_root
+            for r in dup_components(df, jaccard_threshold=0.85).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1}  # doc4 unrelated -> absent
