@@ -497,8 +497,10 @@ def _video_features(payload: bytes):
     decode_media(strict=True) raises on those."""
     try:
         dur, w, h, n_boxes = mp4_probe(payload)
-        entry = mp4_sample_entry(payload)
-        samples = mp4_samples(payload)
+        # entry and samples MUST come from the same trak: pairing
+        # "first trak with an entry" with "first trak with a table"
+        # can mix a video codec declaration with audio sample ranges
+        entry, samples = mp4_video_stream(payload)
     except ValueError:
         dur = w = h = n_boxes = 0
         entry, samples = None, []
@@ -906,27 +908,58 @@ def mp4_samples(data: bytes) -> list:
     return []
 
 
+def _parse_visual_entry(sd):
+    """First VisualSampleEntry of one stsd body -> (fourcc, width,
+    height, depth), or None when malformed/absent."""
+    if sd is None or len(sd) < 16:
+        return None
+    (n_entries,) = struct.unpack(">I", sd[4:8])
+    if n_entries < 1:
+        return None
+    (esize,) = struct.unpack(">I", sd[8:12])
+    fourcc = sd[12:16].decode("latin-1")
+    ebody = sd[16:8 + min(esize, len(sd) - 8)]
+    if len(ebody) < 78:  # fixed VisualSampleEntry field block
+        return None
+    width, height = struct.unpack(">HH", ebody[24:28])
+    (depth,) = struct.unpack(">H", ebody[74:76])
+    return fourcc, width, height, depth
+
+
 def mp4_sample_entry(data: bytes):
     """Codec declaration of the first trak that has one: parse stsd's
     first VisualSampleEntry and return (fourcc, width, height, depth),
     or None when no trak carries a well-formed visual entry. Raises
-    ValueError on non-BMFF input."""
+    ValueError on non-BMFF input. NOTE: standalone convenience — when
+    pairing an entry WITH sample ranges use mp4_video_stream, which
+    guarantees both come from the same trak."""
     for boxes in _collect_traks(data):
-        sd = boxes.get(b"stsd")
-        if sd is None or len(sd) < 16:
-            continue
-        (n_entries,) = struct.unpack(">I", sd[4:8])
-        if n_entries < 1:
-            continue
-        (esize,) = struct.unpack(">I", sd[8:12])
-        fourcc = sd[12:16].decode("latin-1")
-        ebody = sd[16:8 + min(esize, len(sd) - 8)]
-        if len(ebody) < 78:  # fixed VisualSampleEntry field block
-            continue
-        width, height = struct.unpack(">HH", ebody[24:28])
-        (depth,) = struct.unpack(">H", ebody[74:76])
-        return fourcc, width, height, depth
+        entry = _parse_visual_entry(boxes.get(b"stsd"))
+        if entry is not None:
+            return entry
     return None
+
+
+def mp4_video_stream(data: bytes):
+    """(sample_entry, samples) taken from the SAME trak — the first
+    trak with a complete, parseable, non-empty sample table (the
+    identical predicate mp4_samples uses, so both APIs agree on the
+    chosen trak). entry is None when that trak's stsd carries no
+    well-formed visual entry (e.g. an audio trak won first — its
+    samples are then NOT pixel-decodable and the caller must fall
+    back, never pair them with another trak's codec declaration).
+    Raises ValueError on non-BMFF input."""
+    for boxes in _collect_traks(data):
+        if not (b"stts" in boxes and b"stsz" in boxes
+                and (b"stco" in boxes or b"co64" in boxes)):
+            continue
+        try:
+            samples = _parse_sample_table(boxes, len(data))
+        except (struct.error, IndexError, ValueError):
+            continue
+        if samples:
+            return _parse_visual_entry(boxes.get(b"stsd")), samples
+    return None, []
 
 
 def _parse_sample_table(boxes: dict, file_len: int) -> list:

@@ -280,16 +280,25 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
         )
         for b in range(half)
     ]
-    voted = rows.groupBy("doc_id").agg(*aggs)
-    fp = " | ".join(
+    if bits % 2:  # odd bit count: top bit gets its own unpacked sum
+        aggs.append(F.expr(
+            f"sum(shiftright(h, {bits - 1}) & 1) AS odd_top"))
+    fp_terms = [
         f"(CASE WHEN 2 * (p_{b} & 4294967295) > n THEN "
         f"shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
         f" | (CASE WHEN 2 * shiftright(p_{b}, 32) > n THEN "
         f"shiftleft(CAST(1 AS BIGINT), {b + half}) "
         f"ELSE CAST(0 AS BIGINT) END)"
         for b in range(half)
-    )
-    return voted.select("doc_id", F.expr(fp).alias("simhash"))
+    ]
+    if bits % 2:
+        fp_terms.append(
+            f"(CASE WHEN 2 * odd_top > n THEN "
+            f"shiftleft(CAST(1 AS BIGINT), {bits - 1}) "
+            f"ELSE CAST(0 AS BIGINT) END)")
+    voted = rows.groupBy("doc_id").agg(*aggs)
+    return voted.select(
+        "doc_id", F.expr(" | ".join(fp_terms)).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -387,12 +396,19 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def normalized_text(col):
+    """THE dedup normalization (lowercase, whitespace-collapse, trim)
+    — shared by the batch fingerprint operator and the streaming dedup
+    so batch and stream can never disagree on what counts as a
+    duplicate (test_stream_dedup_matches_batch pins the property)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed
     text (SQL-oracled; the stable-normalization dedup key)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return documents.select(
-        "doc_id", F.md5(norm).alias("fingerprint")
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
     )
 
 
@@ -646,7 +662,7 @@ def _ivf_method(method: str, centroids: list) -> str:
     return "expr" if values <= _IVF_EXPR_MAX_VALUES else "arrow"
 
 
-def _make_cell_udfs(centroids: list, n_probe: int = 1):
+def _make_cell_udfs(centroids: list, n_probe: int | None = None):
     """Arrow-vectorized cell assignment for realistic dimensionality
     (e.g. 768-dim x 64 cells, where the literal-expression path would
     inline ~50k literals into one plan): a Pandas UDF closure over the
@@ -655,7 +671,9 @@ def _make_cell_udfs(centroids: list, n_probe: int = 1):
     need no per-row normalization. Tie semantics mirror the expression
     path exactly: equal cosines prefer the LARGER cell id (struct max
     / reversed sort order there, reversed-argmax and lexsort here).
-    Returns (cell_of, probes_of) UDFs."""
+    Returns (cell_of, probes_of); probes_of is None unless `n_probe`
+    is given (the fit loop only assigns — no point constructing and
+    shipping a probe UDF per Lloyd iteration)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -687,7 +705,9 @@ def _make_cell_udfs(centroids: list, n_probe: int = 1):
     # inline hints and break pandas_udf's signature inference
     for fn in (_cell_fn, _probes_fn):
         fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    return pandas_udf("int")(_cell_fn), pandas_udf("array<int>")(_probes_fn)
+    probes = (pandas_udf("array<int>")(_probes_fn)
+              if n_probe is not None else None)
+    return pandas_udf("int")(_cell_fn), probes
 
 
 def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = 7,
@@ -1017,6 +1037,7 @@ def _components_min_label(edges: DataFrame,
     )
     labels.count()
     try:
+        changed = 1
         for _ in range(max_iter):
             prop = (
                 sym.join(labels.withColumnRenamed("node", "doc_a"),
@@ -1038,8 +1059,21 @@ def _components_min_label(edges: DataFrame,
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # a silently partial closure would dedup incompletely (and
+            # diverge from the oracle's exact recursive CTE) — refuse
+            raise RuntimeError(
+                f"component labels did not converge in {max_iter} "
+                f"iterations ({changed} still moving): the dup graph "
+                f"has a path-shaped component deeper than max_iter; "
+                f"re-run with a larger max_iter")
     finally:
         sym.unpersist()
+    # the FINAL labels frame stays persisted: every consumer (drops
+    # anti-join, cluster_root output) reads it lazily, and recomputing
+    # its lineage would replay the whole iterative union chain against
+    # the unpersisted edge subtree. Pair-scale (docs in dup pairs
+    # only); callers done with the result can spark.catalog.clearCache()
     return labels
 
 

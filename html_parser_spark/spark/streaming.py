@@ -180,9 +180,11 @@ def stream_dedup(docs: DataFrame,
     (the full-history variant, plain dropDuplicates, grows state
     forever; cross-window dups are a batch/compaction concern).
     Expects a `ts` event-time column alongside `text`."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    from .ops import normalized_text
+
     return (
-        docs.withColumn("fingerprint", F.md5(norm))
+        docs.withColumn("fingerprint",
+                        F.md5(normalized_text(F.col("text"))))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )

@@ -542,6 +542,52 @@ class TestMultimodal:
         assert mp4_samples(data2) == [
             (400, 7, 0), (407, 7, 250), (414, 7, 500)]
 
+    def test_video_stream_entry_and_samples_same_trak(self):
+        """Regression: when an AUDIO trak (complete sample table, no
+        visual entry) precedes the raw video trak, the codec entry and
+        the sample ranges must come from the SAME trak — pairing the
+        video trak's 'raw ' entry with the audio trak's ranges would
+        decode audio bytes as pixels (or misreport decode_ok)."""
+        import struct
+
+        from html_parser_spark.spark.multimodal import (
+            _box, _visual_sample_entry, mp4_video_stream,
+        )
+
+        z4 = b"\x00" * 4
+
+        def stbl(sizes, dur, off0, entry=None):
+            n = len(sizes)
+            stsd_body = (z4 + struct.pack(">I", 1) + entry
+                         if entry else z4 + struct.pack(">I", 0))
+            return (
+                _box(b"stsd", stsd_body)
+                + _box(b"stts", z4 + struct.pack(">I", 1)
+                       + struct.pack(">II", n, dur))
+                + _box(b"stsc", z4 + struct.pack(">I", 1)
+                       + struct.pack(">III", 1, n, 1))
+                + _box(b"stsz", z4 + struct.pack(">II", 0, n)
+                       + b"".join(struct.pack(">I", s) for s in sizes))
+                + _box(b"stco", z4 + struct.pack(">I", 1)
+                       + struct.pack(">I", off0))
+            )
+
+        def trak(body):
+            return _box(b"trak", _box(b"mdia", _box(
+                b"minf", _box(b"stbl", body))))
+
+        audio = trak(stbl([33, 44], 500, 100))  # no visual entry
+        video = trak(stbl([48, 48], 250, 400,
+                          entry=_visual_sample_entry(b"raw ", 4, 4)))
+        data = (_box(b"ftyp", b"isom\x00\x00\x02\x00")
+                + _box(b"moov", audio + video))
+        entry, samples = mp4_video_stream(data)
+        # the audio trak wins the table race -> its entry is None and
+        # its ranges are returned; NEVER the video trak's 'raw ' entry
+        # with the audio ranges
+        assert entry is None
+        assert samples == [(100, 33, 0), (133, 44, 500)]
+
     def test_media_features_cross_derivation(self, spark):
         """Independent value check for the media_features snapshot
         oracle: recompute image/audio feature rows with scalar Python

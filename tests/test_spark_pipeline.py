@@ -851,3 +851,17 @@ def test_dup_components_star_cluster(spark):
     rows = {r.doc_id: r.cluster_root
             for r in dup_components(df, jaccard_threshold=0.85).collect()}
     assert rows == {1: 1, 2: 1, 3: 1}  # doc4 unrelated -> absent
+
+
+def test_simhash_odd_bit_count(spark):
+    """Regression: odd `bits` must count the top bit (the packed-pair
+    form covers 2*(bits//2) bits; the remainder gets its own sum) —
+    a 63-bit fingerprint equals the 64-bit one masked to 63 bits."""
+    from html_parser_spark.spark.ops import simhash
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id long, text string")
+    r63 = {r.doc_id: r.simhash for r in simhash(df, bits=63).collect()}
+    r64 = {r.doc_id: r.simhash for r in simhash(df, bits=64).collect()}
+    assert r63[1] == r64[1] & ((1 << 63) - 1)
+    assert r63[2] == 0
