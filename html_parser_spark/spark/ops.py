@@ -1125,12 +1125,18 @@ def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
     `materialize=True` (the production default) persists the gated +
     exact-deduped corpus between stages so the minhash branch, both
     jaccard sides, and the final anti-join read ONE evaluation of
-    that subtree instead of re-running it ~5x — at 100 TB that
-    recompute is the job's cost. `materialize=False` keeps the fully
-    pure plan (every consumer re-derives the subtree); both modes are
-    property-tested output-identical. The persisted block is left
-    cached for the returned (lazy) DataFrame; callers that are done
-    with it can spark.catalog.clearCache().
+    that subtree instead of re-running it ~5x — at 100 TB the
+    repeated SOURCE SCANS are the job's cost and one cached
+    evaluation wins. Measured honestly at bench scale (sf0.1, 50k
+    docs, OS-cached parquet): the pure plan is ~15% FASTER there
+    (8.1s vs 9.5s) because writing the text-bearing corpus into the
+    block manager costs more than recomputing a cheap filter over a
+    memory-resident source — the switch exists precisely because the
+    economics flip with input size. `materialize=False` keeps the
+    fully pure plan (every consumer re-derives the subtree); both
+    modes are property-tested output-identical. The persisted block
+    is left cached for the returned (lazy) DataFrame; callers that
+    are done with it can spark.catalog.clearCache().
 
     Returns the surviving (doc_id, source, lang)."""
     q = quality_score(documents).where(
