@@ -471,6 +471,30 @@ def _q_dup_components(spark, sf_dir):
                           jaccard_threshold=0.5)
 
 
+def _q_asof_attribution(spark, sf_dir):
+    # temporal AS-OF join: each click attributed to the user's latest
+    # prior (or same-instant) view. Spark has no native ASOF operator
+    # — ops.asof_join realizes it as ONE Exchange + running window
+    # (no join node); DuckDB's native ASOF LEFT JOIN is the oracle.
+    # (user_id, ts) is unique per side in the generated events, so the
+    # unspecified-tie caveat never fires.
+    from html_parser_spark.spark.ops import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    out = asof_join(clicks, views, on="user_id", ts="ts",
+                    right_cols=["view_id"], prefix="asof_")
+    return out.select(
+        "click_id", "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("asof_view_id").alias("view_id"),
+        F.col("asof_ts").alias("view_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -509,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "curate_corpus": _q_curate_corpus,
         "dup_components": _q_dup_components,
+        "asof_attribution": _q_asof_attribution,
     }
 
 
@@ -767,6 +792,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
             ORDER BY query_id, rank
+        """,
+        "asof_attribution": """
+            SELECT c.event_id AS click_id,
+                   c.user_id,
+                   c.ts AS click_ts,
+                   v.event_id AS view_id,
+                   v.ts AS view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "dup_components": """
             WITH RECURSIVE sh AS (

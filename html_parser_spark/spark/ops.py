@@ -1077,6 +1077,49 @@ def _components_min_label(edges: DataFrame,
     return labels
 
 
+def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
+              ts: str = "ts", right_cols: list | None = None,
+              prefix: str = "asof_") -> DataFrame:
+    """AS-OF (temporal) join — for each left row, the latest right row
+    of the same key with right.ts <= left.ts (LEFT semantics: no prior
+    right row -> nulls). Spark has no native ASOF operator; the
+    scale-correct realization here is the union trick: tag the sides,
+    union, and take a running `last(right_payload, ignorenulls)` over
+    one (key, ts)-ordered window — the whole operator is ONE Exchange
+    + Window, no join node, no per-key driver work, so it survives
+    100 TB exactly like any other keyed window. Right rows sort before
+    left rows at equal ts (side 0 < 1), giving the standard inclusive
+    `<=` match; among equal-ts right DUPLICATES the greatest payload
+    struct wins deterministically (callers wanting oracle parity with
+    DuckDB's ASOF JOIN should hold (key, ts) unique on the right, as
+    ASOF leaves that tie unspecified).
+
+    Returns every left row + `prefix`-named columns (ts + right_cols)
+    of the matched right row."""
+    from pyspark.sql import Window
+
+    rcols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    r = right.select(
+        F.col(on), F.col(ts),
+        F.struct(F.col(ts).alias(ts),
+                 *[F.col(c).alias(c) for c in rcols]).alias("_r"),
+        F.lit(0).alias("_side"),
+    )
+    l = left.withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(),
+                 F.col("_r").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    out = m.where(F.col("_side") == 1).drop("_r", "_side")
+    for c in (ts, *rcols):
+        out = out.withColumn(prefix + c, F.col(f"_match.{c}"))
+    return out.drop("_match")
+
+
 def dup_components(documents: DataFrame,
                    jaccard_threshold: float = 0.8) -> DataFrame:
     """Near-dup CLUSTERS as a first-class result: minhash-LSH

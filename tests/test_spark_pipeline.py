@@ -865,3 +865,32 @@ def test_simhash_odd_bit_count(spark):
     r64 = {r.doc_id: r.simhash for r in simhash(df, bits=64).collect()}
     assert r63[1] == r64[1] & ((1 << 63) - 1)
     assert r63[2] == 0
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: latest right row at-or-before each left row per
+    key; same-instant right matches (inclusive); no prior right ->
+    nulls; later right rows never leak backwards."""
+    import datetime as dt
+
+    from html_parser_spark.spark.ops import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, T(5)), (2, 10, T(10)), (3, 10, T(2)),
+         (4, 20, T(7)), (5, 30, T(9))],
+        "click_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, T(3), 100), (10, T(10), 101),   # before + same-instant
+         (20, T(8), 102),                     # only AFTER left's t=7
+         (40, T(1), 103)],                    # different key
+        "user_id long, ts timestamp, view_id long")
+    out = {r.click_id: (r.asof_view_id, r.asof_ts)
+           for r in asof_join(left, right, right_cols=["view_id"])
+           .collect()}
+    assert out[1] == (100, T(3))    # latest prior
+    assert out[2] == (101, T(10))   # same-instant inclusive
+    assert out[3] == (None, None)   # nothing at-or-before t=2
+    assert out[4] == (None, None)   # right row is later only
+    assert out[5] == (None, None)   # no right rows for key
+    assert len(out) == 5            # LEFT semantics: all rows kept

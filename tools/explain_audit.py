@@ -212,6 +212,16 @@ def main():
          lambda p: "Join" not in p and "EvalPython" not in p),
     ])
 
+    audit("asof_attribution (temporal as-of via union+window)",
+          qs["asof_attribution"](spark, SF_DIR), [
+        ("NO join node — the as-of is one running window",
+         lambda p: "Join" not in p),
+        ("single user_id window shuffle",
+         lambda p: p.count("hashpartitioning(user_id") == 1),
+        ("event_type filters pushed to both pruned scans",
+         lambda p: p.count("PushedFilters: [IsNotNull(event_type)") == 2),
+    ])
+
     audit("curate_corpus (end-to-end curation DAG)",
           qs["curate_corpus"](spark, SF_DIR), [
         ("no cartesian/broadcast-nested-loop anywhere",
