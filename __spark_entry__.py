@@ -495,6 +495,28 @@ def _q_asof_attribution(spark, sf_dir):
     )
 
 
+def _q_value_percentiles(spark, sf_dir):
+    # exact interpolated percentiles per event_type: Spark
+    # `percentile` and DuckDB `quantile_cont` share the linear
+    # (1-g)*a + g*b definition over the sorted group, so the values
+    # agree bit-for-bit at 4dp (interpolation of two order statistics,
+    # not an order-dependent sum). Exact percentile sorts per group —
+    # fine for a bounded group count; the unbounded-cardinality 100 TB
+    # path is approx_percentile (t-digest), which is NOT cross-engine
+    # comparable and therefore not the oracled form.
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("round(percentile(value, 0.5), 4)").alias("p50"),
+            F.expr("round(percentile(value, 0.95), 4)").alias("p95"),
+            F.expr("round(min(value), 4)").alias("vmin"),
+            F.expr("round(max(value), 4)").alias("vmax"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -534,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "dup_components": _q_dup_components,
         "asof_attribution": _q_asof_attribution,
+        "value_percentiles": _q_value_percentiles,
     }
 
 
@@ -792,6 +815,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
             ORDER BY query_id, rank
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "asof_attribution": """
             SELECT c.event_id AS click_id,
