@@ -517,6 +517,42 @@ def _q_value_percentiles(spark, sf_dir):
     )
 
 
+def _q_corpus_rollup(spark, sf_dir):
+    # multi-dimensional aggregation: ROLLUP over (source, lang) gives
+    # per-(source,lang), per-source subtotals, and the grand total in
+    # one pass (Catalyst expands to a single Expand + aggregate, one
+    # shuffle). NULL grouping markers are replaced with a sentinel on
+    # both engines so the driver's hash compare treats subtotal rows
+    # identically.
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.length("text")).alias("n_chars"))
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs", "n_chars",
+        )
+    )
+
+
+def _q_events_pivot(spark, sf_dir):
+    # pivot: per-user event counts spread into one column per event
+    # type (explicit value list — the scale-correct form: an unlisted
+    # pivot triggers a distinct-values job and unbounded-width rows).
+    # The oracle expresses the same shape with FILTER aggregates.
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+        .select("user_id", *[F.col(k).alias(f"n_{k}") for k in kinds])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -557,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": _q_dup_components,
         "asof_attribution": _q_asof_attribution,
         "value_percentiles": _q_value_percentiles,
+        "corpus_rollup": _q_corpus_rollup,
+        "events_pivot": _q_events_pivot,
     }
 
 
@@ -815,6 +853,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
             ORDER BY query_id, rank
+        """,
+        "corpus_rollup": """
+            SELECT coalesce(source, '<all>') AS source,
+                   coalesce(lang, '<all>') AS lang,
+                   count(*) AS n_docs,
+                   sum(length(text)) AS n_chars
+            FROM documents
+            GROUP BY ROLLUP (source, lang)
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
         """,
         "value_percentiles": """
             SELECT event_type,
