@@ -331,8 +331,8 @@ def _q_ngram_jaccard(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, threshold=0.5,
-        candidates=minhash_lsh_candidates(docs, num_hashes=32, bands=16),
+        docs, threshold=_NEARDUP_THRESHOLD,
+        candidates=minhash_lsh_candidates(docs, **_NEARDUP_LSH),
     ).select("doc_a", "doc_b")
 
 
@@ -468,7 +468,8 @@ def _q_dup_components(spark, sf_dir):
     from html_parser_spark.spark.ops import dup_components
 
     return dup_components(_t(spark, sf_dir, "documents"),
-                          jaccard_threshold=0.5)
+                          jaccard_threshold=_NEARDUP_THRESHOLD,
+                          **_NEARDUP_LSH)
 
 
 def _q_asof_attribution(spark, sf_dir):
@@ -616,6 +617,36 @@ def _snap(name: str, cols: str) -> str:
 
 
 _EN_STOP = "('the','a','of','and','to')"
+
+# Near-dup PAIR definition shared by the ngram_jaccard and
+# dup_components queries (Spark params AND oracle CTE text): the two
+# queries must see the IDENTICAL pair set — that identity is what
+# transfers ngram_jaccard's documented LSH-recall risk analysis to
+# dup_components — so it lives in exactly one place.
+_NEARDUP_THRESHOLD = 0.5
+_NEARDUP_LSH = {"num_hashes": 32, "bands": 16}
+
+_SH_CTE = """sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(0, len(string_split(text,' ')) - 3),
+                         i -> array_to_string(
+                             string_split(text,' ')[i+1:i+3], ' ')))
+                     ELSE [array_to_string(string_split(text,' '), ' ')]
+                     END AS shingles
+              FROM documents
+            )"""
+
+_PAIRS_CTE = f"""pairs AS (
+              SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sh a, sh b
+              WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.shingles, b.shingles))
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)))
+                    >= {_NEARDUP_THRESHOLD}
+            )"""
 _LANG_STOP = {
     "en": "('the','a','of','and','to')",
     "es": "('el','la','de','que','y')",
@@ -892,26 +923,8 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
-        "dup_components": """
-            WITH RECURSIVE sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(string_split(text,' ')) >= 3 THEN
-                       list_distinct(list_transform(
-                         generate_series(0, len(string_split(text,' ')) - 3),
-                         i -> array_to_string(
-                             string_split(text,' ')[i+1:i+3], ' ')))
-                     ELSE [array_to_string(string_split(text,' '), ' ')]
-                     END AS shingles
-              FROM documents
-            ), pairs AS (
-              SELECT a.doc_id AS pa, b.doc_id AS pb
-              FROM sh a, sh b
-              WHERE a.doc_id < b.doc_id
-                AND len(list_intersect(a.shingles, b.shingles))
-                    / (len(a.shingles) + len(b.shingles)
-                       - len(list_intersect(a.shingles, b.shingles)))
-                    >= 0.5
-            ), edges AS (
+        "dup_components": f"""
+            WITH RECURSIVE {_SH_CTE}, {_PAIRS_CTE}, edges AS (
               SELECT pa AS ea, pb AS eb FROM pairs
               UNION
               SELECT pb AS ea, pa AS eb FROM pairs
@@ -924,24 +937,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(root) AS cluster_root
             FROM reach GROUP BY node
         """,
-        "ngram_jaccard": """
-            WITH sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(string_split(text,' ')) >= 3 THEN
-                       list_distinct(list_transform(
-                         generate_series(0, len(string_split(text,' ')) - 3),
-                         i -> array_to_string(
-                             string_split(text,' ')[i+1:i+3], ' ')))
-                     ELSE [array_to_string(string_split(text,' '), ' ')]
-                     END AS shingles
-              FROM documents
-            )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sh a, sh b
-            WHERE a.doc_id < b.doc_id
-              AND len(list_intersect(a.shingles, b.shingles))
-                  / (len(a.shingles) + len(b.shingles)
-                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        "ngram_jaccard": f"""
+            WITH {_SH_CTE}, {_PAIRS_CTE}
+            SELECT pa AS doc_a, pb AS doc_b FROM pairs
             ORDER BY doc_a, doc_b
         """,
         "embedding_near_dup": """

@@ -883,16 +883,15 @@ def _collect_traks(data: bytes) -> list:
     return traks
 
 
-def mp4_samples(data: bytes) -> list:
-    """REAL sample-table demux: returns [(offset, size, time_ms)] per
-    sample by walking moov/trak/mdia/minf/stbl and combining stts
-    (durations), stsz (sizes), stsc (sample->chunk), stco/co64 (chunk
-    offsets). Box collection is scoped PER TRAK (first trak with a
-    complete, parseable table wins) so multi-trak files never mix
-    sample-table boxes across tracks. Offsets are absolute file
-    offsets, so callers can slice actual sample bytes out of the
-    payload. Raises ValueError on non-BMFF; returns [] when no trak
-    carries a usable sample table."""
+def _select_trak(data: bytes):
+    """THE trak-selection rule, shared by mp4_samples and
+    mp4_video_stream so every demux API agrees on which trak a
+    multi-trak file means: the first trak with BOTH a well-formed
+    visual entry and a complete, parseable, non-empty sample table
+    (the video stream), else the first trak with just a usable table
+    (audio-only files still demux; entry is None there). Returns
+    (entry_or_None, samples) — always from ONE trak — or (None, [])."""
+    fallback = None
     for boxes in _collect_traks(data):
         if not (b"stts" in boxes and b"stsz" in boxes
                 and (b"stco" in boxes or b"co64" in boxes)):
@@ -903,9 +902,28 @@ def mp4_samples(data: bytes) -> list:
             # corrupt/truncated table: tolerated (same per-row policy
             # as every other media decode path), try the next trak
             continue
-        if samples:
-            return samples
-    return []
+        if not samples:
+            continue
+        entry = _parse_visual_entry(boxes.get(b"stsd"))
+        if entry is not None:
+            return entry, samples
+        if fallback is None:
+            fallback = samples
+    return None, fallback or []
+
+
+def mp4_samples(data: bytes) -> list:
+    """REAL sample-table demux: returns [(offset, size, time_ms)] per
+    sample by walking moov/trak/mdia/minf/stbl and combining stts
+    (durations), stsz (sizes), stsc (sample->chunk), stco/co64 (chunk
+    offsets). Box collection is scoped PER TRAK (never mixes
+    sample-table boxes across tracks) and the trak choice is shared
+    with mp4_video_stream (_select_trak: visual trak preferred, any
+    complete table as fallback). Offsets are absolute file offsets,
+    so callers can slice actual sample bytes out of the payload.
+    Raises ValueError on non-BMFF; returns [] when no trak carries a
+    usable sample table."""
+    return _select_trak(data)[1]
 
 
 def _parse_visual_entry(sd):
@@ -941,25 +959,14 @@ def mp4_sample_entry(data: bytes):
 
 
 def mp4_video_stream(data: bytes):
-    """(sample_entry, samples) taken from the SAME trak — the first
-    trak with a complete, parseable, non-empty sample table (the
-    identical predicate mp4_samples uses, so both APIs agree on the
-    chosen trak). entry is None when that trak's stsd carries no
-    well-formed visual entry (e.g. an audio trak won first — its
-    samples are then NOT pixel-decodable and the caller must fall
-    back, never pair them with another trak's codec declaration).
-    Raises ValueError on non-BMFF input."""
-    for boxes in _collect_traks(data):
-        if not (b"stts" in boxes and b"stsz" in boxes
-                and (b"stco" in boxes or b"co64" in boxes)):
-            continue
-        try:
-            samples = _parse_sample_table(boxes, len(data))
-        except (struct.error, IndexError, ValueError):
-            continue
-        if samples:
-            return _parse_visual_entry(boxes.get(b"stsd")), samples
-    return None, []
+    """(sample_entry, samples) taken from the SAME trak via
+    _select_trak: the first trak with BOTH a visual entry and a
+    usable table wins (so an audio trak listed before the video trak
+    never shadows it), with any-complete-table as the audio-only
+    fallback (entry None there — those samples are NOT
+    pixel-decodable and are never paired with another trak's codec
+    declaration). Raises ValueError on non-BMFF input."""
+    return _select_trak(data)
 
 
 def _parse_sample_table(boxes: dict, file_len: int) -> list:

@@ -1061,7 +1061,10 @@ def _components_min_label(edges: DataFrame,
                 break
         if changed != 0:
             # a silently partial closure would dedup incompletely (and
-            # diverge from the oracle's exact recursive CTE) — refuse
+            # diverge from the oracle's exact recursive CTE) — refuse.
+            # Unpersist first: a caller catching this to retry with a
+            # larger max_iter must not strand a cached block per try
+            labels.unpersist()
             raise RuntimeError(
                 f"component labels did not converge in {max_iter} "
                 f"iterations ({changed} still moving): the dup graph "
@@ -1098,7 +1101,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     of the matched right row."""
     from pyspark.sql import Window
 
-    rcols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    reserved = {"_side", "_r", "_match"}
+    clash = reserved & set(left.columns)
+    if clash:
+        # silently overwriting + dropping a user column would lose data
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} on the left side first")
+    if right_cols is None:  # explicit [] means "matched ts only"
+        right_cols = [c for c in right.columns if c not in (on, ts)]
+    rcols = right_cols
     r = right.select(
         F.col(on), F.col(ts),
         F.struct(F.col(ts).alias(ts),
@@ -1121,7 +1133,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
 
 
 def dup_components(documents: DataFrame,
-                   jaccard_threshold: float = 0.8) -> DataFrame:
+                   jaccard_threshold: float = 0.8,
+                   num_hashes: int = 32, bands: int = 16) -> DataFrame:
     """Near-dup CLUSTERS as a first-class result: minhash-LSH
     candidates verified by exact jaccard, collapsed to connected
     components — returns (doc_id, cluster_root) for every document
@@ -1131,7 +1144,8 @@ def dup_components(documents: DataFrame,
     materializes it once and both dedup and provenance reporting read
     it. SQL-oracled end to end (recursive reachability CTE on the
     DuckDB side)."""
-    cand = minhash_lsh_candidates(documents, num_hashes=32, bands=16)
+    cand = minhash_lsh_candidates(documents, num_hashes=num_hashes,
+                                  bands=bands)
     pairs = ngram_jaccard_pairs(
         documents, threshold=jaccard_threshold, candidates=cand)
     comp = _components_min_label(pairs.select("doc_a", "doc_b"))

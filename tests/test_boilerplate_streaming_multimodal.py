@@ -544,10 +544,11 @@ class TestMultimodal:
 
     def test_video_stream_entry_and_samples_same_trak(self):
         """Regression: when an AUDIO trak (complete sample table, no
-        visual entry) precedes the raw video trak, the codec entry and
-        the sample ranges must come from the SAME trak — pairing the
-        video trak's 'raw ' entry with the audio trak's ranges would
-        decode audio bytes as pixels (or misreport decode_ok)."""
+        visual entry) precedes the raw video trak, the VIDEO trak must
+        win (entry + ranges from that ONE trak) — pairing the video
+        trak's 'raw ' entry with the audio trak's ranges would decode
+        audio bytes as pixels, and letting the audio trak shadow the
+        video trak would refuse a decodable stream."""
         import struct
 
         from html_parser_spark.spark.multimodal import (
@@ -582,9 +583,14 @@ class TestMultimodal:
         data = (_box(b"ftyp", b"isom\x00\x00\x02\x00")
                 + _box(b"moov", audio + video))
         entry, samples = mp4_video_stream(data)
-        # the audio trak wins the table race -> its entry is None and
-        # its ranges are returned; NEVER the video trak's 'raw ' entry
-        # with the audio ranges
+        # the VIDEO trak wins (entry + its own ranges together);
+        # never the 'raw ' entry with the audio trak's ranges
+        assert entry == ("raw ", 4, 4, 24)
+        assert samples == [(400, 48, 0), (448, 48, 250)]
+        # audio-only file: fallback keeps demuxing, entry is None
+        a_only = (_box(b"ftyp", b"isom\x00\x00\x02\x00")
+                  + _box(b"moov", audio))
+        entry, samples = mp4_video_stream(a_only)
         assert entry is None
         assert samples == [(100, 33, 0), (133, 44, 500)]
 
