@@ -31,3 +31,32 @@ def write_bucketed(df: DataFrame, table: str, key: str,
 
 def read_table(spark, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_parquet(spark, input_path: str, output_path: str,
+                    target_file_mb: int = 128) -> int:
+    """Small-file compaction — the OPTIMIZE / Iceberg
+    rewrite_data_files maintenance operator. A 100 TB table ingested
+    by many tasks (or streaming micro-batches) accumulates thousands
+    of KB-scale files; every downstream scan then pays per-file open/
+    footer costs and the scheduler pays per-split overhead. This
+    rewrites the dataset into ceil(total_bytes / target) files of
+    roughly `target_file_mb` each.
+
+    Sizing comes from the FILE METADATA the reader already collected
+    (InMemoryFileIndex via the JVM Hadoop FS — no data read, and no
+    driver-side os.walk that would break on object stores). The
+    rewrite is one scan + one round-robin repartition + one write;
+    row content is preserved exactly (count-checked by the caller's
+    tests). Returns the number of output partitions."""
+    import math
+
+    df = spark.read.parquet(input_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(input_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(output_path)
+    return n_files

@@ -894,3 +894,23 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, None)   # right row is later only
     assert out[5] == (None, None)   # no right rows for key
     assert len(out) == 5            # LEFT semantics: all rows kept
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction rewrites a many-tiny-files dataset into the computed
+    file count with exact row parity."""
+    from html_parser_spark.spark.storage import compact_parquet
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10_000).selectExpr(
+        "id", "repeat('x', 100) AS pad")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n == 1  # well under one 128MB target
+    assert len(glob.glob(dst + "/part-*.parquet")) == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.agg({"id": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
