@@ -475,21 +475,27 @@ def _q_dup_components(spark, sf_dir):
 def _q_asof_attribution(spark, sf_dir):
     # temporal AS-OF join: each click attributed to the user's latest
     # prior (or same-instant) view. Spark has no native ASOF operator
-    # — ops.asof_join realizes it as ONE Exchange + running window
-    # (no join node); DuckDB's native ASOF LEFT JOIN is the oracle.
-    # (user_id, ts) is unique per side in the generated events, so the
+    # — ops realizes it as ONE Exchange + running window (no join
+    # node); DuckDB's native ASOF LEFT JOIN is the oracle. Both sides
+    # are predicates over the SAME events table, so the fused
+    # single-scan form is used (the two-frame asof_join would read
+    # events twice — the union-of-filters double scan). (user_id, ts)
+    # is unique per side in the generated events, so the
     # unspecified-tie caveat never fires.
-    from html_parser_spark.spark.ops import asof_join
+    from html_parser_spark.spark.ops import asof_join_filtered
 
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts")
-    views = ev.where(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id"))
-    out = asof_join(clicks, views, on="user_id", ts="ts",
-                    right_cols=["view_id"], prefix="asof_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.col("event_id").alias("view_id"),
+    )
+    out = asof_join_filtered(
+        ev,
+        F.col("event_type") == "click",
+        F.col("event_type") == "view",
+        on="user_id", ts="ts", right_cols=["view_id"], prefix="asof_",
+    )
     return out.select(
-        "click_id", "user_id",
+        F.col("event_id").alias("click_id"), "user_id",
         F.col("ts").alias("click_ts"),
         F.col("asof_view_id").alias("view_id"),
         F.col("asof_ts").alias("view_ts"),

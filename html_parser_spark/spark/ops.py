@@ -1119,6 +1119,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     )
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
+    return _asof_resolve(u, on, ts, rcols, prefix)
+
+
+def _asof_resolve(u: DataFrame, on: str, ts: str, rcols: list,
+                  prefix: str) -> DataFrame:
+    """Shared as-of core over a tagged frame (_side: 1=left 0=right,
+    _r: right payload struct or null): running last(ignorenulls) over
+    one (key, ts, side, payload)-ordered window, keep left rows,
+    flatten the match."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts).asc(), F.col("_side").asc(),
@@ -1130,6 +1141,42 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     for c in (ts, *rcols):
         out = out.withColumn(prefix + c, F.col(f"_match.{c}"))
     return out.drop("_match")
+
+
+def asof_join_filtered(df: DataFrame, left_pred, right_pred,
+                       on: str = "user_id", ts: str = "ts",
+                       right_cols: list | None = None,
+                       prefix: str = "asof_") -> DataFrame:
+    """As-of join where BOTH sides are predicates over ONE source —
+    the common attribution shape (clicks vs views of the same events
+    table). The two-DataFrame asof_join would scan the source twice
+    (union of two filtered reads); this fused form tags sides with
+    CASE expressions in a single pass, so the whole operator is ONE
+    pruned scan + ONE Exchange + Window. Result is identical to
+    asof_join(df.where(left_pred), df.where(right_pred), ...) when no
+    row satisfies both predicates; a both-sides row matches itself
+    (inclusive), which the union form also yields unless another
+    equal-ts right row out-sorts it — hold (on, ts) unique per side
+    (as the registered query's data does) and the edge never fires."""
+    reserved = {"_side", "_r", "_match"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} first")
+    if right_cols is None:
+        right_cols = [c for c in df.columns if c not in (on, ts)]
+    u = (
+        df.where(left_pred | right_pred)
+        .withColumn("_side", F.when(left_pred, 1).otherwise(0))
+        .withColumn(
+            "_r",
+            F.when(right_pred, F.struct(
+                F.col(ts).alias(ts),
+                *[F.col(c).alias(c) for c in right_cols])),
+        )
+    )
+    return _asof_resolve(u, on, ts, right_cols, prefix)
 
 
 def dup_components(documents: DataFrame,

@@ -914,3 +914,31 @@ def test_compact_parquet_small_files(spark, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == 10_000
     assert got.agg({"id": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_asof_join_filtered_equals_two_frame(spark):
+    """The fused single-scan as-of (both sides as predicates over one
+    source) must produce exactly the two-frame asof_join's result on
+    disjoint sides."""
+    import datetime as dt
+
+    from html_parser_spark.spark.ops import asof_join, asof_join_filtered
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [(i, 10 + i % 3, T(i), "click" if i % 2 else "view",
+             100 + i) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, view_id long")
+    fused = asof_join_filtered(
+        df, F.col("event_type") == "click",
+        F.col("event_type") == "view", right_cols=["view_id"])
+    two = asof_join(
+        df.where("event_type = 'click'"),
+        df.where("event_type = 'view'").select("user_id", "ts",
+                                               "view_id"),
+        right_cols=["view_id"])
+    key = ["event_id", "asof_ts", "asof_view_id"]
+    a = sorted(tuple(r) for r in fused.select(*key).collect())
+    b = sorted(tuple(r) for r in two.select(*key).collect())
+    assert a == b and len(a) == 20

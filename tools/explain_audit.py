@@ -212,14 +212,19 @@ def main():
          lambda p: "Join" not in p and "EvalPython" not in p),
     ])
 
-    audit("asof_attribution (temporal as-of via union+window)",
+    audit("asof_attribution (fused single-scan as-of window)",
           qs["asof_attribution"](spark, SF_DIR), [
         ("NO join node — the as-of is one running window",
          lambda p: "Join" not in p),
         ("single user_id window shuffle",
          lambda p: p.count("hashpartitioning(user_id") == 1),
-        ("event_type filters pushed to both pruned scans",
-         lambda p: p.count("PushedFilters: [IsNotNull(event_type)") == 2),
+        ("ONE pruned scan of events (fused sides, no union-of-"
+         "filters double read), side disjunction pushed",
+         # formatted explain prints each scan twice (tree + details):
+         # ONE scan node == exactly 2 occurrences
+         lambda p: p.count("Scan parquet") == 2
+         and "Or(EqualTo(event_type,click),EqualTo(event_type,view))"
+         in p),
     ])
 
     audit("curate_corpus (end-to-end curation DAG)",
