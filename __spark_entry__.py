@@ -560,6 +560,12 @@ def _q_events_pivot(spark, sf_dir):
     )
 
 
+def _q_redact_pii(spark, sf_dir):
+    from html_parser_spark.spark.ops import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -602,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "corpus_rollup": _q_corpus_rollup,
         "events_pivot": _q_events_pivot,
+        "redact_pii": _q_redact_pii,
     }
 
 
@@ -629,6 +636,12 @@ _EN_STOP = "('the','a','of','and','to')"
 # queries must see the IDENTICAL pair set — that identity is what
 # transfers ngram_jaccard's documented LSH-recall risk analysis to
 # dup_components — so it lives in exactly one place.
+# single source for the PII patterns: the oracle must run the very
+# same Java==RE2-subset strings the Spark operator compiles
+from html_parser_spark.spark.ops import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL, URL_RE as _PII_URL, _CTRL_RE as _PII_CTRL,
+)
+
 _NEARDUP_THRESHOLD = 0.5
 _NEARDUP_LSH = {"num_hashes": 32, "bands": 16}
 
@@ -890,6 +903,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
             ORDER BY query_id, rank
+        """,
+        "redact_pii": f"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>',
+                                      'g'),
+                       '{_PII_URL}', '<URL>', 'g'),
+                     '{_PII_CTRL}', '', 'g') AS clean_text,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                       AS n_emails,
+                   len(regexp_extract_all(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>',
+                                      'g'),
+                       '{_PII_URL}')) AS n_urls
+            FROM documents
         """,
         "corpus_rollup": """
             SELECT coalesce(source, '<all>') AS source,

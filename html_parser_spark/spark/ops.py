@@ -396,6 +396,38 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# PII/cleanup patterns: kept to the syntax subset Java regex and RE2
+# evaluate identically (no backreferences, no lookaround) so the DuckDB
+# oracle can run the very same strings
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+# escaped (not literal) control chars: the same string must survive
+# embedding in a SQL literal (a raw NUL unterminates it) and both
+# Java regex and RE2 parse \xNN escapes identically
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Training-corpus scrubbing: replace emails and URLs with typed
+    placeholders, strip C0 control characters (except tab/newline/CR),
+    and report per-document match counts — the redaction pass a
+    training-data pipeline runs before tokenization. Pure JVM regexp
+    expressions (SQL-oracled; patterns restricted to the Java==RE2
+    subset). Email redaction runs BEFORE URL redaction so an email
+    inside a URL query string is counted once, by the earlier rule."""
+    n_emails = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    step1 = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+    n_urls = F.regexp_count(step1, F.lit(URL_RE))
+    step2 = F.regexp_replace(step1, URL_RE, "<URL>")
+    clean = F.regexp_replace(step2, _CTRL_RE, "")
+    return documents.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_urls.cast("int").alias("n_urls"),
+    )
+
+
 def normalized_text(col):
     """THE dedup normalization (lowercase, whitespace-collapse, trim)
     — shared by the batch fingerprint operator and the streaming dedup

@@ -942,3 +942,25 @@ def test_asof_join_filtered_equals_two_frame(spark):
     a = sorted(tuple(r) for r in fused.select(*key).collect())
     b = sorted(tuple(r) for r in two.select(*key).collect())
     assert a == b and len(a) == 20
+
+
+def test_redact_pii_behaviour(spark):
+    """Emails and URLs become typed placeholders (email rule first, so
+    an address inside a URL query counts once), C0 control chars are
+    stripped while tab/newline survive, and counts are per-document."""
+    from html_parser_spark.spark.ops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob@example.com or see https://x.io/a?e=1"),
+            (2, "no pii here\tjust\ntext \x07with\x01 bells"),
+            (3, "two mails a@b.co c@d.org and http://plain.example"),
+        ],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].clean_text == "write to <EMAIL> or see <URL>"
+    assert (rows[1].n_emails, rows[1].n_urls) == (1, 1)
+    assert rows[2].clean_text == "no pii here\tjust\ntext with bells"
+    assert (rows[2].n_emails, rows[2].n_urls) == (0, 0)
+    assert rows[3].clean_text == "two mails <EMAIL> <EMAIL> and <URL>"
+    assert (rows[3].n_emails, rows[3].n_urls) == (2, 1)
