@@ -185,6 +185,29 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
 
+    # round-4 operators, measured but NOT summed into the headline:
+    # the headline query set is frozen for cross-round comparability
+    # (BENCH_r01..r03 share it); these report coverage of the newer
+    # surface — curation DAG, clustering, temporal join, redaction —
+    # without moving the trend line
+    extra: dict[str, float] = {}
+    for name in ("curate_corpus", "dup_components", "asof_attribution",
+                 "redact_pii"):
+        if name not in qs:
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                qs[name](spark, SF_DIR).write.format(
+                    "noop").mode("overwrite").save()
+            except Exception:
+                qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        extra[name] = round(best, 3)
+        spark.catalog.clearCache()  # curation persists pair-scale frames
+
     # headline = sum of best-of-N per-query times: measures the suite,
     # not the retry loops (wall clock incl. retries: time.time()-t_all)
     total = round(sum(queries.values()), 3)
@@ -204,6 +227,7 @@ def main() -> int:
         "unit": "sec",
         "wall_seconds_incl_retries": wall,
         "queries": queries,
+        "extra_queries_not_in_value": extra,
         "sf": sf,
         "turns": n_extracted,
         "turns_per_sec": turns_per_sec,
