@@ -1042,73 +1042,108 @@ def event_sessions(events: DataFrame,
     )
 
 
+def _components_union_find(edge_rows) -> list:
+    """Exact union-find (path compression + union by min) over a
+    collected edge list: [(node, root)] with root = component min."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so every root is its component's minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
+# above this many verified dup EDGES the component graph stops being
+# "tiny model artifact"-scale and the distributed label-propagation
+# loop takes over (collecting would gamble driver memory)
+_CC_COLLECT_MAX_EDGES = 2_000_000
+
+
 def _components_min_label(edges: DataFrame,
                           max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected edge list
-    (doc_a, doc_b) by min-label propagation: returns (node, root)
-    where root is the SMALLEST id reachable from node — the canonical
-    representative of its dup cluster.
+    (doc_a, doc_b): returns (node, root) where root is the SMALLEST
+    id reachable from node — the canonical representative of its dup
+    cluster.
 
-    Driver-side fixed-point loop: each iteration pushes every node's
-    current best label one hop, so it converges in O(cluster diameter)
-    iterations; real near-dup clusters are shallow (dup graphs are
-    dense blobs, not paths), and `max_iter` bounds pathological
-    chains. The edge and label frames are PAIR-scale (only docs that
-    appear in a verified dup pair), orders of magnitude smaller than
-    the corpus, so persisting them between iterations is the ivf-
-    centroid kind of small-artifact materialization — without it the
-    lineage doubles per iteration."""
+    Two paths, same exact result (property-tested identical):
+
+    - <= _CC_COLLECT_MAX_EDGES verified pairs: collect the edge list
+      and run exact union-find on the driver — the ivf-centroid kind
+      of small-artifact action (dup PAIRS are metadata-scale next to
+      the corpus), one job instead of O(diameter) iterations each
+      costing 3 driver actions.
+    - above that: driver-side fixed-point min-label propagation; each
+      iteration pushes labels one hop (real dup clusters are shallow
+      dense blobs; `max_iter` bounds pathological chains, raising on
+      non-convergence rather than returning a partial closure). The
+      edge/label frames are localCheckpoint'ed between iterations —
+      lineage TRUNCATION, not just caching, because the logical plan
+      otherwise doubles per iteration and kills the driver on deep
+      graphs (see the inline note)."""
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= _CC_COLLECT_MAX_EDGES:
+        rows = edges.select("doc_a", "doc_b").collect()
+        labels = _components_union_find(
+            [(r.doc_a, r.doc_b) for r in rows])
+        return spark.createDataFrame(labels, "node long, root long")
     sym = edges.select("doc_a", "doc_b").unionByName(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))
-    sym = sym.persist()
+    # localCheckpoint, NOT persist: persist() truncates recomputation
+    # but the LOGICAL plan still doubles per iteration (labels appears
+    # in both the union and the propagation join), so a deep graph
+    # blows the driver up during analysis around iteration ~20.
+    # localCheckpoint(eager) materializes to executor storage AND cuts
+    # the lineage, keeping every iteration's plan constant-size;
+    # blocks are released by the ContextCleaner as the old frames GC
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("root", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-    try:
-        changed = 1
-        for _ in range(max_iter):
-            prop = (
-                sym.join(labels.withColumnRenamed("node", "doc_a"),
-                         "doc_a")
-                .select(F.col("doc_b").alias("node"), "root")
-            )
-            new_labels = (
-                labels.unionByName(prop)
-                .groupBy("node").agg(F.min("root").alias("root"))
-                .persist()
-            )
-            changed = (
-                new_labels
-                .join(labels.withColumnRenamed("root", "prev"), "node")
-                .where(F.col("root") != F.col("prev"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        if changed != 0:
-            # a silently partial closure would dedup incompletely (and
-            # diverge from the oracle's exact recursive CTE) — refuse.
-            # Unpersist first: a caller catching this to retry with a
-            # larger max_iter must not strand a cached block per try
-            labels.unpersist()
-            raise RuntimeError(
-                f"component labels did not converge in {max_iter} "
-                f"iterations ({changed} still moving): the dup graph "
-                f"has a path-shaped component deeper than max_iter; "
-                f"re-run with a larger max_iter")
-    finally:
-        sym.unpersist()
-    # the FINAL labels frame stays persisted: every consumer (drops
-    # anti-join, cluster_root output) reads it lazily, and recomputing
-    # its lineage would replay the whole iterative union chain against
-    # the unpersisted edge subtree. Pair-scale (docs in dup pairs
-    # only); callers done with the result can spark.catalog.clearCache()
+    changed = 1
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.withColumnRenamed("node", "doc_a"),
+                     "doc_a")
+            .select(F.col("doc_b").alias("node"), "root")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node").agg(F.min("root").alias("root"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels
+            .join(labels.withColumnRenamed("root", "prev"), "node")
+            .where(F.col("root") != F.col("prev"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        # a silently partial closure would dedup incompletely (and
+        # diverge from the oracle's exact recursive CTE) — refuse
+        raise RuntimeError(
+            f"component labels did not converge in {max_iter} "
+            f"iterations ({changed} still moving): the dup graph "
+            f"has a path-shaped component deeper than max_iter; "
+            f"re-run with a larger max_iter")
     return labels
 
 

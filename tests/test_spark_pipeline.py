@@ -964,3 +964,27 @@ def test_redact_pii_behaviour(spark):
     assert (rows[2].n_emails, rows[2].n_urls) == (0, 0)
     assert rows[3].clean_text == "two mails <EMAIL> <EMAIL> and <URL>"
     assert (rows[3].n_emails, rows[3].n_urls) == (2, 1)
+
+
+def test_components_paths_identical(spark):
+    """The collected union-find fast path and the distributed
+    min-label loop must return identical (node, root) sets."""
+    import random
+
+    from html_parser_spark.spark import ops
+    from html_parser_spark.spark.ops import _components_min_label
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(200), rng.randrange(200))
+             for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = sorted(tuple(r) for r in _components_min_label(df).collect())
+    old = ops._CC_COLLECT_MAX_EDGES
+    ops._CC_COLLECT_MAX_EDGES = 0  # force the distributed loop
+    try:
+        dist = sorted(
+            tuple(r) for r in _components_min_label(df).collect())
+    finally:
+        ops._CC_COLLECT_MAX_EDGES = old
+    assert fast == dist and len(fast) > 0
