@@ -60,3 +60,39 @@ def compact_parquet(spark, input_path: str, output_path: str,
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(output_path)
     return n_files
+
+
+def upsert_parquet(spark, target_path: str, updates: DataFrame,
+                   key: str) -> int:
+    """MERGE-INTO semantics for a plain-parquet target: rows whose
+    `key` appears in `updates` are replaced, new keys are inserted,
+    untouched rows are preserved (matched-update + not-matched-insert,
+    updates win wholesale per key). Realized as existing-rows
+    anti-join + union, staged to a temp dir and swapped via Hadoop FS
+    rename — the read and the overwrite can't target the same path in
+    one job.
+
+    Honesty note on atomicity: a real table format (Iceberg/Delta
+    MERGE INTO) commits this as one metadata swap; the parquet-level
+    swap here has a small non-atomic window between delete and rename
+    (documented trade, same as every bare-parquet pipeline). Returns
+    the merged row count."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    target = Path(target_path)
+    fs = target.getFileSystem(conf)
+
+    if fs.exists(target):
+        existing = spark.read.parquet(target_path)
+        keys = updates.select(key).distinct()
+        merged = existing.join(keys, key, "left_anti").unionByName(
+            updates.select(*existing.columns))
+    else:
+        merged = updates
+    tmp = Path(target_path + "._upsert_tmp")
+    merged.write.mode("overwrite").parquet(str(tmp))
+    n = spark.read.parquet(str(tmp)).count()
+    fs.delete(target, True)
+    fs.rename(tmp, target)
+    return n

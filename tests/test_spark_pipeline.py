@@ -988,3 +988,23 @@ def test_components_paths_identical(spark):
     finally:
         ops._CC_COLLECT_MAX_EDGES = old
     assert fast == dist and len(fast) > 0
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """MERGE semantics on plain parquet: updated keys replaced,
+    new keys inserted, untouched rows preserved; initial upsert into
+    a missing target just writes."""
+    from html_parser_spark.spark.storage import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, name string, v long")
+    assert upsert_parquet(spark, path, base, "id") == 3
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id long, name string, v long")
+    assert upsert_parquet(spark, path, updates, "id") == 4
+    got = {r.id: (r.name, r.v)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30),
+                   4: ("d", 40)}
