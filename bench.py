@@ -185,6 +185,10 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
 
+    # snapshot the comparable wall BEFORE the extras: BENCH_r01..r03's
+    # wall_seconds_incl_retries measured only the frozen suite
+    wall = round(time.time() - t_all, 3)
+
     # round-4 operators, measured but NOT summed into the headline:
     # the headline query set is frozen for cross-round comparability
     # (BENCH_r01..r03 share it); these report coverage of the newer
@@ -209,9 +213,9 @@ def main() -> int:
         spark.catalog.clearCache()  # curation persists pair-scale frames
 
     # headline = sum of best-of-N per-query times: measures the suite,
-    # not the retry loops (wall clock incl. retries: time.time()-t_all)
+    # not the retry loops (wall clock incl. retries: snapshotted above,
+    # extras excluded for cross-round comparability)
     total = round(sum(queries.values()), 3)
-    wall = round(time.time() - t_all, 3)
     turns_per_sec = round(n_extracted / t_extract, 1) if t_extract else 0.0
 
     # total text bytes for MB/s context (cheap: sum of lengths)

@@ -400,7 +400,11 @@ def lang_id(documents: DataFrame) -> DataFrame:
 # evaluate identically (no backreferences, no lookaround) so the DuckDB
 # oracle can run the very same strings
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^\s]+"
+# whitespace spelled EXPLICITLY, not \s: Java's \s includes \x0b
+# (vertical tab) while RE2's does not, so [^\s]+ would diverge between
+# Spark and the DuckDB oracle exactly on the control chars this module
+# handles
+URL_RE = r"https?://[^ \t\n\x0b\f\r]+"
 # escaped (not literal) control chars: the same string must survive
 # embedding in a SQL literal (a raw NUL unterminates it) and both
 # Java regex and RE2 parse \xNN escapes identically
@@ -1093,23 +1097,39 @@ def _components_min_label(edges: DataFrame,
       otherwise doubles per iteration and kills the driver on deep
       graphs (see the inline note)."""
     spark = edges.sparkSession
-    n_edges = edges.count()
-    if n_edges <= _CC_COLLECT_MAX_EDGES:
-        rows = edges.select("doc_a", "doc_b").collect()
-        labels = _components_union_find(
-            [(r.doc_a, r.doc_b) for r in rows])
-        return spark.createDataFrame(labels, "node long, root long")
-    sym = edges.select("doc_a", "doc_b").unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b")))
-    # localCheckpoint, NOT persist: persist() truncates recomputation
-    # but the LOGICAL plan still doubles per iteration (labels appears
-    # in both the union and the propagation join), so a deep graph
-    # blows the driver up during analysis around iteration ~20.
-    # localCheckpoint(eager) materializes to executor storage AND cuts
-    # the lineage, keeping every iteration's plan constant-size;
-    # blocks are released by the ContextCleaner as the old frames GC
-    sym = sym.localCheckpoint(eager=True)
+    # persist before counting: edges' lineage is the LSH + exact-verify
+    # pipeline (the job's most expensive stage) — without the cache the
+    # size probe would evaluate it once and the collect/localCheckpoint
+    # a second time
+    edges = edges.select("doc_a", "doc_b").persist()
+    try:
+        n_edges = edges.count()
+        if n_edges <= _CC_COLLECT_MAX_EDGES:
+            rows = edges.collect()
+            labels = _components_union_find(
+                [(r.doc_a, r.doc_b) for r in rows])
+            # id type follows the input (string/decimal ids must not
+            # hit a hardcoded long schema on this path only)
+            id_type = edges.schema["doc_a"].dataType.simpleString()
+            return spark.createDataFrame(
+                labels, f"node {id_type}, root {id_type}")
+        # localCheckpoint, NOT persist: persist() truncates
+        # recomputation but the LOGICAL plan still doubles per
+        # iteration (labels appears in both the union and the
+        # propagation join), so a deep graph blows the driver up
+        # during analysis around iteration ~20. localCheckpoint(eager)
+        # materializes to executor storage AND cuts the lineage,
+        # keeping every iteration's plan constant-size; blocks are
+        # released by the ContextCleaner as the old frames GC
+        sym = edges.unionByName(
+            edges.select(F.col("doc_b").alias("doc_a"),
+                         F.col("doc_a").alias("doc_b"))
+        ).localCheckpoint(eager=True)
+    finally:
+        # fast path: rows are collected; distributed: sym is
+        # materialized — either way the cached verify pipeline output
+        # is no longer needed
+        edges.unpersist()
     labels = (
         sym.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("root", F.col("node"))
@@ -1271,7 +1291,8 @@ def dup_components(documents: DataFrame,
 
 def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
                   jaccard_threshold: float = 0.8,
-                  materialize: bool = True) -> DataFrame:
+                  materialize: bool = True,
+                  return_clusters: bool = False):
     """END-TO-END training-data curation — the composition a 100 TB
     corpus actually runs:
 
@@ -1325,5 +1346,17 @@ def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
     comp = _components_min_label(dup_pairs.select("doc_a", "doc_b"))
     drops = comp.where(F.col("node") != F.col("root")).select(
         F.col("node").alias("doc_id"))
-    return exact_kept.join(drops, "doc_id", "left_anti").select(
+    kept_out = exact_kept.join(drops, "doc_id", "left_anti").select(
         "doc_id", "source", "lang")
+    if return_clusters:
+        # the EXACT component frame the drop rule consumed — provenance
+        # consumers (e.g. jobs/curate_job.py) must reuse this rather
+        # than recomputing dup_components over the raw input, which
+        # would both double the dominant stage's cost and report
+        # cluster roots the drop rule never saw (quality-failed or
+        # exact-duplicate members)
+        clusters = comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("root").alias("cluster_root"))
+        return kept_out, clusters
+    return kept_out

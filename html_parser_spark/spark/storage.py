@@ -93,6 +93,13 @@ def upsert_parquet(spark, target_path: str, updates: DataFrame,
     tmp = Path(target_path + "._upsert_tmp")
     merged.write.mode("overwrite").parquet(str(tmp))
     n = spark.read.parquet(str(tmp)).count()
-    fs.delete(target, True)
-    fs.rename(tmp, target)
+    # Hadoop FS delete/rename report failure by RETURNING false, not
+    # raising — ignoring them here would silently lose the live table
+    # (delete succeeded, rename failed -> data stranded in tmp)
+    if fs.exists(target) and not fs.delete(target, True):
+        raise IOError(f"upsert: could not delete {target_path}")
+    if not fs.rename(tmp, target):
+        raise IOError(
+            f"upsert: rename {tmp} -> {target_path} failed; merged "
+            f"data is intact in the tmp path")
     return n

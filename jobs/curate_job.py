@@ -14,8 +14,9 @@ single-scan-per-stage mode), writes:
 
   <output>/kept/        surviving (doc_id, source, lang), compacted to
                         ~target-file-mb files
-  <output>/clusters/    near-dup provenance (doc_id, cluster_root) —
-                        the dup_components view the drop rule consumed
+  <output>/clusters/    near-dup provenance (doc_id, cluster_root):
+                        the EXACT component frame the drop rule
+                        consumed (over the gated+deduped corpus)
   <output>/stats.json   row counts per stage (driver-side, tiny)
 """
 
@@ -40,16 +41,21 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("corpus-curate").getOrCreate()
 
-    from html_parser_spark.spark.ops import curate_corpus, dup_components
+    from html_parser_spark.spark.ops import curate_corpus
     from html_parser_spark.spark.storage import compact_parquet
 
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
-    kept = curate_corpus(docs, quality_min=args.quality_min,
-                         jaccard_threshold=args.jaccard,
-                         materialize=True)
+    # return_clusters: provenance is the SAME component frame the drop
+    # rule consumed — recomputing dup_components over the raw input
+    # would double the dominant stage and report roots the rule never
+    # saw (quality-failed / exact-dup members)
+    kept, clusters = curate_corpus(docs, quality_min=args.quality_min,
+                                   jaccard_threshold=args.jaccard,
+                                   materialize=True,
+                                   return_clusters=True)
     kept_tmp = os.path.join(args.output, "_kept_raw")
     kept.write.mode("overwrite").parquet(kept_tmp)
     kept_path = os.path.join(args.output, "kept")
@@ -61,7 +67,6 @@ def main(argv=None) -> int:
     tmp = jvm.org.apache.hadoop.fs.Path(kept_tmp)
     tmp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(tmp, True)
 
-    clusters = dup_components(docs, jaccard_threshold=args.jaccard)
     clusters_path = os.path.join(args.output, "clusters")
     clusters.write.mode("overwrite").parquet(clusters_path)
 
@@ -74,8 +79,14 @@ def main(argv=None) -> int:
         "docs_in_dup_clusters": n_clustered,
         "wall_seconds": round(time.time() - t0, 2),
     }
-    with open(os.path.join(args.output, "stats.json"), "w") as f:
-        json.dump(stats, f)
+    # Hadoop FS write (not builtin open): --output may be an
+    # object-store/HDFS URI, same reasoning as the staging-dir delete
+    stats_path = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(args.output, "stats.json"))
+    sfs = stats_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = sfs.create(stats_path, True)
+    out.write(bytearray(json.dumps(stats).encode()))
+    out.close()
     print(json.dumps(stats))
     return 0
 
