@@ -79,6 +79,11 @@ TEMPLATE_MODE_MAX = 64
 DOC_NO_QUIRKS, DOC_LIMITED_QUIRKS, DOC_QUIRKS = range(3)
 
 _TABLE_MODES = frozenset((IN_TABLE, IN_TABLE_TEXT, IN_TABLE_BODY, IN_ROW, IN_CELL))
+# modes whose tokens _pre_switch intercepts; outside these (and
+# outside foreign content) _pre_switch is a read-only no-op, so the
+# dispatchers skip the call entirely on the hot path
+_PRE_SWITCH_MODES = frozenset((IN_TEMPLATE, IN_TABLE_TEXT, MODE_TEXT,
+                               IN_HEAD_NOSCRIPT))
 
 FMT_TAGS = frozenset(
     ("a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
@@ -284,6 +289,7 @@ class TreeBuilder:
         self.head = None
         self.body = None
         self.template_modes: list = []
+        self.seen_template = False  # monotonic; see _push
         self.table_text: list = []
         self.table_text_non_ws = False
         self.form_ptr = None
@@ -300,6 +306,13 @@ class TreeBuilder:
     def _push(self, n):
         if n is not None and len(self.st) < STACK_MAX:
             self.st.append(n)
+            if n.name == "template":
+                # monotonic: typical documents never push a template,
+                # so _in_template_context can skip its per-tag stack
+                # scan entirely (the AAA st.insert only re-inserts
+                # FMT_TAGS clones, never a template, so every template
+                # reaches the stack through here)
+                self.seen_template = True
 
     def _top(self):
         return self.st[-1] if self.st else None
@@ -347,6 +360,8 @@ class TreeBuilder:
                 return
 
     def _in_template_context(self):
+        if not self.seen_template:
+            return False
         return self._has_open("template")
 
     def _stack_has_table_element(self):
@@ -620,6 +635,9 @@ class TreeBuilder:
         body = self.body
         if body is not None:
             st = self.st
+            # when open, body is almost always st[1] (html, body, ...)
+            if len(st) >= 2 and st[1] is body:
+                return body
             for x in st:
                 if x is body:
                     return body
@@ -1366,7 +1384,15 @@ class TreeBuilder:
     # Document-mode token dispatch (build_tree_from_input body)
     # ------------------------------------------------------------------
     def _dispatch_document(self, t):
-        act = self._pre_switch(t)
+        # inline the _pre_switch no-op condition (same reads, same
+        # order as its entry checks: stack top's ns, then mode —
+        # nothing runs in between, so parity holds by construction)
+        st = self.st
+        if ((not st or st[-1].ns == NS_HTML)
+                and self.mode not in _PRE_SWITCH_MODES):
+            act = None
+        else:
+            act = self._pre_switch(t)
         if act is not None:
             return act
 
@@ -1942,7 +1968,13 @@ class TreeBuilder:
     # Fragment-mode token dispatch (build_fragment_from_input body)
     # ------------------------------------------------------------------
     def _dispatch_fragment(self, t):
-        act = self._pre_switch(t)
+        # same inline no-op guard as _dispatch_document
+        st = self.st
+        if ((not st or st[-1].ns == NS_HTML)
+                and self.mode not in _PRE_SWITCH_MODES):
+            act = None
+        else:
+            act = self._pre_switch(t)
         if act is not None:
             return act
 
