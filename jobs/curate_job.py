@@ -85,8 +85,12 @@ def main(argv=None) -> int:
         os.path.join(args.output, "stats.json"))
     sfs = stats_path.getFileSystem(spark._jsc.hadoopConfiguration())
     out = sfs.create(stats_path, True)
-    out.write(bytearray(json.dumps(stats).encode()))
-    out.close()
+    try:
+        out.write(bytearray(json.dumps(stats).encode()))
+    finally:
+        # always release the stream: an unclosed HDFS lease would
+        # block the next run's create on this path
+        out.close()
     print(json.dumps(stats))
     return 0
 

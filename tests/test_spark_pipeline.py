@@ -966,6 +966,21 @@ def test_redact_pii_behaviour(spark):
     assert (rows[3].n_emails, rows[3].n_urls) == (2, 1)
 
 
+def test_redact_pii_url_stops_at_vertical_tab(spark):
+    """Pin the engine-parity boundary: Java's \\s includes \\x0b while
+    RE2's does not, so URL_RE spells whitespace explicitly — a URL
+    must stop at a vertical tab on BOTH engines (reverting to [^\\s]+
+    would silently diverge from the DuckDB oracle exactly here)."""
+    from html_parser_spark.spark.ops import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "see http://a.example\x0btail")], "doc_id long, text string")
+    r = redact_pii(df).collect()[0]
+    # \x0b is a C0 control char, stripped after redaction
+    assert r.clean_text == "see <URL>tail"
+    assert r.n_urls == 1
+
+
 def test_components_paths_identical(spark):
     """The collected union-find fast path and the distributed
     min-label loop must return identical (node, root) sets."""
