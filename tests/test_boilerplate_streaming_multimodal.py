@@ -167,6 +167,50 @@ class TestStreaming:
         assert sorted(fps) == sorted(
             r.fingerprint for r in batch.collect())
 
+    def test_stream_dedup_survives_restart(self, spark, tmp_path):
+        """Dedup state is durable: after the query stops, new files
+        containing duplicates of ALREADY-EMITTED rows arrive, and a
+        RESTART from the same checkpoint must drop them (the state
+        store, not the micro-batch, carries the seen set)."""
+        import datetime
+
+        from html_parser_spark.spark.streaming import stream_dedup
+
+        src = str(tmp_path / "rs_in")
+        out = str(tmp_path / "rs_out")
+        ckpt = str(tmp_path / "rs_ckpt")
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        schema = "doc_id long, text string, ts timestamp"
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            q = (
+                stream_dedup(stream, watermark="1 hour")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        spark.createDataFrame(
+            [(0, "alpha", t0), (1, "beta", t0)], schema
+        ).coalesce(1).write.parquet(src)
+        run_once()
+        # second life: a dup of 'alpha' plus one genuinely new row
+        spark.createDataFrame(
+            [(2, "alpha", t0 + datetime.timedelta(seconds=30)),
+             (3, "gamma", t0 + datetime.timedelta(seconds=40))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        got = sorted(r.text for r in spark.read.parquet(out).collect())
+        assert got == ["alpha", "beta", "gamma"]
+
 
 class TestMultimodal:
     def test_decode_strict_raises_on_compressed_codec(self, spark):

@@ -1023,3 +1023,80 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
            for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30),
                    4: ("d", 40)}
+
+
+def test_asof_join_matches_reference_on_random_inputs(spark):
+    """Property: asof_join equals an O(n^2) per-row Python reference
+    (latest right at-or-before, ties impossible by construction) on a
+    randomized event set."""
+    import datetime as dt
+    import random
+
+    from html_parser_spark.spark.ops import asof_join
+
+    rng = random.Random(17)
+    base = dt.datetime(2024, 3, 1)
+    lefts, rights = [], []
+    for i in range(120):
+        key = rng.randrange(6)
+        ts = base + dt.timedelta(seconds=rng.randrange(10_000))
+        if i % 2:
+            lefts.append((i, key, ts))
+        else:
+            rights.append((key, ts, 1000 + i))
+    # unique (key, ts) per side (the documented tie-free regime)
+    seen = set()
+    rights = [r for r in rights
+              if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+    ldf = spark.createDataFrame(
+        lefts, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        rights, "user_id long, ts timestamp, view_id long")
+    got = {r.event_id: (r.asof_view_id, r.asof_ts)
+           for r in asof_join(ldf, rdf, right_cols=["view_id"])
+           .collect()}
+    for eid, key, ts in lefts:
+        cands = [(rts, vid) for k, rts, vid in rights
+                 if k == key and rts <= ts]
+        want = (None, None) if not cands else (
+            max(cands)[1], max(cands)[0])
+        assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_components_match_bfs_reference(spark):
+    """Property: component roots equal an independent BFS closure
+    (pure Python, no shared code with union-find or the Spark loop)
+    on a random graph."""
+    import random
+    from collections import deque
+
+    from html_parser_spark.spark.ops import _components_min_label
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(60), rng.randrange(60))
+                  for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.root for r in _components_min_label(df).collect()}
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    want = {}
+    for start in adj:
+        if start in want:
+            continue
+        comp, q = [], deque([start])
+        seen = {start}
+        while q:
+            x = q.popleft()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        root = min(comp)
+        for x in comp:
+            want[x] = root
+    assert got == want
