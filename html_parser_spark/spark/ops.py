@@ -478,27 +478,75 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
-                   k: int = 5) -> DataFrame:
+                   k: int = 5, method: str = "expr") -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side against the
     corpus — the baseline the LSH variant is judged against. The corpus
-    side streams; only the query side is broadcast."""
+    side streams; only the query side is broadcast.
+
+    method='expr' (default — the oracle-gated form) computes cosines
+    with JVM aggregate/zip_with expressions; those are INTERPRETED
+    higher-order functions, fine at test dims but the wrong shape at
+    768-dim real embeddings. method='arrow' collects the (tiny) query
+    matrix into a Pandas-UDF closure and scores each Arrow batch with
+    one numpy matmul — same candidates, same ranking on separated
+    data; last-ulp cosine differences between summation orders mean
+    the two methods are rank-compared, not hash-compared, in tests."""
     from pyspark.sql import Window
 
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = _spread(embeddings).select(
         F.col("vec_id").alias("corpus_id"), vec_d.alias("cvec")
     )
-    queries = embeddings.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), vec_d.alias("qvec")
-    )
-    joined = corpus.join(F.broadcast(queries),
-                         F.col("corpus_id") != F.col("query_id"))
-    cos = _dot(F.col("qvec"), F.col("cvec")) / (
-        _norm(F.col("qvec")) * _norm(F.col("cvec"))
-    )
-    scored = joined.select(
-        "query_id", "corpus_id", F.round(cos, 6).alias("cosine")
-    )
+    if method == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        qrows = (
+            embeddings.where(F.col("vec_id").isin(query_ids))
+            .select("vec_id", vec_d.alias("v")).collect()
+        )
+        qids = [r.vec_id for r in qrows]
+        Q = np.asarray([r.v for r in qrows], dtype=np.float64)
+        Qn = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T  # (d, nq)
+
+        def _cos_fn(vecs):
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vecs])
+            V = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            return pd.Series(list(np.round(V @ Qn, 6)))
+
+        _cos_fn.__annotations__ = {"vecs": pd.Series,
+                                   "return": pd.Series}
+        cos_of = pandas_udf("array<double>")(_cos_fn)
+        scored = (
+            corpus.select(
+                "corpus_id",
+                F.posexplode(cos_of("cvec")).alias("qpos", "cosine"),
+            )
+            .withColumn(
+                "query_id",
+                F.element_at(
+                    F.array(*[F.lit(q) for q in qids]),
+                    F.col("qpos") + 1),
+            )
+            .where(F.col("corpus_id") != F.col("query_id"))
+            .select("query_id", "corpus_id", "cosine")
+        )
+    else:
+        queries = embeddings.where(
+            F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), vec_d.alias("qvec")
+        )
+        joined = corpus.join(F.broadcast(queries),
+                             F.col("corpus_id") != F.col("query_id"))
+        cos = _dot(F.col("qvec"), F.col("cvec")) / (
+            _norm(F.col("qvec")) * _norm(F.col("cvec"))
+        )
+        scored = joined.select(
+            "query_id", "corpus_id", F.round(cos, 6).alias("cosine")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id")
     )

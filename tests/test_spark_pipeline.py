@@ -1100,3 +1100,22 @@ def test_components_match_bfs_reference(spark):
         for x in comp:
             want[x] = root
     assert got == want
+
+
+def test_ann_bruteforce_arrow_matches_expr(spark):
+    """The Arrow matmul scale path returns the same neighbor SETS and
+    ranks as the expression path on separated clusters at 384 dims
+    (cosines compared by rank, not hash: summation order differs in
+    the last ulp)."""
+    from html_parser_spark.spark.ops import ann_bruteforce
+
+    emb = _clustered_embeddings(spark, n_clusters=6, per_cluster=10,
+                                dim=384, seed=9)
+    qids = [0, 10, 30]
+    a = {(r.query_id, r.rank): r.corpus_id
+         for r in ann_bruteforce(emb, qids, k=5, method="expr")
+         .collect()}
+    b = {(r.query_id, r.rank): r.corpus_id
+         for r in ann_bruteforce(emb, qids, k=5, method="arrow")
+         .collect()}
+    assert a == b and len(a) == 15
