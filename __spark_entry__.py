@@ -528,17 +528,24 @@ def _q_corpus_rollup(spark, sf_dir):
     # multi-dimensional aggregation: ROLLUP over (source, lang) gives
     # per-(source,lang), per-source subtotals, and the grand total in
     # one pass (Catalyst expands to a single Expand + aggregate, one
-    # shuffle). NULL grouping markers are replaced with a sentinel on
-    # both engines so the driver's hash compare treats subtotal rows
-    # identically.
+    # shuffle). Subtotal rows are detected via grouping() — not via
+    # NULL-coalescing — so a genuine NULL source/lang value stays
+    # distinguishable from the ROLLUP '<all>' sentinel; the oracle
+    # mirrors with GROUPING(). sum(length) stays bigint on both sides
+    # (the oracle casts: DuckDB sum(int) is HUGEINT, which the
+    # driver's pandas bridge would float64-ify).
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.rollup("source", "lang")
         .agg(F.count("*").alias("n_docs"),
-             F.sum(F.length("text")).alias("n_chars"))
+             F.sum(F.length("text")).alias("n_chars"),
+             F.grouping("source").alias("g_src"),
+             F.grouping("lang").alias("g_lang"))
         .select(
-            F.coalesce("source", F.lit("<all>")).alias("source"),
-            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.when(F.col("g_src") == 1, F.lit("<all>"))
+            .otherwise(F.col("source")).alias("source"),
+            F.when(F.col("g_lang") == 1, F.lit("<all>"))
+            .otherwise(F.col("lang")).alias("lang"),
             "n_docs", "n_chars",
         )
     )
@@ -836,7 +843,7 @@ def oracle_sql() -> dict[str, str]:
                    else 1 end as int) AS n_shingles
             FROM documents ORDER BY doc_id
         """,
-        "bpe_tokens": """
+        "bpe_tokens": r"""
             SELECT doc_id,
                    cast(len(list_filter(string_split(text, ' '),
                                         t -> t != '')) as int)
@@ -921,10 +928,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "corpus_rollup": """
-            SELECT coalesce(source, '<all>') AS source,
-                   coalesce(lang, '<all>') AS lang,
+            SELECT CASE WHEN GROUPING(source) = 1 THEN '<all>'
+                        ELSE source END AS source,
+                   CASE WHEN GROUPING(lang) = 1 THEN '<all>'
+                        ELSE lang END AS lang,
                    count(*) AS n_docs,
-                   sum(length(text)) AS n_chars
+                   cast(sum(length(text)) as bigint) AS n_chars
             FROM documents
             GROUP BY ROLLUP (source, lang)
         """,

@@ -478,37 +478,63 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
-                   k: int = 5, method: str = "expr") -> DataFrame:
+                   k: int = 5, method: str = "auto") -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side against the
     corpus — the baseline the LSH variant is judged against. The corpus
     side streams; only the query side is broadcast.
 
-    method='expr' (default — the oracle-gated form) computes cosines
-    with JVM aggregate/zip_with expressions; those are INTERPRETED
-    higher-order functions, fine at test dims but the wrong shape at
-    768-dim real embeddings. method='arrow' collects the (tiny) query
-    matrix into a Pandas-UDF closure and scores each Arrow batch with
-    one numpy matmul — same candidates, same ranking on separated
-    data; last-ulp cosine differences between summation orders mean
-    the two methods are rank-compared, not hash-compared, in tests."""
+    method='expr' (the oracle-gated form) computes cosines with JVM
+    aggregate/zip_with expressions; those are INTERPRETED higher-order
+    functions, fine at test dims but the wrong shape at 768-dim real
+    embeddings. method='arrow' collects the (tiny) query matrix into a
+    Pandas-UDF closure and scores each Arrow batch with one numpy
+    matmul — same candidates, same ranking on separated data; last-ulp
+    cosine differences between summation orders mean the two methods
+    are rank-compared, not hash-compared, in tests. method='auto'
+    (default) picks by per-row interpreted work (dim * n_queries),
+    the same switch shape as _ivf_method: 'expr' at test scale (stays
+    the oracle form), 'arrow' at realistic dimensionality."""
     from pyspark.sql import Window
 
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = _spread(embeddings).select(
         F.col("vec_id").alias("corpus_id"), vec_d.alias("cvec")
     )
+    if method != "expr":
+        # both 'arrow' and 'auto' need the query matrix: 'auto' reads
+        # the true dim off it (not in the schema), 'arrow' closes over
+        # it. Tiny collect — len(query_ids) rows, filter pushed to the
+        # scan.
+        qrows = (
+            embeddings.where(F.col("vec_id").isin(query_ids))
+            .select("vec_id", vec_d.alias("v")).collect()
+        )
+        if not qrows:
+            raise ValueError(
+                f"ann_bruteforce: query_ids {query_ids!r} matched no "
+                "rows in the embeddings table"
+            )
+        if method == "auto":
+            dim = len(qrows[0].v)
+            # arrow when either the per-row interpreted work
+            # (dim * n_queries HOF values, the _ivf_method switch) or
+            # the dimensionality alone is past test scale — a 768-dim
+            # corpus is the arrow path's case even for one query
+            method = ("expr"
+                      if dim * len(qrows) <= _IVF_EXPR_MAX_VALUES
+                      and dim < _BF_ARROW_MIN_DIM else "arrow")
     if method == "arrow":
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        qrows = (
-            embeddings.where(F.col("vec_id").isin(query_ids))
-            .select("vec_id", vec_d.alias("v")).collect()
-        )
         qids = [r.vec_id for r in qrows]
         Q = np.asarray([r.v for r in qrows], dtype=np.float64)
-        Qn = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T  # (d, nq)
+        # same zero-norm guard as the corpus side: a zero query vector
+        # scores 0 everywhere instead of NaN (which would sort above
+        # every real cosine)
+        Qn = (Q / np.maximum(
+            np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)).T
 
         def _cos_fn(vecs):
             V = np.stack([np.asarray(v, dtype=np.float64)
@@ -737,6 +763,11 @@ def _nearest_cell_expr(vec, centroids: list):
 # expression tree starts to dominate driver plan-build time and the
 # vectorized Arrow path wins
 _IVF_EXPR_MAX_VALUES = 4096
+
+# ann_bruteforce(method='auto'): at or above this dimensionality the
+# interpreted-HOF cosine is the wrong shape per corpus row regardless
+# of query count — switch to the Arrow matmul path
+_BF_ARROW_MIN_DIM = 256
 
 
 def _ivf_method(method: str, centroids: list) -> str:

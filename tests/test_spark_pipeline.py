@@ -1119,3 +1119,52 @@ def test_ann_bruteforce_arrow_matches_expr(spark):
          for r in ann_bruteforce(emb, qids, k=5, method="arrow")
          .collect()}
     assert a == b and len(a) == 15
+
+
+def test_ann_bruteforce_auto_method_selection(spark):
+    """method='auto' resolves by dimensionality: interpreted-HOF expr
+    at test dims, Arrow matmul at >=384 dims. Verified structurally —
+    the high-dim auto plan contains the Python/Arrow eval stage and no
+    interpreted `aggregate` HOF; the low-dim auto plan is the reverse."""
+    from html_parser_spark.spark.ops import ann_bruteforce
+
+    hi = _clustered_embeddings(spark, n_clusters=4, per_cluster=5,
+                               dim=384, seed=3)
+    plan_hi = ann_bruteforce(hi, [0, 5], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" in plan_hi or "EvalPython" in plan_hi
+    assert "aggregate(" not in plan_hi
+
+    lo = _clustered_embeddings(spark, n_clusters=4, per_cluster=5,
+                               dim=16, seed=3)
+    plan_lo = ann_bruteforce(lo, [0, 5], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan_lo
+    # and the two resolved paths agree on ranks at the auto boundary
+    a = {(r.query_id, r.rank): r.corpus_id
+         for r in ann_bruteforce(hi, [0, 5], k=3).collect()}
+    b = {(r.query_id, r.rank): r.corpus_id
+         for r in ann_bruteforce(hi, [0, 5], k=3, method="expr")
+         .collect()}
+    assert a == b and len(a) == 6
+
+
+def test_ann_bruteforce_query_guards(spark):
+    """Empty query match raises a clear error instead of a numpy shape
+    crash; an all-zero query vector scores 0 everywhere (epsilon norm
+    guard) instead of NaN-sorting above every real cosine."""
+    import pytest as _pytest
+
+    from html_parser_spark.spark.ops import ann_bruteforce
+
+    emb = _clustered_embeddings(spark, n_clusters=2, per_cluster=5,
+                                dim=8, seed=4)
+    with _pytest.raises(ValueError, match="matched no rows"):
+        ann_bruteforce(emb, [99999], k=3)
+
+    zero = emb.union(
+        emb.sparkSession.createDataFrame(
+            [(100, [0.0] * 8)], "vec_id long, embedding array<double>")
+    )
+    rows = ann_bruteforce(zero, [100], k=3, method="arrow").collect()
+    assert rows and all(r.cosine == 0.0 for r in rows)
