@@ -524,6 +524,36 @@ def _q_value_percentiles(spark, sf_dir):
     )
 
 
+def _q_approx_percentiles(spark, sf_dir):
+    # the 100 TB percentile path: approx_percentile (Greenwald-Khanna
+    # sketch) keeps per-group state bounded by the accuracy parameter
+    # instead of value_percentiles' exact per-group sort — the form a
+    # real user reaches for on unbounded group cardinality. Accuracy
+    # 10000 (Spark's default, 1/10000 rank-error bound) also makes the
+    # result EXACT and partition-deterministic at the oracle SF (every
+    # group is smaller than the sketch capacity, so no compression
+    # occurs and the pin is byte-stable — verified across 4/7/32-way
+    # repartitionings); the compressed regime's rank-error contract is
+    # gated by tests/test_spark_pipeline.py
+    # (test_approx_percentiles_rank_error_bound).
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.95), 10000)"
+            ).alias("ap"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("ap")[0], 4).alias("ap50"),
+            F.round(F.col("ap")[1], 4).alias("ap95"),
+            "n",
+        )
+    )
+
+
 def _q_corpus_rollup(spark, sf_dir):
     # multi-dimensional aggregation: ROLLUP over (source, lang) gives
     # per-(source,lang), per-source subtotals, and the grand total in
@@ -613,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": _q_dup_components,
         "asof_attribution": _q_asof_attribution,
         "value_percentiles": _q_value_percentiles,
+        "approx_percentiles": _q_approx_percentiles,
         "corpus_rollup": _q_corpus_rollup,
         "events_pivot": _q_events_pivot,
         "redact_pii": _q_redact_pii,
@@ -691,11 +722,19 @@ def oracle_sql() -> dict[str, str]:
         for lg, words in _LANG_STOP.items()
         if lg != "zh"
     }
-    # zh: CJK codepoint count (unsegmented text has no space tokens).
-    # Same LITERAL char-class as the Spark side (ops._CJK_CLASS) —
-    # valid in both Java regex and RE2; DuckDB needs the 'g' flag for
-    # a global replace (Spark's regexp_replace is global by default).
-    hits["zh"] = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
+    # zh: CJK codepoint count (unsegmented text has no space tokens),
+    # gated on CJK density >= 25% of non-space chars so mixed-script
+    # mostly-Latin text can't flip to zh on a per-character-scale
+    # signal (ops._cjk_hits mirrors this formula exactly). Same
+    # LITERAL char-class as the Spark side (ops._CJK_CLASS) — valid in
+    # both Java regex and RE2; DuckDB needs the 'g' flag for a global
+    # replace (Spark's regexp_replace is global by default).
+    hits["zh"] = (
+        "(case when 4 * length(regexp_replace(text, '[^一-鿿]', '', "
+        "'g')) >= length(replace(text, ' ', '')) then "
+        "length(regexp_replace(text, '[^一-鿿]', '', 'g')) "
+        "else 0 end)"
+    )
     lang_pred = (
         "case when greatest({en},{es},{fr},{de},{zh}) = 0 then 'und' "
         "when {en} = greatest({en},{es},{fr},{de},{zh}) then 'en' "
@@ -1214,4 +1253,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": _snap("ann_lsh", "query_id, corpus_id, rank"),
         "ann_ivf": _snap("ann_ivf", "query_id, corpus_id, rank"),
+        # approx_percentile's GK sketch has no cross-engine equivalent
+        # (DuckDB's approx_quantile is t-digest — different algorithm,
+        # different values), so the oracle is a deterministic pin: at
+        # sf0.01 every group fits the accuracy-10000 sketch uncompressed,
+        # making the output exact and partitioning-independent. The
+        # compressed regime's rank-error bound is tolerance-tested
+        # against exact percentiles in tests/test_spark_pipeline.py.
+        "approx_percentiles": _snap(
+            "approx_percentiles", "event_type, ap50, ap95, n"),
     }

@@ -40,8 +40,11 @@ from .foreign import (
     svg_adjust_element_name,
 )
 from .tokenizer import (
+    DATA,
     RAWTEXT,
     RCDATA,
+    _RAWTEXT_TAGS,
+    _RCDATA_TAGS,
     ascii_lower,
     refuse_bytes,
     SCRIPT_DATA,
@@ -51,6 +54,7 @@ from .tokenizer import (
     TOKEN_END_TAG,
     TOKEN_EOF,
     TOKEN_START_TAG,
+    Token,
     Tokenizer,
 )
 from .tree import (
@@ -2417,6 +2421,89 @@ class TreeBuilder:
                 self._current().append_child(text)
             self.table_text = []
             self.table_text_non_ws = False
+
+
+class _TokenFeed:
+    """Stand-in tokenizer for the pre-tokenized build API
+    (build_tree_from_tokens, src/tree_builder.c:1978-2925). The C
+    from-tokens builder is the document dispatcher with every
+    tokenizer-STATE check replaced by the name check
+    triggers_text_mode(t->name) (src/tree_builder.c:227-237, applied
+    at 2112 and 2913). This feed reproduces that exactly without
+    duplicating the dispatcher: next() sets `state` to the raw state
+    the REAL tokenizer would have self-switched into for that start
+    tag's name — the same 8-tag set triggers_text_mode matches — so
+    the existing _run/_dispatch_document state reads behave per the C
+    from-tokens rules. Builder feedback writes (allow_cdata, the SVG
+    <title> state undo) land on instance attrs and are inert, which
+    is the from-tokens contract: tokens are already made, feedback
+    paths cannot retokenize (the reference documents the same caveat
+    — spec parity holds exactly when those paths don't trigger)."""
+
+    __slots__ = ("_tokens", "_i", "state", "raw_tag", "allow_cdata",
+                 "errors", "skipped")
+
+    def __init__(self, tokens, errors):
+        self._tokens = tokens
+        self._i = 0
+        self.state = DATA
+        self.raw_tag = ""
+        self.allow_cdata = False
+        self.errors = errors
+        self.skipped: list = []
+
+    def next(self):
+        if self._i < len(self._tokens):
+            t = self._tokens[self._i]
+            self._i += 1
+        else:
+            t = Token()  # Token() defaults to TOKEN_EOF
+        if t.type == TOKEN_START_TAG and t.name is not None:
+            if t.name in _RCDATA_TAGS:
+                self.state = RCDATA
+            elif t.name in _RAWTEXT_TAGS:
+                self.state = RAWTEXT
+            elif t.name == "script":
+                self.state = SCRIPT_DATA
+            else:
+                self.state = DATA
+        else:
+            self.state = DATA
+        return t
+
+
+def tokenize_all(input_text, errors=None):
+    """Standalone tokenization to a flat token list (the input side of
+    build_tree_from_tokens; mirrors driving tokenizer_next in a loop
+    with no tree builder attached — allow_cdata stays 0, but the
+    tokenizer's own raw-state self-switching at tag-emit still
+    applies). Includes the trailing EOF token like the C array form."""
+    tz = Tokenizer(input_text, errors=errors)
+    out = []
+    while True:
+        t = tz.next()
+        out.append(t)
+        if t.type == TOKEN_EOF:
+            return out
+
+
+def build_document_from_tokens(tokens, errors=None):
+    """build_tree_from_tokens (include/tree_builder.h:8, impl
+    src/tree_builder.c:1978-2925): build a DOCUMENT from a pre-made
+    token array. No encoding is stamped on the document and no
+    §13.2.3.5 re-encode handshake can occur (there is no input to
+    re-decode); tokenizer<->builder feedback (foreign-content CDATA
+    gating, SVG-title RCDATA undo) cannot retokenize — parity with
+    the full parser holds exactly when those paths don't trigger,
+    the same caveat the reference's API carries. Returns
+    (doc, errors)."""
+    tb = TreeBuilder(None, 2, errors)
+    tb.want_change_encoding = False
+    tb.tz = _TokenFeed(list(tokens), tb.errors)
+    tb._run(tb._dispatch_document)
+    tb.st.clear()
+    tb._flush_table_text_at_stop()
+    return tb.doc, tb.errors
 
 
 def build_document(input_text, encoding=None, confidence=2, errors=None,

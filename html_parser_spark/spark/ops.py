@@ -369,9 +369,18 @@ _CJK_CLASS = "[^一-鿿]"
 
 
 def _cjk_hits(col):
-    """Number of CJK-ideograph codepoints in `col` — the zh signal,
-    comparable to the other languages' stopword-token hit counts."""
-    return F.length(F.regexp_replace(col, _CJK_CLASS, ""))
+    """The zh signal: CJK-ideograph codepoint count, GATED on CJK
+    density >= 25% of non-space characters. The raw count is on a
+    per-character scale while the other languages count whole
+    stopword-token hits, so an ungated count lets a mostly-English
+    document with a sprinkling of CJK (more CJK chars than English
+    stopword hits) flip to zh; the density gate zeroes the signal on
+    such mixed-script text while genuinely-Chinese text (unsegmented,
+    near-100% CJK) passes trivially. Mirrored EXACTLY in the DuckDB
+    oracle (__spark_entry__.oracle_sql)."""
+    cjk = F.length(F.regexp_replace(col, _CJK_CLASS, ""))
+    nonspace = F.length(F.translate(col, " ", ""))
+    return F.when(cjk * 4 >= nonspace, cjk).otherwise(F.lit(0))
 
 
 def lang_id(documents: DataFrame) -> DataFrame:

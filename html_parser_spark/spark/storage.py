@@ -85,6 +85,16 @@ def upsert_parquet(spark, target_path: str, updates: DataFrame,
 
     if fs.exists(target):
         existing = spark.read.parquet(target_path)
+        # surface schema drift instead of silently dropping extra
+        # update columns (or failing deep inside the select on missing
+        # ones): MERGE is defined over one schema
+        extra = set(updates.columns) - set(existing.columns)
+        missing = set(existing.columns) - set(updates.columns)
+        if extra or missing:
+            raise ValueError(
+                f"upsert: updates schema drifts from {target_path}: "
+                f"extra columns {sorted(extra)}, missing columns "
+                f"{sorted(missing)}")
         keys = updates.select(key).distinct()
         merged = existing.join(keys, key, "left_anti").unionByName(
             updates.select(*existing.columns))

@@ -714,6 +714,12 @@ def test_lang_id_detects_unsegmented_chinese(spark):
             (4, "el la de que y", "es"),
             (5, "12345 !!!", "xx"),                         # no signal
             (6, "the 书", "en"),  # 1 'the' hit vs 1 CJK char: tie
+            # mostly-English with MORE CJK chars (4) than stopword
+            # hits (3): the per-character zh signal would win without
+            # the 25%-density gate (round-4 advisor finding)
+            (7, "the quick brown fox jumps over a lazy dog near "
+                "the riverbank while children play games 非常好玩",
+             "en"),
         ],
         "doc_id long, text string, lang string",
     )
@@ -724,6 +730,7 @@ def test_lang_id_detects_unsegmented_chinese(spark):
     assert pred[4] == "es"
     assert pred[5] == "und"
     assert pred[6] == "en"  # tie at 1-1 -> first-wins fixed order
+    assert pred[7] == "en"  # density gate zeroes the zh signal
 
 
 def _star_cluster_docs(spark):
@@ -1024,6 +1031,21 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30),
                    4: ("d", 40)}
 
+    # schema drift surfaces as a clear error, not a silent column
+    # drop (extra) or a deep select failure (missing)
+    import pytest as _pytest
+
+    drifted = spark.createDataFrame(
+        [(5, "e", 50, "extra")],
+        "id long, name string, v long, extra_col string")
+    with _pytest.raises(ValueError, match="drifts"):
+        upsert_parquet(spark, path, drifted, "id")
+    narrow = spark.createDataFrame([(5, "e")], "id long, name string")
+    with _pytest.raises(ValueError, match="drifts"):
+        upsert_parquet(spark, path, narrow, "id")
+    # and the target is untouched after the refused merges
+    assert spark.read.parquet(path).count() == 4
+
 
 def test_asof_join_matches_reference_on_random_inputs(spark):
     """Property: asof_join equals an O(n^2) per-row Python reference
@@ -1119,6 +1141,115 @@ def test_ann_bruteforce_arrow_matches_expr(spark):
          for r in ann_bruteforce(emb, qids, k=5, method="arrow")
          .collect()}
     assert a == b and len(a) == 15
+
+
+def test_mega_conversation_skew(spark):
+    """SURVEY §4.3's named skew shape: ONE conversation with 1e5 turns
+    among normal ones. Evidence the salted two-stage aggregation
+    handles it: (a) results exact, (b) the mega key's stage-1 partials
+    spread near-uniformly over all 16 salt buckets (bounded reducer
+    load — no single task owns the key), (c) the salt is in the
+    executed plan's first aggregate, (d) the per-conv ordering window
+    — which CANNOT be salted without changing semantics — still
+    completes correctly (Spark's window buffers spill)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.spark.pipeline import conversation_stats
+
+    n = 100_000
+    mega = spark.range(n).select(
+        F.lit("mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(F.lit("turn "), F.col("id").cast("string"))
+        .alias("extracted_text"),
+        (F.col("id") % 3 == 0).cast("int").alias("parse_errors"),
+    )
+    small = spark.range(1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 100).cast("string"))
+        .alias("conv_id"),
+        (F.col("id") / 100).cast("int").alias("turn_idx"),
+        F.lit("x").alias("extracted_text"),
+        F.lit(0).alias("parse_errors"),
+    )
+    df = mega.unionByName(small)
+
+    stats = {r.conv_id: r for r in conversation_stats(df).collect()}
+    assert stats["mega"].n_turns == n
+    assert stats["mega"].max_turn_idx == n - 1
+    assert stats["mega"].n_parse_errors == (n + 2) // 3
+    assert len(stats) == 101
+
+    # (b) the mega conversation's partials spread over every salt
+    # bucket, near-uniformly (max/min <= 2): the reducer-side load for
+    # the hot key is 1/16th per task, not one 1e5-row task
+    spread = (
+        mega.withColumn(
+            "salt", F.crc32(F.col("turn_idx").cast("string")) % 16)
+        .groupBy("salt").count().collect()
+    )
+    counts = [r["count"] for r in spread]
+    assert len(counts) == 16 and max(counts) <= 2 * min(counts)
+
+    # (c) structural: the salt is a grouping key of the first-stage
+    # aggregate in the executed plan
+    plan = conversation_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "salt" in plan
+
+    # (d) ordering window on the mega conv: correct and complete
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ranked = df.withColumn("turn_rank", F.row_number().over(w))
+    agg = (ranked.where(F.col("conv_id") == "mega")
+           .agg(F.count("*").alias("c"),
+                F.sum("turn_rank").alias("s")).first())
+    assert agg.c == n and agg.s == n * (n + 1) // 2
+
+
+def test_approx_percentiles_rank_error_bound(spark):
+    """The registered approx_percentiles query's scale regime: when a
+    group EXCEEDS the sketch accuracy, Greenwald-Khanna compresses and
+    the returned element's RANK must stay within accuracy^-1 * n of
+    the target rank (the documented contract, tested with 3x slack).
+    Also pins the oracle-SF determinism claim: at accuracy >= group
+    size the query output is identical across repartitionings."""
+    from pyspark.sql import functions as F
+
+    n, acc = 20000, 100
+    vals = [(i % 7, float((i * 2654435761) % 1000003)) for i in range(n)]
+    df = spark.createDataFrame(vals, "grp int, value double")
+    rows = (
+        df.groupBy("grp")
+        .agg(F.expr(f"approx_percentile(value, array(0.5, 0.95), {acc})")
+             .alias("ap"))
+        .collect()
+    )
+    by_grp = {}
+    for g, v in vals:
+        by_grp.setdefault(g, []).append(v)
+    for r in rows:
+        sv = sorted(by_grp[r.grp])
+        m = len(sv)
+        for p, got in zip((0.5, 0.95), r.ap):
+            rank = sv.index(got)
+            assert abs(rank - p * m) <= 3 * m / acc, (
+                f"grp {r.grp} p{p}: rank {rank} vs target {p * m}")
+
+    # determinism at the oracle SF: accuracy >= every group's size
+    # means no compression, so the pinned snapshot cannot drift with
+    # partitioning
+    import __spark_entry__ as se
+
+    q = se.queries()["approx_percentiles"]
+    a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = sorted(map(tuple,
+                       q(spark, "/root/testdata/sf0.001").collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
 
 
 def test_ann_bruteforce_auto_method_selection(spark):

@@ -47,6 +47,7 @@ SNAPSHOT_QUERIES = [
     "minhash_lsh",
     "ann_lsh",
     "ann_ivf",
+    "approx_percentiles",
 ]
 
 
