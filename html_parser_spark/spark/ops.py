@@ -502,18 +502,37 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
     are rank-compared, not hash-compared, in tests. method='auto'
     (default) picks by per-row interpreted work (dim * n_queries),
     the same switch shape as _ivf_method: 'expr' at test scale (stays
-    the oracle form), 'arrow' at realistic dimensionality."""
+    the oracle form), 'arrow' at realistic dimensionality.
+
+    Laziness/guard contract: 'auto' runs ONE cheap one-row probe
+    (first()) to read the dimensionality off the data — the array dim
+    is not in the schema — then the resolved path builds as if named
+    explicitly. The 'arrow' path collects the (tiny) query matrix at
+    build time and raises ValueError when query_ids match nothing
+    (previously a numpy shape crash). The 'expr' path stays a pure
+    lazy plan (zero full-scan driver jobs at build, the form the plan
+    audits exercise) and so returns an empty result for unmatched ids
+    instead of raising. Zero-norm vectors score cosine 0 on every
+    path (epsilon-clamped denominators), never NULL/NaN."""
     from pyspark.sql import Window
 
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = _spread(embeddings).select(
         F.col("vec_id").alias("corpus_id"), vec_d.alias("cvec")
     )
-    if method != "expr":
-        # both 'arrow' and 'auto' need the query matrix: 'auto' reads
-        # the true dim off it (not in the schema), 'arrow' closes over
-        # it. Tiny collect — len(query_ids) rows, filter pushed to the
-        # scan.
+    if method == "auto":
+        probe = embeddings.select(F.size("embedding").alias("d")).first()
+        if probe is None:
+            raise ValueError("ann_bruteforce: embeddings table is empty")
+        dim = probe.d
+        # arrow when either the per-row interpreted work
+        # (dim * n_queries HOF values, the _ivf_method switch) or the
+        # dimensionality alone is past test scale — a 768-dim corpus
+        # is the arrow path's case even for one query
+        nq = max(len(query_ids), 1)
+        method = ("expr" if dim * nq <= _IVF_EXPR_MAX_VALUES
+                  and dim < _BF_ARROW_MIN_DIM else "arrow")
+    if method == "arrow":
         qrows = (
             embeddings.where(F.col("vec_id").isin(query_ids))
             .select("vec_id", vec_d.alias("v")).collect()
@@ -523,16 +542,6 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
                 f"ann_bruteforce: query_ids {query_ids!r} matched no "
                 "rows in the embeddings table"
             )
-        if method == "auto":
-            dim = len(qrows[0].v)
-            # arrow when either the per-row interpreted work
-            # (dim * n_queries HOF values, the _ivf_method switch) or
-            # the dimensionality alone is past test scale — a 768-dim
-            # corpus is the arrow path's case even for one query
-            method = ("expr"
-                      if dim * len(qrows) <= _IVF_EXPR_MAX_VALUES
-                      and dim < _BF_ARROW_MIN_DIM else "arrow")
-    if method == "arrow":
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -576,8 +585,11 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
         )
         joined = corpus.join(F.broadcast(queries),
                              F.col("corpus_id") != F.col("query_id"))
-        cos = _dot(F.col("qvec"), F.col("cvec")) / (
-            _norm(F.col("qvec")) * _norm(F.col("cvec"))
+        # epsilon-clamped like the arrow path: a zero-norm vector
+        # scores 0 everywhere instead of NaN (no zero vectors exist in
+        # the oracle data, so the DuckDB-gated values are unchanged)
+        cos = _dot(F.col("qvec"), F.col("cvec")) / F.greatest(
+            _norm(F.col("qvec")) * _norm(F.col("cvec")), F.lit(1e-300)
         )
         scored = joined.select(
             "query_id", "corpus_id", F.round(cos, 6).alias("cosine")

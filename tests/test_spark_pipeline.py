@@ -1254,7 +1254,8 @@ def test_approx_percentiles_rank_error_bound(spark):
 
 def test_ann_bruteforce_auto_method_selection(spark):
     """method='auto' resolves by dimensionality: interpreted-HOF expr
-    at test dims, Arrow matmul at >=384 dims. Verified structurally —
+    at test dims, Arrow matmul past the switch (dim >= 256, or
+    dim * n_queries > 4096 — here 384-dim). Verified structurally —
     the high-dim auto plan contains the Python/Arrow eval stage and no
     interpreted `aggregate` HOF; the low-dim auto plan is the reverse."""
     from html_parser_spark.spark.ops import ann_bruteforce
@@ -1281,9 +1282,11 @@ def test_ann_bruteforce_auto_method_selection(spark):
 
 
 def test_ann_bruteforce_query_guards(spark):
-    """Empty query match raises a clear error instead of a numpy shape
-    crash; an all-zero query vector scores 0 everywhere (epsilon norm
-    guard) instead of NaN-sorting above every real cosine."""
+    """The arrow path raises a clear error on an empty query match
+    instead of a numpy shape crash (the lazy expr path documents an
+    empty RESULT for the same input); an all-zero query vector scores
+    0 everywhere on BOTH paths (epsilon norm guards) instead of
+    NaN-sorting above every real cosine."""
     import pytest as _pytest
 
     from html_parser_spark.spark.ops import ann_bruteforce
@@ -1291,7 +1294,10 @@ def test_ann_bruteforce_query_guards(spark):
     emb = _clustered_embeddings(spark, n_clusters=2, per_cluster=5,
                                 dim=8, seed=4)
     with _pytest.raises(ValueError, match="matched no rows"):
-        ann_bruteforce(emb, [99999], k=3)
+        ann_bruteforce(emb, [99999], k=3, method="arrow")
+    # lazy expr contract: empty result, no driver job, no crash
+    assert ann_bruteforce(emb, [99999], k=3, method="expr") \
+        .collect() == []
 
     zero = emb.union(
         emb.sparkSession.createDataFrame(
@@ -1299,3 +1305,6 @@ def test_ann_bruteforce_query_guards(spark):
     )
     rows = ann_bruteforce(zero, [100], k=3, method="arrow").collect()
     assert rows and all(r.cosine == 0.0 for r in rows)
+    # same zero-norm semantics on the expr path (clamped denominator)
+    rows_e = ann_bruteforce(zero, [100], k=3, method="expr").collect()
+    assert rows_e and all(r.cosine == 0.0 for r in rows_e)

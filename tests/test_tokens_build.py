@@ -26,19 +26,26 @@ HARNESS_SRC = os.path.join(REPO, "tools", "ref_tokens_demo.c")
 HARNESS_BIN = "/tmp/refbuild/ref_tokens_demo"
 
 
+_HARNESS_DEPS = ["src/tree_builder.c", "src/tokenizer.c",
+                 "src/token.c", "src/tree.c", "src/encoding.c",
+                 "src/foreign.c"]
+
+
 def _build_harness(refbuild):
-    if os.path.isfile(HARNESS_BIN) and (
-        os.path.getmtime(HARNESS_BIN) >= os.path.getmtime(HARNESS_SRC)
-    ):
-        return True
+    # stale if older than the harness source OR any reference source
+    # it links (a stale binary would mint wrong goldens silently)
+    if os.path.isfile(HARNESS_BIN):
+        bin_mtime = os.path.getmtime(HARNESS_BIN)
+        deps = [HARNESS_SRC] + [
+            os.path.join(refbuild, d) for d in _HARNESS_DEPS]
+        if all(bin_mtime >= os.path.getmtime(d) for d in deps):
+            return True
     # same flags as the reference Makefile — notably -DHAVE_ICONV,
     # without which convert_to_utf8 silently falls back to UTF-8 for
     # every iconv-backed label and the encoding fixtures mis-sniff
     r = subprocess.run(
         ["gcc", "-std=c11", "-O2", "-DHAVE_ICONV", "-I", "include",
-         "-o", HARNESS_BIN, HARNESS_SRC,
-         "src/tree_builder.c", "src/tokenizer.c", "src/token.c",
-         "src/tree.c", "src/encoding.c", "src/foreign.c"],
+         "-o", HARNESS_BIN, HARNESS_SRC] + _HARNESS_DEPS,
         cwd=refbuild, capture_output=True,
     )
     return r.returncode == 0
@@ -72,6 +79,10 @@ def test_from_tokens_matches_reference_on_all_fixtures(refbuild, harness):
     for name in files:
         path = os.path.join(refbuild, "tests", name)
         r = subprocess.run([harness, path], capture_output=True)
+        # a harness crash must not masquerade as a tree mismatch
+        assert r.returncode == 0 and r.stdout, (
+            f"harness failed on {name}: rc={r.returncode} "
+            f"stderr={r.stderr[:200]!r}")
         # drop the title line; normalize trailing newlines
         want = b"\n".join(r.stdout.split(b"\n")[1:]).rstrip(b"\n")
 

@@ -18,6 +18,9 @@ import os
 import sys
 from decimal import Decimal
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
@@ -27,9 +30,6 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def canon(v):
-    import numpy as np
-    import pandas as pd
-
     # NULL first: engines agree on nullness, only value typing differs.
     if v is None or (not isinstance(v, (list, tuple, np.ndarray))
                      and pd.isna(v)):
