@@ -41,14 +41,14 @@ def main():
     checks = []
     sections = []
 
-    def audit(name, df, asserts):
+    def audit(name, df, asserts, note=None):
         plan = plan_of(df)
         results = []
         for label, pred in asserts:
             ok = pred(plan)
             results.append((label, ok))
             checks.append((name, label, ok))
-        sections.append((name, results, plan))
+        sections.append((name, results, plan, note))
 
     # 1. extraction pipeline
     tdf = transcripts_df(spark, 500, seed=42, partitions=4)
@@ -252,16 +252,39 @@ def main():
           qs["conversation_stats"](spark, SF_DIR), [
         ("two aggregation stages (salt then merge)",
          lambda p: p.count("HashAggregate") >= 3),
+    ], note=(
+        "Skew evidence (tests/test_spark_pipeline.py\n"
+        "test_mega_conversation_skew): a planted 1e5-turn "
+        "conversation's\nstage-1 partials spread near-uniformly over "
+        "all 16 salt buckets\n(max/min bucket load <= 2 asserted), "
+        "the salt key is present in the\nexecuted first aggregate, "
+        "results stay exact, and the per-conv\nordering window — not "
+        "saltable without changing row_number\nsemantics — completes "
+        "correctly via Spark's spilling window buffer."))
+
+    audit("approx_percentiles (GK sketch, bounded group state)",
+          qs["approx_percentiles"](spark, SF_DIR), [
+        ("partial aggregation (map-side sketch merge)",
+         lambda p: p.count("ObjectHashAggregate")
+         + p.count("SortAggregate") + p.count("HashAggregate") >= 2),
+        # formatted explain prints each node twice (tree + details)
+        ("single shuffle on the group key",
+         lambda p: p.count("Exchange") == 2),
+        ("scan prunes to the two needed columns",
+         lambda p: "ReadSchema: struct<event_type:string,value:double>"
+         in p),
     ])
 
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
            "checked against. Re-run after plan-affecting changes.\n"]
-    for name, results, plan in sections:
+    for name, results, plan, note in sections:
         out.append(f"\n## {name}\n")
         for label, ok in results:
             out.append(f"- {'PASS' if ok else 'FAIL'}: {label}")
+        if note:
+            out.append("- " + note.replace("\n", "\n  "))
         clean = plan.replace("\x00", "").strip()
         out.append("\n```\n" + clean[:6000] + "\n```")
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"),

@@ -248,10 +248,52 @@ def ref_dump(data: bytes, context: str | None):
     return p.returncode, dump, errs
 
 
+def tokens_ref_dump(data: bytes):
+    """Reference from-tokens dump via tools/ref_tokens_demo.c (built
+    by tests/test_tokens_build.py with the Makefile flags)."""
+    path = "/tmp/fuzz_case.html"
+    with open(path, "wb") as f:
+        f.write(data)
+    env = dict(os.environ, HTMLPARSER_PARSE_ERRORS="1")
+    p = subprocess.run(["./ref_tokens_demo", path], cwd=REFBUILD,
+                       capture_output=True, timeout=30, env=env)
+    out = p.stdout.decode("utf-8", errors="surrogateescape")
+    dump = "\n".join(out.split("\n")[1:])
+    if dump.endswith("\n"):
+        dump = dump[:-1]
+    pre = "[parse error] "
+    errs = [
+        ln[len(pre):]
+        for ln in p.stderr.decode("utf-8", "surrogateescape").splitlines()
+        if ln.startswith(pre)
+    ]
+    return p.returncode, dump, errs
+
+
+def tokens_my_dump(data: bytes):
+    from html_parser_spark.kernel import encoding as enc
+    from html_parser_spark.kernel.tokenizer import replace_nulls
+    from html_parser_spark.kernel.tree import dump_ascii
+    from html_parser_spark.kernel.treebuilder import (
+        build_document_from_tokens, tokenize_all,
+    )
+
+    res = enc.sniff_and_convert(data, None)
+    errors: list = []
+    text = replace_nulls(res.text, errors)
+    doc, _ = build_document_from_tokens(
+        tokenize_all(text, errors=errors), errors=errors)
+    dump = dump_ascii(doc)
+    if dump.endswith("\n"):
+        dump = dump[:-1]
+    return dump, errors
+
+
 def main():
     n = 2000
     seed = 1
     fragment = "--fragment" in sys.argv
+    tokens_mode = "--tokens" in sys.argv
     if "--style" in sys.argv:
         style = sys.argv[sys.argv.index("--style") + 1]
     else:
@@ -273,14 +315,20 @@ def main():
         data = (text if isinstance(text, bytes)
                 else text.encode("utf-8", errors="surrogateescape"))
         context = rng.choice(CONTEXTS) if fragment else None
-        rc, want, want_err = ref_dump(data, context)
+        if tokens_mode:
+            rc, want, want_err = tokens_ref_dump(data)
+        else:
+            rc, want, want_err = ref_dump(data, context)
         if rc != 0:
             continue
         try:
-            res = (parse_document(data) if context is None
-                   else parse_fragment(data, context))
-            mine = res.dump()
-            mine_err = res.errors
+            if tokens_mode:
+                mine, mine_err = tokens_my_dump(data)
+            else:
+                res = (parse_document(data) if context is None
+                       else parse_fragment(data, context))
+                mine = res.dump()
+                mine_err = res.errors
         except Exception as e:  # noqa: BLE001
             mine = f"<exception: {e!r}>"
             mine_err = ["<exception>"]
