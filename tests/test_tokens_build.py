@@ -98,6 +98,47 @@ def test_from_tokens_matches_reference_on_all_fixtures(refbuild, harness):
     assert not mismatches, f"from-tokens dump mismatch: {mismatches}"
 
 
+def test_from_tokens_handmade_token_array():
+    """The API's primary use case is a token array NOT produced by a
+    tokenizer (the reason the reference exposes it separately): build
+    from hand-made tokens, including a text-mode tag whose entry is
+    driven by the name-based triggers_text_mode rule, and a missing
+    trailing EOF (the feed synthesizes one)."""
+    from html_parser_spark.kernel.tokenizer import (
+        TOKEN_CHARACTER, TOKEN_END_TAG, TOKEN_START_TAG, Token,
+    )
+    from html_parser_spark.kernel.tree import dump_ascii
+    from html_parser_spark.kernel.treebuilder import (
+        build_document_from_tokens,
+    )
+
+    def tok(ttype, name=None, data=None):
+        t = Token()
+        t.type = ttype
+        t.name = name
+        t.data = data
+        return t
+
+    tokens = [
+        tok(TOKEN_START_TAG, name="div"),
+        tok(TOKEN_START_TAG, name="script"),
+        # in MODE_TEXT this is plain text under <script>, not markup
+        tok(TOKEN_CHARACTER, data="if (a < b) x();"),
+        tok(TOKEN_END_TAG, name="script"),
+        tok(TOKEN_CHARACTER, data="tail"),
+        # no EOF token on purpose
+    ]
+    doc, errors = build_document_from_tokens(tokens)
+    dump = dump_ascii(doc)
+    assert 'ELEMENT name="script"' in dump
+    assert 'TEXT data="if (a < b) x();"' in dump
+    assert 'TEXT data="tail"' in dump
+    # implied html/head/body synthesized like the C builder
+    assert 'ELEMENT name="html"' in dump
+    assert 'ELEMENT name="body"' in dump
+    assert isinstance(errors, list)
+
+
 def test_from_tokens_diverges_only_on_feedback_fixtures(refbuild, harness):
     """Pin the documented caveat itself: the fixtures where the
     from-tokens build differs from the FULL parser are exactly the

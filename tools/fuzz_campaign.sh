@@ -11,6 +11,8 @@ for i in $(seq 1 "$SEEDS"); do
     [ ${PIPESTATUS[0]} -ne 0 ] && FAIL=1
     python3 tools/fuzz_diff.py "$CASES" --seed "$((2000+i))" --style "$style" --fragment | tail -1
     [ ${PIPESTATUS[0]} -ne 0 ] && FAIL=1
+    python3 tools/fuzz_diff.py "$CASES" --seed "$((4000+i))" --style "$style" --tokens | tail -1
+    [ ${PIPESTATUS[0]} -ne 0 ] && FAIL=1
   done
   python3 tools/fuzz_encoding.py "$CASES" --seed "$((3000+i))" | tail -1
   [ ${PIPESTATUS[0]} -ne 0 ] && FAIL=1
