@@ -114,6 +114,46 @@ def _q_top_revenue(spark, sf_dir):
     )
 
 
+def _q_regional_revenue(spark, sf_dir):
+    # TPC-H Q5 shape — the join-HEAVY relational pattern: fact table
+    # (lineitem) joined through orders to customer, co-nation-matched
+    # with supplier, rolled up per nation for one region and one
+    # order-date year. Scale design: region/nation are broadcast
+    # (tiny dims — no shuffle), customer/supplier/orders shuffle on
+    # their keys with AQE free to re-plan; the region + date filters
+    # sit directly on the scans so pushdown prunes before any join.
+    # The supplier join carries the co-nation condition INSIDE the
+    # equi-join (s_suppkey AND s_nationkey = c_nationkey), not as a
+    # post-filter, so the join stays hash-based and early-selective.
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
+              & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("rev"),
+            F.count("*").alias("n_items"),
+        )
+        .select("n_name", F.col("rev").cast("string").alias("revenue"),
+                "n_items")
+    )
+
+
 def _q_ordering_window(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -607,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
         "top_revenue": _q_top_revenue,
+        "regional_revenue": _q_regional_revenue,
         "ordering_window": _q_ordering_window,
         "resume_antijoin": _q_resume_antijoin,
         "metrics_rollup": _q_metrics_rollup,
@@ -781,6 +822,24 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY revenue DESC, o_orderkey ASC
                 LIMIT 10
             )
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   cast(sum(cast(l_extendedprice * (1 - l_discount)
+                                 as decimal(18,4))) as varchar)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= timestamp '1996-01-01'
+              AND o_orderdate < timestamp '1997-01-01'
+            GROUP BY n_name
         """,
         "ordering_window": """
             SELECT user_id, event_id, turn_rank FROM (

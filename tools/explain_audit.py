@@ -104,6 +104,23 @@ def main():
          lambda p: "TakeOrderedAndProject" in p),
     ])
 
+    audit("regional_revenue (Q5-shape 6-table join)",
+          qs["regional_revenue"](spark, SF_DIR), [
+        ("tiny dims broadcast (nation/region), no BNL/cartesian",
+         lambda p: "BroadcastHashJoin" in p
+         and "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("order-date filter pushed to the orders scan",
+         lambda p: "PushedFilters: [IsNotNull(o_orderdate)" in p
+         or "GreaterThanOrEqual(o_orderdate" in p),
+        ("region filter pushed to the region scan",
+         lambda p: "EqualTo(r_name,ASIA)" in p),
+        ("co-nation condition inside a hash join, not a filter on a "
+         "wider join",
+         lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p
+         or p.count("BroadcastHashJoin") >= 3),
+    ])
+
     audit("minhash_lsh", qs["minhash_lsh"](spark, SF_DIR), [
         ("no cartesian/broadcast-nested-loop pair join",
          lambda p: "CartesianProduct" not in p),
