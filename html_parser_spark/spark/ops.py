@@ -522,8 +522,15 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
     )
     if method == "auto":
         probe = embeddings.select(F.size("embedding").alias("d")).first()
-        if probe is None:
-            raise ValueError("ann_bruteforce: embeddings table is empty")
+        if probe is None or probe.d is None or probe.d < 0:
+            # first() row with embedding=NULL gives d NULL (or -1
+            # under legacy sizeOfNull) — an opaque TypeError downstream
+            # without this guard
+            raise ValueError(
+                "ann_bruteforce: embeddings table is empty or its "
+                "first row has a NULL embedding — cannot infer "
+                "dimensionality for method='auto'; pass method "
+                "explicitly")
         dim = probe.d
         # arrow when either the per-row interpreted work
         # (dim * n_queries HOF values, the _ivf_method switch) or the

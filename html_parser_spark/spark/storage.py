@@ -86,15 +86,23 @@ def upsert_parquet(spark, target_path: str, updates: DataFrame,
     if fs.exists(target):
         existing = spark.read.parquet(target_path)
         # surface schema drift instead of silently dropping extra
-        # update columns (or failing deep inside the select on missing
-        # ones): MERGE is defined over one schema
-        extra = set(updates.columns) - set(existing.columns)
-        missing = set(existing.columns) - set(updates.columns)
-        if extra or missing:
+        # update columns (or failing deep inside the select/union on
+        # missing or retyped ones): MERGE is defined over one schema
+        ex_types = {f.name: f.dataType for f in existing.schema.fields}
+        up_types = {f.name: f.dataType for f in updates.schema.fields}
+        extra = set(up_types) - set(ex_types)
+        missing = set(ex_types) - set(up_types)
+        retyped = sorted(
+            f"{c} ({ex_types[c].simpleString()} -> "
+            f"{up_types[c].simpleString()})"
+            for c in set(ex_types) & set(up_types)
+            if ex_types[c] != up_types[c]
+        )
+        if extra or missing or retyped:
             raise ValueError(
                 f"upsert: updates schema drifts from {target_path}: "
                 f"extra columns {sorted(extra)}, missing columns "
-                f"{sorted(missing)}")
+                f"{sorted(missing)}, retyped columns {retyped}")
         keys = updates.select(key).distinct()
         merged = existing.join(keys, key, "left_anti").unionByName(
             updates.select(*existing.columns))

@@ -1043,6 +1043,12 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     narrow = spark.createDataFrame([(5, "e")], "id long, name string")
     with _pytest.raises(ValueError, match="drifts"):
         upsert_parquet(spark, path, narrow, "id")
+    # same names but a retyped column is drift too (unionByName would
+    # otherwise fail deep inside analysis or silently coerce)
+    retyped = spark.createDataFrame(
+        [(5, "e", "50")], "id long, name string, v string")
+    with _pytest.raises(ValueError, match="retyped"):
+        upsert_parquet(spark, path, retyped, "id")
     # and the target is untouched after the refused merges
     assert spark.read.parquet(path).count() == 4
 

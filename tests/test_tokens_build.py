@@ -18,44 +18,22 @@ caveat the reference documents for this API.
 
 import os
 import subprocess
+import sys
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-HARNESS_SRC = os.path.join(REPO, "tools", "ref_tokens_demo.c")
-HARNESS_BIN = "/tmp/refbuild/ref_tokens_demo"
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
-
-_HARNESS_DEPS = ["src/tree_builder.c", "src/tokenizer.c",
-                 "src/token.c", "src/tree.c", "src/encoding.c",
-                 "src/foreign.c"]
-
-
-def _build_harness(refbuild):
-    # stale if older than the harness source OR any reference source
-    # it links (a stale binary would mint wrong goldens silently)
-    if os.path.isfile(HARNESS_BIN):
-        bin_mtime = os.path.getmtime(HARNESS_BIN)
-        deps = [HARNESS_SRC] + [
-            os.path.join(refbuild, d) for d in _HARNESS_DEPS]
-        if all(bin_mtime >= os.path.getmtime(d) for d in deps):
-            return True
-    # same flags as the reference Makefile — notably -DHAVE_ICONV,
-    # without which convert_to_utf8 silently falls back to UTF-8 for
-    # every iconv-backed label and the encoding fixtures mis-sniff
-    r = subprocess.run(
-        ["gcc", "-std=c11", "-O2", "-DHAVE_ICONV", "-I", "include",
-         "-o", HARNESS_BIN, HARNESS_SRC] + _HARNESS_DEPS,
-        cwd=refbuild, capture_output=True,
-    )
-    return r.returncode == 0
+from ref_harness import build_tokens_harness  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def harness(refbuild):
-    if not _build_harness(refbuild):
+    path = build_tokens_harness(refbuild)
+    if path is None:
         pytest.skip("harness build failed")
-    return HARNESS_BIN
+    return path
 
 
 def _fixture_files(refbuild):

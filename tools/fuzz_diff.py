@@ -219,47 +219,20 @@ def gen(rng: random.Random) -> str:
     return "".join(parts)
 
 
-def ref_dump(data: bytes, context: str | None):
+def _run_ref_binary(argv, data: bytes, strip_trailing_nl: bool):
+    """Run one reference binary on `data` (via the shared temp file)
+    and return (rc, dump-without-title-line, parse-error texts) — the
+    single place the dump/stderr postprocessing lives for all three
+    modes (document, fragment, from-tokens)."""
     path = "/tmp/fuzz_case.html"
     with open(path, "wb") as f:
         f.write(data)
     env = dict(os.environ, HTMLPARSER_PARSE_ERRORS="1")
-    if context is None:
-        p = subprocess.run(["./parse_html", path], cwd=REFBUILD,
-                           capture_output=True, timeout=30, env=env)
-        out = p.stdout.decode("utf-8", errors="surrogateescape")
-        lines = out.split("\n")
-        dump = "\n".join(lines[1:])
-        if dump.endswith("\n"):
-            dump = dump[:-1]
-    else:
-        p = subprocess.run(["./parse_fragment_demo", context, path],
-                           cwd=REFBUILD, capture_output=True, timeout=30,
-                           env=env)
-        out = p.stdout.decode("utf-8", errors="surrogateescape")
-        lines = out.split("\n")
-        dump = "\n".join(lines[1:])
-    pre = "[parse error] "
-    errs = [
-        ln[len(pre):]
-        for ln in p.stderr.decode("utf-8", "surrogateescape").splitlines()
-        if ln.startswith(pre)
-    ]
-    return p.returncode, dump, errs
-
-
-def tokens_ref_dump(data: bytes):
-    """Reference from-tokens dump via tools/ref_tokens_demo.c (built
-    by tests/test_tokens_build.py with the Makefile flags)."""
-    path = "/tmp/fuzz_case.html"
-    with open(path, "wb") as f:
-        f.write(data)
-    env = dict(os.environ, HTMLPARSER_PARSE_ERRORS="1")
-    p = subprocess.run(["./ref_tokens_demo", path], cwd=REFBUILD,
+    p = subprocess.run(argv + [path], cwd=REFBUILD,
                        capture_output=True, timeout=30, env=env)
     out = p.stdout.decode("utf-8", errors="surrogateescape")
     dump = "\n".join(out.split("\n")[1:])
-    if dump.endswith("\n"):
+    if strip_trailing_nl and dump.endswith("\n"):
         dump = dump[:-1]
     pre = "[parse error] "
     errs = [
@@ -268,6 +241,18 @@ def tokens_ref_dump(data: bytes):
         if ln.startswith(pre)
     ]
     return p.returncode, dump, errs
+
+
+def ref_dump(data: bytes, context: str | None):
+    if context is None:
+        return _run_ref_binary(["./parse_html"], data, True)
+    return _run_ref_binary(["./parse_fragment_demo", context], data,
+                           False)
+
+
+def tokens_ref_dump(data: bytes):
+    """Reference from-tokens dump via tools/ref_tokens_demo.c."""
+    return _run_ref_binary(["./ref_tokens_demo"], data, True)
 
 
 def tokens_my_dump(data: bytes):
@@ -294,6 +279,19 @@ def main():
     seed = 1
     fragment = "--fragment" in sys.argv
     tokens_mode = "--tokens" in sys.argv
+    if fragment and tokens_mode:
+        # the from-tokens API is document-only (the C builder has no
+        # fragment form); a silent document-mode run labeled with
+        # fragment contexts would mislabel repro files
+        raise SystemExit("--fragment and --tokens are mutually "
+                         "exclusive: build_tree_from_tokens is a "
+                         "document-only API")
+    if tokens_mode:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from ref_harness import build_tokens_harness
+
+        if build_tokens_harness(REFBUILD) is None:
+            raise SystemExit("could not build ref_tokens_demo harness")
     if "--style" in sys.argv:
         style = sys.argv[sys.argv.index("--style") + 1]
     else:
