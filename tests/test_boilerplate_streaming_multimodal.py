@@ -112,6 +112,74 @@ class TestStreaming:
         assert agg.isStreaming
         assert "window" in agg.columns
 
+    def test_watermark_drops_late_data(self, spark, tmp_path):
+        """Behavioral late-data semantics (the plan test above only
+        checks shape): a windowed watermarked aggregate emits a closed
+        window, then an event arriving AFTER the watermark passed that
+        window must not resurrect or re-emit it — the late row is
+        dropped, the standard streaming trade the operator documents."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "late_in")
+        out = str(tmp_path / "late_out")
+        ckpt = str(tmp_path / "late_ckpt")
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        schema = "conv_id string, ts timestamp, n long"
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "5 minutes"), F.col("conv_id"))
+                .agg(F.count("*").alias("n_rows"))
+                .select(F.col("window.start").alias("w_start"),
+                        "conv_id", "n_rows")
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        dt = datetime.timedelta
+        # life 1: two rows in window [12:00, 12:05) plus a row far
+        # enough ahead (12:30) to advance the watermark to 12:20 and
+        # close+emit that first window
+        spark.createDataFrame(
+            [("a", t0 + dt(minutes=1), 1),
+             ("a", t0 + dt(minutes=2), 1),
+             ("a", t0 + dt(minutes=30), 1)], schema
+        ).coalesce(1).write.parquet(src)
+        run_once()
+        emitted = {(r.w_start, r.conv_id): r.n_rows
+                   for r in spark.read.parquet(out).collect()}
+        assert emitted.get((t0, "a")) == 2  # closed window emitted
+
+        # life 2: a LATE row into the already-closed window, plus a
+        # fresh row even further ahead so remaining windows also close
+        spark.createDataFrame(
+            [("a", t0 + dt(minutes=3), 1),   # late: watermark is 12:20
+             ("a", t0 + dt(minutes=60), 1)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        rows = spark.read.parquet(out).collect()
+        # the closed window appears exactly once and still counts 2 —
+        # the late row neither re-emitted nor re-counted it
+        first = [r for r in rows if r.w_start == t0]
+        assert len(first) == 1 and first[0].n_rows == 2
+        # the 12:30 window eventually emitted with only its own row
+        mid = [r for r in rows if r.w_start == t0 + dt(minutes=30)]
+        assert len(mid) == 1 and mid[0].n_rows == 1
+
     def test_stream_dedup_matches_batch(self, spark, tmp_path):
         """Streaming exact dedup (bounded-state, watermarked) keeps
         exactly one row per normalized-text fingerprint — same
