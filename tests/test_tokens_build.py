@@ -82,13 +82,13 @@ def test_from_tokens_handmade_token_array():
     from hand-made tokens, including a text-mode tag whose entry is
     driven by the name-based triggers_text_mode rule, and a missing
     trailing EOF (the feed synthesizes one)."""
+    # via the package-level export (html_parser_spark.kernel mirrors
+    # the reference's public include/tree_builder.h surface)
+    from html_parser_spark.kernel import build_document_from_tokens
     from html_parser_spark.kernel.tokenizer import (
         TOKEN_CHARACTER, TOKEN_END_TAG, TOKEN_START_TAG, Token,
     )
     from html_parser_spark.kernel.tree import dump_ascii
-    from html_parser_spark.kernel.treebuilder import (
-        build_document_from_tokens,
-    )
 
     def tok(ttype, name=None, data=None):
         t = Token()
