@@ -45,6 +45,7 @@ class Node:
         "children",
         "form_owner",
         "encoding",
+        "in_stack",
     )
 
     def __init__(self, ntype, name=None, data=None, ns=NS_HTML):
@@ -57,6 +58,12 @@ class Node:
         self.children = []
         self.form_owner = None
         self.encoding = None
+        # True iff this node is currently ON the builder's open-elements
+        # stack (each element appears there at most once). Maintained by
+        # every stack mutation in treebuilder.py so formatting-list
+        # reconstruction gets O(1) membership instead of an O(depth)
+        # id()-set rebuild per token.
+        self.in_stack = False
 
     # -- tree mutation (mirrors node_append_child / node_insert_before /
     #    node_remove_child / node_reparent_children, src/tree.c:42-115) --

@@ -150,6 +150,19 @@ _BLOCK_LIKE = frozenset(
      "main", "nav", "ol", "p", "plaintext", "pre", "section", "table", "ul")
 )
 _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+# every tag that can trigger ANY action inside _body_autoclose; a name
+# outside this set makes that whole call a no-op, so the generic-start
+# fast path can skip the call (and its 8 membership checks) entirely
+_AUTOCLOSE_TRIGGER = (
+    frozenset(("p", "li", "dt", "dd", "tr"))
+    | _BLOCK_LIKE | _TABLE_SECTIONS | _CELLS
+)
+# every name with a dedicated branch in _end_tag_document; any other
+# end tag can only reach the shared adoption-agency/in-scope tail
+_END_SPECIAL = frozenset((
+    "template", "head", "body", "form", "p", "li", "dd", "dt", "table",
+    "tr", "caption", "select", "applet", "marquee", "object", "html",
+)) | _CELLS | _TABLE_SECTIONS
 # tags with a dedicated branch in _in_body_start_document; anything
 # else takes its generic fast path
 _IN_BODY_SPECIAL = frozenset((
@@ -310,6 +323,7 @@ class TreeBuilder:
     def _push(self, n):
         if n is not None and len(self.st) < STACK_MAX:
             self.st.append(n)
+            n.in_stack = True
             if n.name == "template":
                 # monotonic: typical documents never push a template,
                 # so _in_template_context can skip its per-tag stack
@@ -328,6 +342,7 @@ class TreeBuilder:
         st = self.st
         while st:
             n = st.pop()
+            n.in_stack = False
             if n.name == name:
                 return
 
@@ -335,6 +350,7 @@ class TreeBuilder:
         st = self.st
         while st:
             n = st.pop()
+            n.in_stack = False
             if n.name == a or n.name == b:
                 return
 
@@ -360,6 +376,7 @@ class TreeBuilder:
         st = self.st
         while st:
             n = st.pop()
+            n.in_stack = False
             if n.name in _HEADINGS:
                 return
 
@@ -440,7 +457,7 @@ class TreeBuilder:
                 break
             if except_name is not None and top.name == except_name:
                 break
-            st.pop()
+            st.pop().in_stack = False
 
     def _generate_implied_thoroughly(self):
         st = self.st
@@ -448,7 +465,7 @@ class TreeBuilder:
             top = st[-1]
             if top.name is None or top.name not in _IMPLIED_END_THOROUGH:
                 break
-            st.pop()
+            st.pop().in_stack = False
 
     # -- active formatting list (547-590) --
     def _fmt_push(self, tag, element):
@@ -495,24 +512,20 @@ class TreeBuilder:
 
     def _reconstruct_formatting(self, parent):
         # reconstruct_active_formatting (731-767). Stack membership via
-        # an id() set: nodes in fl are kept alive by fl, so ids are
-        # stable; turns the O(|fl|*|st|) scan into O(|fl|+|st|).
+        # the node's in_stack flag (maintained by every stack mutation):
+        # O(|fl| + clones) per call, no per-token O(depth) stack scan.
         fl = self.fmt
         if not fl:
             return
-        st = self.st
         last_tag, last_el = fl[-1]
         if last_tag is MARKER:
             return
-        if last_el is not None:
-            for x in st:
-                if x is last_el:
-                    return
-        stack_ids = {id(x) for x in st}
+        if last_el is not None and last_el.in_stack:
+            return
         first = 0
         for i in range(len(fl) - 1, 0, -1):
             etag, eel = fl[i - 1]
-            if etag is MARKER or (eel is not None and id(eel) in stack_ids):
+            if etag is MARKER or (eel is not None and eel.in_stack):
                 first = i
                 break
         for i in range(first, len(fl)):
@@ -691,7 +704,7 @@ class TreeBuilder:
             if cur is None or cur.name != tag_name:
                 self._err("aaa-implied-mismatch")
             if cur is not None and cur.name == tag_name:
-                st.pop()
+                st.pop().in_stack = False
             return True
 
         for _outer in range(8):
@@ -723,6 +736,7 @@ class TreeBuilder:
             if furthest_block is None:
                 while st:
                     popped = st.pop()
+                    popped.in_stack = False
                     if popped is formatting_element:
                         break
                 del fl[fmt_idx]
@@ -753,6 +767,7 @@ class TreeBuilder:
                     fmt_idx = self._fmt_index_of_element(formatting_element)
                     node_fi = -1
                 if node_fi < 0:
+                    st[node_si - 1].in_stack = False
                     del st[node_si - 1]
                     continue
 
@@ -760,6 +775,8 @@ class TreeBuilder:
                 fl[node_fi][1] = replacement
                 for i, x in enumerate(st):
                     if x is inner_node:
+                        x.in_stack = False
+                        replacement.in_stack = True
                         st[i] = replacement
                         break
                 inner_node.reparent_children_to(replacement)
@@ -814,6 +831,7 @@ class TreeBuilder:
                     fe_si = i
                     break
             if fe_si >= 0:
+                st[fe_si].in_stack = False
                 del st[fe_si]
             fb_si = -1
             for i, x in enumerate(st):
@@ -822,6 +840,7 @@ class TreeBuilder:
                     break
             if fb_si >= 0 and len(st) < STACK_MAX:
                 st.insert(fb_si + 1, new_element)
+                new_element.in_stack = True
         return True
 
     # ------------------------------------------------------------------
@@ -873,7 +892,7 @@ class TreeBuilder:
                         break
                     if is_html_integration_point(top.name, top.ns, top.attrs):
                         break
-                    st.pop()
+                    st.pop().in_stack = False
                 return True, True
 
             target_ns = acn.ns
@@ -907,6 +926,8 @@ class TreeBuilder:
                 else:
                     match = entry.name == name
                 if match:
+                    for x in st[i - 1:]:
+                        x.in_stack = False
                     del st[i - 1:]
                     return True, False
                 if entry.ns == NS_HTML:
@@ -1037,19 +1058,33 @@ class TreeBuilder:
             # 10026: "<tbody><template ><thead").
             in_template = self._in_template_context()
             is_fmt = name in FMT_TAGS
+            st = self.st
             if is_fmt:
-                self._reconstruct_formatting(self._current())
-            self._body_autoclose(name)
+                self._reconstruct_formatting(st[-1] if st else self.doc)
+            if name in _AUTOCLOSE_TRIGGER:
+                self._body_autoclose(name)
             if not in_template:
-                self._ensure_body()
+                # inline _ensure_body's open-body fast case (body is
+                # almost always st[1]: html, body, ...)
+                body = self.body
+                if body is None or len(st) < 2 or st[1] is not body:
+                    self._ensure_body()
             n = Node(ELEMENT, name or "")
-            self._attach(n, attrs)
-            self._current().append_child(n)
+            n.attrs = list(attrs)
+            cur = st[-1] if st else self.doc
+            n.parent = cur
+            cur.children.append(n)
             if not self_closing and name not in _VOID_ELEMENTS:
-                self._push(n)
+                # inline _push; a generic name is never "template"
+                # (template is in _IN_BODY_SPECIAL), so no
+                # seen_template update is needed here
+                if len(st) < STACK_MAX:
+                    st.append(n)
+                    n.in_stack = True
                 if is_fmt:
                     self._fmt_push(name, n)
-            self._set_form_owner(n, name)
+            if name in _FORM_ASSOCIATED:
+                self._set_form_owner(n, name)
             return
         in_template = self._in_template_context()
         is_fmt = name in FMT_TAGS
@@ -1301,13 +1336,13 @@ class TreeBuilder:
                 return _BREAK
             if t.type == TOKEN_END_TAG:
                 if self.st:
-                    self.st.pop()
+                    self.st.pop().in_stack = False
                 self.mode = self.original_mode
                 return _BREAK
             if t.type == TOKEN_EOF:
                 self._err("eof-in-text")
                 if self.st:
-                    self.st.pop()
+                    self.st.pop().in_stack = False
                 self.mode = self.original_mode
                 return _REPROCESS
             return _BREAK
@@ -1331,7 +1366,7 @@ class TreeBuilder:
                 return _BREAK
             self._err("char-in-head-noscript")
             if self.st:
-                self.st.pop()
+                self.st.pop().in_stack = False
             self.mode = IN_HEAD
             return _REPROCESS
         if ttype == TOKEN_START_TAG:
@@ -1359,19 +1394,19 @@ class TreeBuilder:
                 return _BREAK
             self._err("unexpected-start-tag-in-head-noscript")
             if self.st:
-                self.st.pop()
+                self.st.pop().in_stack = False
             self.mode = IN_HEAD
             return _REPROCESS
         if ttype == TOKEN_END_TAG:
             if t.name == "noscript":
                 if self.st:
-                    self.st.pop()
+                    self.st.pop().in_stack = False
                 self.mode = IN_HEAD
                 return _BREAK
             if t.name == "br":
                 self._err("end-tag-br-in-head-noscript")
                 if self.st:
-                    self.st.pop()
+                    self.st.pop().in_stack = False
                 self.mode = IN_HEAD
                 return _REPROCESS
             self._err("unexpected-end-tag-in-head-noscript")
@@ -1379,7 +1414,7 @@ class TreeBuilder:
         if ttype == TOKEN_EOF:
             self._err("eof-in-head-noscript")
             if self.st:
-                self.st.pop()
+                self.st.pop().in_stack = False
             self.mode = IN_HEAD
             return _REPROCESS
         return _BREAK
@@ -1773,6 +1808,18 @@ class TreeBuilder:
         # (3663-3816)
         name = t.name
         mode = self.mode
+        if name not in _END_SPECIAL:
+            # fast path: a generic end tag can only hit the shared
+            # tail below (identical code, the special chain can't fire)
+            if mode in (IN_BODY, IN_CELL, IN_TABLE, IN_TABLE_BODY, IN_ROW,
+                        IN_CAPTION):
+                if self.adoption_agency(name):
+                    return _CHECK
+            if name is not None and not self._in_scope(name):
+                self._err("unexpected-end-tag")
+                return _CHECK
+            self._pop_until(name)
+            return _CHECK
         if name == "template" and self._has_open("template"):
             self._close_template()
             return _CHECK
@@ -1900,6 +1947,7 @@ class TreeBuilder:
             self._generate_implied_end_tags()
             for i, x in enumerate(self.st):
                 if x is node_ptr:
+                    x.in_stack = False
                     del self.st[i]
                     break
         else:
