@@ -322,23 +322,32 @@ def _prescan_meta_tag(raw: bytes, scan_len: int, pos: int):
 
 
 def meta_prescan(raw: bytes):
-    """meta_prescan (523-580): first 1,024 bytes; returns canonical name."""
+    """meta_prescan (523-580): first 1,024 bytes; returns canonical name.
+
+    Byte-identical walk to the reference's per-byte loop, but the
+    "advance to the next '<'", "skip to '-->'" and "skip to '>'"
+    scans use bytes.find jumps instead of per-byte slicing (the
+    positions visited and the residual cursor on miss are the same).
+    """
     scan_len = min(len(raw), 1024)
     pos = 0
     while pos < scan_len:
-        if raw[pos : pos + 1] != b"<":
-            pos += 1
-            continue
-        pos += 1
+        lt = raw.find(b"<", pos, scan_len)
+        if lt < 0:
+            break
+        pos = lt + 1
         if pos >= scan_len:
             break
         if raw[pos : pos + 3] == b"!--" and pos + 2 < scan_len:
             pos += 3
-            while pos + 2 < scan_len:
-                if raw[pos : pos + 3] == b"-->":
-                    pos += 3
-                    break
-                pos += 1
+            # original loop scans while pos+2 < scan_len and leaves the
+            # cursor at scan_len-2 on miss; find's end bound matches
+            # (a hit needs the full 3 bytes inside the window)
+            end = raw.find(b"-->", pos, scan_len)
+            if end >= 0:
+                pos = end + 3
+            else:
+                pos = max(pos, scan_len - 2)
             continue
         if (
             pos + 4 < scan_len
@@ -356,17 +365,13 @@ def meta_prescan(raw: bytes):
                     return resolved
             continue
         b = raw[pos : pos + 1]
-        if b in (b"!", b"/", b"?"):
-            while pos < scan_len and raw[pos : pos + 1] != b">":
-                pos += 1
-            if pos < scan_len:
-                pos += 1
-            continue
-        if (b"A" <= b <= b"Z") or (b"a" <= b <= b"z"):
-            while pos < scan_len and raw[pos : pos + 1] != b">":
-                pos += 1
-            if pos < scan_len:
-                pos += 1
+        if (
+            b in (b"!", b"/", b"?")
+            or (b"A" <= b <= b"Z")
+            or (b"a" <= b <= b"z")
+        ):
+            gt = raw.find(b">", pos, scan_len)
+            pos = scan_len if gt < 0 else gt + 1
             continue
     return None
 

@@ -77,6 +77,20 @@ _ATTR_NAME_BAD = re.compile(r"[^0-9A-Za-z\-_:]")
 # per-char loop it replaces)
 _END_NAME_RUN = re.compile(r"[^ \n\t\f\r>/]*")
 
+# memoized ascii_lower for tag names (they repeat constantly); bounded
+# so adversarial unique-name streams can't grow it without limit
+_LOWER_CACHE: dict = {}
+_LOWER_CACHE_MAX = 8192
+
+
+def _lower_name(raw: str) -> str:
+    nm = _LOWER_CACHE.get(raw)
+    if nm is None:
+        nm = ascii_lower(raw)
+        if len(_LOWER_CACHE) < _LOWER_CACHE_MAX:
+            _LOWER_CACHE[raw] = nm
+    return nm
+
 
 class Token:
     __slots__ = (
@@ -174,10 +188,10 @@ def _bump_line_col(line: int, col: int, seg: str) -> tuple[int, int]:
 
 class Tokenizer:
     __slots__ = ("input", "pos", "len", "state", "raw_tag", "allow_cdata",
-                 "errors", "skipped", "_lc")
+                 "errors", "skipped", "_lc", "_scratch")
 
     def __init__(self, input_text: str, context_tag: str | None = None,
-                 errors: list | None = None):
+                 errors: list | None = None, reuse_token: bool = False):
         self.input = input_text or ""
         self.pos = 0
         self.len = len(self.input)
@@ -198,6 +212,12 @@ class Tokenizer:
         # error path resumes from here instead of re-walking from 0, so
         # error-dense documents stay O(len) total, not O(errors * len)
         self._lc = (0, 1, 1, 0)
+        # opt-in token reuse for the tree-builder drive loop: each
+        # next() recycles one scratch Token instead of allocating.
+        # Safe only when the caller never retains the token past the
+        # next next() call (the builder copies name/data/attrs into
+        # Nodes); tokenize_all and tests keep the allocating default.
+        self._scratch = Token() if reuse_token else None
         if context_tag:
             # tokenizer_init_with_context, src/tokenizer.c:1482-1503
             lowered = ascii_lower(context_tag[:31])
@@ -808,7 +828,7 @@ class Tokenizer:
         m = _END_NAME_RUN.match(s, p)
         end = m.end()
         out.type = TOKEN_END_TAG
-        out.name = ascii_lower(s[p:end])
+        out.name = _lower_name(s[p:end])
         self.pos = end
         if end < n and s[end] != ">":
             self._error("end tag has trailing garbage/attributes")
@@ -853,7 +873,7 @@ class Tokenizer:
         m = _TAG_NAME_RUN.match(s, self.pos)
         if m is not None:
             end = m.end()
-            nm = ascii_lower(m.group())
+            nm = _lower_name(m.group())
             if end < n and s[end] == ">":
                 self.pos = end + 1
                 out.name = nm
@@ -1052,7 +1072,18 @@ class Tokenizer:
     # -- main dispatch (tokenizer_next, src/tokenizer.c:1505-1619) --
 
     def next(self) -> Token:
-        out = Token()
+        out = self._scratch
+        if out is None:
+            out = Token()
+        else:
+            out.type = TOKEN_EOF
+            out.name = None
+            out.public_id = None
+            out.system_id = None
+            out.data = None
+            out.attrs = []
+            out.self_closing = False
+            out.force_quirks = False
         if self.pos >= self.len:
             out.type = TOKEN_EOF
             return out

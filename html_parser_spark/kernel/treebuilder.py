@@ -473,14 +473,20 @@ class TreeBuilder:
         count_same = 0
         earliest = 0
         el_attrs = element.attrs
-        for i, (etag, eel) in enumerate(fl):
+        for i, e in enumerate(fl):
             # order-sensitive attr compare (attrs_equal, 372-383)
-            if etag == tag and eel is not None and eel.attrs == el_attrs:
-                if count_same == 0:
-                    earliest = i
-                count_same += 1
-        if count_same >= 3:
-            del fl[earliest]
+            if e[0] == tag:
+                eel = e[1]
+                if eel is not None and eel.attrs == el_attrs:
+                    if count_same == 0:
+                        earliest = i
+                    count_same += 1
+                    if count_same >= 3:
+                        # further matches can't change the outcome:
+                        # earliest is fixed and exactly one entry is
+                        # removed, same as the reference's full scan
+                        del fl[earliest]
+                        break
         if len(fl) < FMT_MAX:
             fl.append([tag, element])
 
@@ -1059,7 +1065,7 @@ class TreeBuilder:
             in_template = self._in_template_context()
             is_fmt = name in FMT_TAGS
             st = self.st
-            if is_fmt:
+            if is_fmt and self.fmt:
                 self._reconstruct_formatting(st[-1] if st else self.doc)
             if name in _AUTOCLOSE_TRIGGER:
                 self._body_autoclose(name)
@@ -1966,8 +1972,13 @@ class TreeBuilder:
         if self.mode == IN_BODY and data.strip(_WS_STR):
             # fast path: non-whitespace text in body (the dominant
             # shape) — identical to the fall-through below
-            self._reconstruct_formatting(self._current())
-            self._current().append_child(Node(TEXT, None, data))
+            st = self.st
+            if self.fmt:
+                self._reconstruct_formatting(st[-1] if st else self.doc)
+            n = Node(TEXT, None, data)
+            cur = st[-1] if st else self.doc
+            n.parent = cur
+            cur.children.append(n)
             return _CHECK
         if not data.strip(_WS_STR):
             if self.mode == IN_BODY:
@@ -2563,7 +2574,7 @@ def build_document(input_text, encoding=None, confidence=2, errors=None,
     tb.want_change_encoding = want_change_encoding
     # share ONE error list between tokenizer and tree builder so the
     # combined texts keep the reference's chronological stderr order
-    tb.tz = Tokenizer(input_text, errors=tb.errors)
+    tb.tz = Tokenizer(input_text, errors=tb.errors, reuse_token=True)
     tb._run(tb._dispatch_document)
     if tb.change_encoding is not None:
         return None, tb.change_encoding, tb.tz.errors
@@ -2589,7 +2600,8 @@ def build_fragment(input_text, context_tag, encoding=None, confidence=2,
             tb._push(context)
             tb.mode = _RCDATA_FRAGMENT_MODES.get(context_tag, IN_BODY)
     tb.context = context
-    tb.tz = Tokenizer(input_text, context_tag, errors=tb.errors)
+    tb.tz = Tokenizer(input_text, context_tag, errors=tb.errors,
+                      reuse_token=True)
     tb._run(tb._dispatch_fragment)
     tb.st.clear()
     doc = tb.doc
