@@ -137,13 +137,13 @@ def main() -> int:
     # (count() would let Catalyst prune the computed columns + window).
     # best-of-3: this sandbox is a noisy shared host (same-size walls
     # spread ~2x); min measures the job, not the neighbors.
-    t_extract = None
+    extract_times = []
     for _ in range(3):
         t0 = time.time()
         extract_turns(transcripts, ordered=True).write.format(
             "noop").mode("overwrite").save()
-        dt = time.time() - t0
-        t_extract = dt if t_extract is None else min(t_extract, dt)
+        extract_times.append(time.time() - t0)
+    t_extract = min(extract_times)
     n_extracted = transcripts.count()
     queries["extract_transcripts"] = round(t_extract, 3)
 
@@ -155,35 +155,49 @@ def main() -> int:
     # -- markup-dense corpus: apples-to-apples with the reference's
     #    9.77 MB/s single-thread document-parse baseline ------------------
     dense = spark.read.parquet(dense_path)
-    t_dense = None
-    for _ in range(2):
+    dense_times = []
+    for i in range(4):
         t0 = time.time()
         extract_turns(dense, mode="document", ordered=False).write.format(
             "noop").mode("overwrite").save()
-        dt = time.time() - t0
-        t_dense = dt if t_dense is None else min(t_dense, dt)
+        if i > 0:  # first run is the untimed worker/codegen warmup
+            dense_times.append(time.time() - t0)
+    t_dense = min(dense_times)
     queries["extract_html_dense"] = round(t_dense, 3)
     dense_mb_per_sec = round(dense_mb / t_dense, 2) if t_dense else 0.0
 
     # -- representative SF-table queries -------------------------------------
+    # one UNTIMED warmup (scan cache, codegen, Python workers) then
+    # best-of-3; the min measures the job, not the neighbors on this
+    # noisy shared host. spread_pct = (max-min)/min over the timed
+    # runs, recorded per query so a reader can tell a real regression
+    # from host noise without rerunning.
     qs = se.queries()
-    for name in ("pricing_summary", "top_revenue", "ordering_window",
-                 "exact_dedup", "token_stats", "minhash_lsh",
-                 "ann_bruteforce", "simhash"):
-        # best-of-2: same noisy-host discipline as the extraction
-        # headline — min measures the job, not the neighbors
-        best = None
-        for _ in range(2):
-            t0 = time.time()
+    spread_pct: dict[str, float] = {}
+
+    def _timed(name: str, runs: int = 3) -> float:
+        def _go():
             try:
                 qs[name](spark, SF_DIR).write.format(
                     "noop").mode("overwrite").save()
             except Exception:
                 # noop sink unavailable -> fall back to count
                 qs[name](spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        queries[name] = round(best, 3)
+
+        _go()  # untimed warmup
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            _go()
+            times.append(time.time() - t0)
+        best = min(times)
+        spread_pct[name] = round(100.0 * (max(times) - best) / best, 1)
+        return best
+
+    for name in ("pricing_summary", "top_revenue", "ordering_window",
+                 "exact_dedup", "token_stats", "minhash_lsh",
+                 "ann_bruteforce", "simhash"):
+        queries[name] = round(_timed(name), 3)
 
     # snapshot the comparable wall BEFORE the extras: BENCH_r01..r03's
     # wall_seconds_incl_retries measured only the frozen suite
@@ -199,17 +213,7 @@ def main() -> int:
                  "redact_pii"):
         if name not in qs:
             continue
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            try:
-                qs[name](spark, SF_DIR).write.format(
-                    "noop").mode("overwrite").save()
-            except Exception:
-                qs[name](spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        extra[name] = round(best, 3)
+        extra[name] = round(_timed(name, runs=2), 3)
         spark.catalog.clearCache()  # curation persists pair-scale frames
 
     # headline = sum of best-of-N per-query times: measures the suite,
@@ -231,6 +235,13 @@ def main() -> int:
         "unit": "sec",
         "wall_seconds_incl_retries": wall,
         "queries": queries,
+        "query_spread_pct": dict(
+            spread_pct,
+            extract_transcripts=round(
+                100.0 * (max(extract_times) - t_extract) / t_extract, 1),
+            extract_html_dense=round(
+                100.0 * (max(dense_times) - t_dense) / t_dense, 1),
+        ),
         "extra_queries_not_in_value": extra,
         "sf": sf,
         "turns": n_extracted,

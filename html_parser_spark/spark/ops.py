@@ -169,10 +169,28 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
 
 
 def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
-                           bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                           bands: int = 8, shingle_n: int = 3,
+                           max_bucket: int | None = 1024,
+                           with_dropped: bool = False):
     """Banded LSH: docs sharing any band bucket become candidate pairs.
     Scale path: the band explode + groupBy is a single shuffle keyed by
-    (band_id, band_hash); no pairwise cross join ever materializes."""
+    (band_id, band_hash); no pairwise cross join ever materializes.
+
+    max_bucket bounds the quadratic blowup of degenerate buckets: after
+    exact dedup, large boilerplate clusters (near-identical but not
+    byte-equal documents) can land thousands-to-millions of docs in ONE
+    (band_id, band_hash) bucket, and the self-join then emits
+    width^2/2 pairs from it — at 100 TB a single hot bucket dominates
+    the stage. Buckets wider than max_bucket are excluded from pair
+    generation (their membership is boilerplate-degenerate, not a
+    near-dup signal the verifier could use); the width is computed with
+    a window count over the same (band_id, band_hash) partitioning the
+    self-join shuffles on, so the cap adds no extra shuffle of the
+    banded rows. Set max_bucket=None to disable. With
+    with_dropped=True returns (pairs, dropped) where dropped is one row
+    per skipped bucket: (band_id, band_hash, bucket_width) — the
+    accounting view a curation run should persist alongside the pairs.
+    """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, shingle_n)
 
@@ -190,6 +208,23 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
         "doc_id",
         F.explode(F.expr(f"array({bands_expr})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+
+    dropped = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_hash")
+        widths = banded.withColumn("bucket_width",
+                                   F.count(F.lit(1)).over(w))
+        if with_dropped:
+            dropped = (
+                widths.where(F.col("bucket_width") > max_bucket)
+                .select("band_id", "band_hash", "bucket_width")
+                .distinct()  # one row per bucket, not per member
+            )
+        banded = widths.where(
+            F.col("bucket_width") <= max_bucket).drop("bucket_width")
+
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -205,6 +240,8 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
         )
         .distinct()
     )
+    if with_dropped:
+        return pairs, dropped
     return pairs
 
 
@@ -1375,7 +1412,8 @@ def asof_join_filtered(df: DataFrame, left_pred, right_pred,
 
 def dup_components(documents: DataFrame,
                    jaccard_threshold: float = 0.8,
-                   num_hashes: int = 32, bands: int = 16) -> DataFrame:
+                   num_hashes: int = 32, bands: int = 16,
+                   max_bucket: int | None = 1024) -> DataFrame:
     """Near-dup CLUSTERS as a first-class result: minhash-LSH
     candidates verified by exact jaccard, collapsed to connected
     components — returns (doc_id, cluster_root) for every document
@@ -1386,7 +1424,7 @@ def dup_components(documents: DataFrame,
     it. SQL-oracled end to end (recursive reachability CTE on the
     DuckDB side)."""
     cand = minhash_lsh_candidates(documents, num_hashes=num_hashes,
-                                  bands=bands)
+                                  bands=bands, max_bucket=max_bucket)
     pairs = ngram_jaccard_pairs(
         documents, threshold=jaccard_threshold, candidates=cand)
     comp = _components_min_label(pairs.select("doc_a", "doc_b"))
@@ -1399,7 +1437,8 @@ def dup_components(documents: DataFrame,
 def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
                   jaccard_threshold: float = 0.8,
                   materialize: bool = True,
-                  return_clusters: bool = False):
+                  return_clusters: bool = False,
+                  max_bucket: int | None = 1024):
     """END-TO-END training-data curation — the composition a 100 TB
     corpus actually runs:
 
@@ -1447,7 +1486,8 @@ def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
     exact_kept = base.join(canon, "doc_id")
     if materialize:
         exact_kept = exact_kept.persist()
-    cand = minhash_lsh_candidates(exact_kept, num_hashes=32, bands=16)
+    cand = minhash_lsh_candidates(exact_kept, num_hashes=32, bands=16,
+                                  max_bucket=max_bucket)
     dup_pairs = ngram_jaccard_pairs(
         exact_kept, threshold=jaccard_threshold, candidates=cand)
     comp = _components_min_label(dup_pairs.select("doc_a", "doc_b"))

@@ -181,6 +181,44 @@ def test_minhash_finds_near_dupes(spark):
     assert (1, 2) in vpairs and (3, 4) not in vpairs
 
 
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """A post-exact-dedup boilerplate cluster (near-identical, not
+    byte-equal docs) lands in one (band_id, band_hash) bucket; without
+    a width cap the self-join emits width^2/2 pairs from it. The cap
+    must (a) bound candidates, (b) surface the skipped bucket in the
+    accounting frame, and (c) leave genuinely-near-dup pairs in
+    narrow buckets untouched (recall unchanged)."""
+    from html_parser_spark.spark.ops import minhash_lsh_candidates
+
+    boiler = ("terms of service apply to all pages on this site "
+              "contact us for details about privacy and cookies")
+    hot = [(i, boiler + f" v{i}") for i in range(40)]
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    planted = [(100, base), (101, base + " ok")]
+    other = [(200, "completely different words describing spark shuffles"),
+             (201, "another unrelated sentence about encoding machines")]
+    df = spark.createDataFrame(hot + planted + other,
+                               "doc_id long, text string")
+
+    uncapped = minhash_lsh_candidates(df, num_hashes=16, bands=8,
+                                      max_bucket=None)
+    n_uncapped = uncapped.count()
+    # the boilerplate cluster alone contributes ~40*39/2 pairs
+    assert n_uncapped >= 40 * 39 // 2
+
+    capped, dropped = minhash_lsh_candidates(
+        df, num_hashes=16, bands=8, max_bucket=10, with_dropped=True)
+    cpairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # bounded: every surviving bucket emits at most 10*9/2 pairs
+    assert len(cpairs) < n_uncapped
+    assert not any(a < 40 and b < 40 for a, b in cpairs)
+    # recall unchanged for the narrow-bucket planted near-dup
+    assert (100, 101) in cpairs
+    # accounting: at least one skipped bucket, all wider than the cap
+    drows = dropped.collect()
+    assert drows and all(r.bucket_width > 10 for r in drows)
+
+
 def test_ann_lsh_subset_of_bruteforce_corpus(spark):
     from html_parser_spark.spark.ops import ann_bruteforce, ann_lsh
 
