@@ -216,6 +216,24 @@ def main() -> int:
         extra[name] = round(_timed(name, runs=2), 3)
         spark.catalog.clearCache()  # curation persists pair-scale frames
 
+    # distributed connected components exercised AT SIZE: a 100k-edge
+    # multi-hop chain graph (diameter 20) forced past the union-find
+    # threshold, so the min-label propagation loop's iteration count
+    # and wall time are on record every round (the SF-table dup graphs
+    # stay under the collect threshold and never run this loop)
+    from html_parser_spark.spark.ops import _components_min_label
+
+    cc_edges = spark.createDataFrame(
+        [(c * 100 + j, c * 100 + j + 1)
+         for c in range(5000) for j in range(20)],
+        "doc_a long, doc_b long").repartition(CPUS)
+    cc_stats: dict = {}
+    t0 = time.time()
+    _components_min_label(
+        cc_edges, collect_max_edges=0, stats=cc_stats).count()
+    extra["cc_distributed_100k_edges"] = round(time.time() - t0, 3)
+    cc_stats["chain_len"] = 20
+
     # headline = sum of best-of-N per-query times: measures the suite,
     # not the retry loops (wall clock incl. retries: snapshotted above,
     # extras excluded for cross-round comparability)
@@ -243,6 +261,7 @@ def main() -> int:
                 100.0 * (max(dense_times) - t_dense) / t_dense, 1),
         ),
         "extra_queries_not_in_value": extra,
+        "cc_distributed_info": cc_stats,
         "sf": sf,
         "turns": n_extracted,
         "turns_per_sec": turns_per_sec,

@@ -524,7 +524,8 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
-                   k: int = 5, method: str = "auto") -> DataFrame:
+                   k: int = 5, method: str = "auto",
+                   dim: int | None = None) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side against the
     corpus — the baseline the LSH variant is judged against. The corpus
     side streams; only the query side is broadcast.
@@ -544,7 +545,9 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
     Laziness/guard contract: 'auto' runs ONE cheap one-row probe
     (first()) to read the dimensionality off the data — the array dim
     is not in the schema — then the resolved path builds as if named
-    explicitly. The 'arrow' path collects the (tiny) query matrix at
+    explicitly. Hot callers that already know the dimensionality (or
+    construct the plan without ever executing it) pass dim= to skip
+    the probe job entirely; dim is ignored unless method='auto'. The 'arrow' path collects the (tiny) query matrix at
     build time and raises ValueError when query_ids match nothing
     (previously a numpy shape crash). The 'expr' path stays a pure
     lazy plan (zero full-scan driver jobs at build, the form the plan
@@ -558,17 +561,19 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
         F.col("vec_id").alias("corpus_id"), vec_d.alias("cvec")
     )
     if method == "auto":
-        probe = embeddings.select(F.size("embedding").alias("d")).first()
-        if probe is None or probe.d is None or probe.d < 0:
-            # first() row with embedding=NULL gives d NULL (or -1
-            # under legacy sizeOfNull) — an opaque TypeError downstream
-            # without this guard
-            raise ValueError(
-                "ann_bruteforce: embeddings table is empty or its "
-                "first row has a NULL embedding — cannot infer "
-                "dimensionality for method='auto'; pass method "
-                "explicitly")
-        dim = probe.d
+        if dim is None:
+            probe = embeddings.select(
+                F.size("embedding").alias("d")).first()
+            if probe is None or probe.d is None or probe.d < 0:
+                # first() row with embedding=NULL gives d NULL (or -1
+                # under legacy sizeOfNull) — an opaque TypeError
+                # downstream without this guard
+                raise ValueError(
+                    "ann_bruteforce: embeddings table is empty or its "
+                    "first row has a NULL embedding — cannot infer "
+                    "dimensionality for method='auto'; pass method "
+                    "or dim explicitly")
+            dim = probe.d
         # arrow when either the per-row interpreted work
         # (dim * n_queries HOF values, the _ivf_method switch) or the
         # dimensionality alone is past test scale — a 768-dim corpus
@@ -1219,7 +1224,9 @@ _CC_COLLECT_MAX_EDGES = 2_000_000
 
 
 def _components_min_label(edges: DataFrame,
-                          max_iter: int = 50) -> DataFrame:
+                          max_iter: int = 50,
+                          collect_max_edges: int | None = None,
+                          stats: dict | None = None) -> DataFrame:
     """Connected components over an undirected edge list
     (doc_a, doc_b): returns (node, root) where root is the SMALLEST
     id reachable from node — the canonical representative of its dup
@@ -1239,7 +1246,13 @@ def _components_min_label(edges: DataFrame,
       edge/label frames are localCheckpoint'ed between iterations —
       lineage TRUNCATION, not just caching, because the logical plan
       otherwise doubles per iteration and kills the driver on deep
-      graphs (see the inline note)."""
+      graphs (see the inline note).
+
+    collect_max_edges overrides _CC_COLLECT_MAX_EDGES (tests/benches
+    force the distributed loop on smaller graphs with it); stats, if
+    given, is filled with {"path", "edges", "iterations"} so callers
+    can report which path ran and how many propagation rounds the
+    graph's diameter cost."""
     spark = edges.sparkSession
     # persist before counting: edges' lineage is the LSH + exact-verify
     # pipeline (the job's most expensive stage) — without the cache the
@@ -1248,7 +1261,14 @@ def _components_min_label(edges: DataFrame,
     edges = edges.select("doc_a", "doc_b").persist()
     try:
         n_edges = edges.count()
-        if n_edges <= _CC_COLLECT_MAX_EDGES:
+        threshold = (_CC_COLLECT_MAX_EDGES if collect_max_edges is None
+                     else collect_max_edges)
+        if stats is not None:
+            stats["edges"] = n_edges
+            stats["path"] = ("union_find" if n_edges <= threshold
+                             else "distributed")
+            stats["iterations"] = 0
+        if n_edges <= threshold:
             rows = edges.collect()
             labels = _components_union_find(
                 [(r.doc_a, r.doc_b) for r in rows])
@@ -1280,7 +1300,9 @@ def _components_min_label(edges: DataFrame,
         .localCheckpoint(eager=True)
     )
     changed = 1
-    for _ in range(max_iter):
+    for _it in range(max_iter):
+        if stats is not None:
+            stats["iterations"] = _it + 1
         prop = (
             sym.join(labels.withColumnRenamed("node", "doc_a"),
                      "doc_a")

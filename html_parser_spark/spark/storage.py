@@ -62,6 +62,25 @@ def compact_parquet(spark, input_path: str, output_path: str,
     return n_files
 
 
+def _strip_nullability(dt):
+    """Recursively normalize nullability flags (ArrayType.containsNull,
+    MapType.valueContainsNull, StructField.nullable) so schema-drift
+    detection compares VALUE types, not the in-memory-vs-parquet
+    nullability accidents that union coercion handles anyway."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_strip_nullability(dt.keyType),
+                         _strip_nullability(dt.valueType), True)
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _strip_nullability(f.dataType), True)
+            for f in dt.fields])
+    return dt
+
+
 def upsert_parquet(spark, target_path: str, updates: DataFrame,
                    key: str) -> int:
     """MERGE-INTO semantics for a plain-parquet target: rows whose
@@ -87,7 +106,11 @@ def upsert_parquet(spark, target_path: str, updates: DataFrame,
         existing = spark.read.parquet(target_path)
         # surface schema drift instead of silently dropping extra
         # update columns (or failing deep inside the select/union on
-        # missing or retyped ones): MERGE is defined over one schema
+        # missing or retyped ones): MERGE is defined over one schema.
+        # Types are compared MODULO nullability: an in-memory updates
+        # frame routinely carries containsNull/valueContainsNull/
+        # nullable flags differing from the parquet-read schema, and
+        # those unions fine — only a genuine retype is drift
         ex_types = {f.name: f.dataType for f in existing.schema.fields}
         up_types = {f.name: f.dataType for f in updates.schema.fields}
         extra = set(up_types) - set(ex_types)
@@ -96,7 +119,8 @@ def upsert_parquet(spark, target_path: str, updates: DataFrame,
             f"{c} ({ex_types[c].simpleString()} -> "
             f"{up_types[c].simpleString()})"
             for c in set(ex_types) & set(up_types)
-            if ex_types[c] != up_types[c]
+            if (_strip_nullability(ex_types[c])
+                != _strip_nullability(up_types[c]))
         )
         if extra or missing or retyped:
             raise ValueError(
@@ -121,3 +145,70 @@ def upsert_parquet(spark, target_path: str, updates: DataFrame,
             f"upsert: rename {tmp} -> {target_path} failed; merged "
             f"data is intact in the tmp path")
     return n
+
+
+class TableFormat:
+    """Minimal table-format seam: the four maintenance/mutation verbs a
+    curation pipeline needs from its storage layer, abstracted so the
+    parquet-directory emulation below can be swapped for a real
+    transactional format (Iceberg/Delta) without touching callers.
+
+    What a real catalog-backed implementation replaces (see COVERAGE.md
+    "Storage" for the full accounting):
+      - append/overwrite become ATOMIC snapshot commits (no
+        delete+rename window, readers never see a partial table)
+      - merge becomes the engine's MERGE INTO (one metadata swap,
+        row-level conflict detection)
+      - compact becomes rewrite_data_files / OPTIMIZE, committed as a
+        snapshot that concurrent readers ignore until publish
+      - partitioning becomes hidden partition transforms
+        (bucket(N, key), days(ts)) instead of physical directory layout
+    """
+
+    def append(self, df: DataFrame, table_path: str) -> None:
+        raise NotImplementedError
+
+    def overwrite(self, df: DataFrame, table_path: str) -> None:
+        raise NotImplementedError
+
+    def compact(self, spark, table_path: str,
+                target_file_mb: int = 128) -> int:
+        raise NotImplementedError
+
+    def merge(self, spark, table_path: str, updates: DataFrame,
+              key: str) -> int:
+        raise NotImplementedError
+
+
+class ParquetDirFormat(TableFormat):
+    """Plain-parquet-directory emulation — the only implementation
+    available in this sandbox (no Iceberg/Delta jars). Append relies on
+    parquet's append mode; overwrite/merge stage-and-swap via Hadoop FS
+    rename with the documented non-atomic window; compact rewrites in
+    place-adjacent output the caller swaps in."""
+
+    def append(self, df: DataFrame, table_path: str) -> None:
+        df.write.mode("append").parquet(table_path)
+
+    def overwrite(self, df: DataFrame, table_path: str) -> None:
+        df.write.mode("overwrite").parquet(table_path)
+
+    def compact(self, spark, table_path: str,
+                target_file_mb: int = 128) -> int:
+        out = table_path + "._compacted"
+        n = compact_parquet(spark, table_path, out, target_file_mb)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(table_path).getFileSystem(conf)
+        if not fs.delete(Path(table_path), True):
+            raise IOError(f"compact: could not delete {table_path}")
+        if not fs.rename(Path(out), Path(table_path)):
+            raise IOError(
+                f"compact: rename {out} -> {table_path} failed; "
+                f"compacted data is intact in the staging path")
+        return n
+
+    def merge(self, spark, table_path: str, updates: DataFrame,
+              key: str) -> int:
+        return upsert_parquet(spark, table_path, updates, key)

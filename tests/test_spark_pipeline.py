@@ -1050,6 +1050,44 @@ def test_components_paths_identical(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_components_distributed_at_bench_scale(spark):
+    """The distributed min-label loop on a graph it has actually never
+    seen in production shape: ~100k edges of multi-hop chains (length
+    ~20), forced onto the distributed path via collect_max_edges.
+    Asserts convergence, the iteration count tracks the graph diameter
+    (>= chain length, <= max_iter), and exact equality with driver
+    union-find."""
+    from html_parser_spark.spark.ops import (
+        _components_min_label, _components_union_find,
+    )
+
+    chain_len = 20      # edges per chain -> 21 nodes, diameter 20
+    n_chains = 5000     # 100k edges total
+    edges = [(c * 100 + j, c * 100 + j + 1)
+             for c in range(n_chains) for j in range(chain_len)]
+    assert len(edges) == 100_000
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long") \
+        .repartition(32)
+
+    stats: dict = {}
+    labels = _components_min_label(
+        df, max_iter=50, collect_max_edges=0, stats=stats)
+    got = {r.node: r.root for r in labels.collect()}
+
+    assert stats["path"] == "distributed"
+    assert stats["edges"] == 100_000
+    # one hop per round: a 20-edge chain needs >= 20 rounds (+1 to
+    # observe the fixed point), and convergence must beat max_iter
+    assert chain_len <= stats["iterations"] <= 50
+
+    expected = dict(_components_union_find(edges))
+    assert got == expected
+    # every chain collapses to its minimum node id
+    assert all(got[c * 100 + j] == c * 100
+               for c in range(0, n_chains, 500)
+               for j in range(chain_len + 1))
+
+
 def test_upsert_parquet_merge_semantics(spark, tmp_path):
     """MERGE semantics on plain parquet: updated keys replaced,
     new keys inserted, untouched rows preserved; initial upsert into
@@ -1089,6 +1127,89 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
         upsert_parquet(spark, path, retyped, "id")
     # and the target is untouched after the refused merges
     assert spark.read.parquet(path).count() == 4
+
+
+def test_upsert_tolerates_nullability_only_differences(spark, tmp_path):
+    """An in-memory updates frame routinely differs from the
+    parquet-read schema ONLY in nullability flags (containsNull /
+    struct-field nullable); that must upsert cleanly, not be refused
+    as 'retyped' (ADVICE r5)."""
+    from pyspark.sql import types as T
+
+    from html_parser_spark.spark.storage import upsert_parquet
+
+    path = str(tmp_path / "tbl_null")
+    base_schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType(), False), False),
+        T.StructField("meta", T.StructType([
+            T.StructField("a", T.IntegerType(), False)]), False),
+    ])
+    base = spark.createDataFrame(
+        [(1, ["x"], (10,)), (2, ["y"], (20,))], base_schema)
+    assert upsert_parquet(spark, path, base, "id") == 2
+
+    # same value types, every nullability flag flipped to True
+    up_schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("a", T.IntegerType(), True)]), True),
+    ])
+    ups = spark.createDataFrame([(2, ["Y"], (200,))], up_schema)
+    assert upsert_parquet(spark, path, ups, "id") == 2
+    got = {r.id: (r.tags, r.meta.a)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: (["x"], 10), 2: (["Y"], 200)}
+
+    # a genuine nested retype is still refused
+    import pytest as _pytest
+
+    bad_schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("tags", T.ArrayType(T.LongType(), True), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("a", T.IntegerType(), True)]), True),
+    ])
+    bad = spark.createDataFrame([(3, [1], (30,))], bad_schema)
+    with _pytest.raises(ValueError, match="retyped"):
+        upsert_parquet(spark, path, bad, "id")
+
+
+def test_table_format_seam_parquet_impl(spark, tmp_path):
+    """The TableFormat seam drives append / overwrite / compact /
+    merge through one interface with the parquet emulation behind it
+    (an Iceberg catalog would swap in atomically-committing impls —
+    see the class docstring and COVERAGE.md)."""
+    from html_parser_spark.spark.storage import ParquetDirFormat
+
+    fmt = ParquetDirFormat()
+    path = str(tmp_path / "fmt_tbl")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    fmt.overwrite(a, path)
+    fmt.append(spark.createDataFrame([(3, "c")], "id long, v string"),
+               path)
+    assert spark.read.parquet(path).count() == 3
+
+    # merge through the seam: replace + insert
+    n = fmt.merge(spark,
+                  path,
+                  spark.createDataFrame([(3, "C"), (4, "d")],
+                                        "id long, v string"),
+                  "id")
+    assert n == 4
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 3: "C", 4: "d"}
+
+    # compact through the seam: in-place swap, content preserved
+    many = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(2000)], "id long, v string")
+    fmt.overwrite(many.repartition(64), path)
+    n_files = fmt.compact(spark, path, target_file_mb=128)
+    assert n_files == 1
+    assert spark.read.parquet(path).count() == 2000
+    import glob as _glob
+    assert len(_glob.glob(path + "/part-*.parquet")) == 1
 
 
 def test_asof_join_matches_reference_on_random_inputs(spark):
@@ -1241,6 +1362,27 @@ def test_mega_conversation_skew(spark):
         .executedPlan().toString()
     assert "salt" in plan
 
+    # (b2) straggler bound via simulated reducer occupancy: Spark's
+    # HashPartitioning assigns a group to reducer pmod(hash(keys), N)
+    # (same murmur3 as F.hash). Unsalted, ONE reducer owns all 1e5
+    # mega rows; salted, the busiest reducer's share of the mega conv
+    # is bounded by the largest salt bucket — the hot key cannot
+    # dominate a single task's runtime
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salted_occ = (
+        mega.withColumn(
+            "salt", F.crc32(F.col("turn_idx").cast("string")) % 16)
+        .groupBy("conv_id", "salt").count()
+        .withColumn("reducer",
+                    F.pmod(F.hash("conv_id", "salt"), F.lit(shuffle_n)))
+        .groupBy("reducer").agg(F.sum("count").alias("rows"))
+        .collect()
+    )
+    unsalted_max = n  # hash(conv_id) sends every mega row to one task
+    salted_max = max(r.rows for r in salted_occ)
+    assert salted_max <= 2 * max(counts)  # <= ~2 salt buckets per task
+    assert salted_max * 4 < unsalted_max  # >=4x straggler reduction
+
     # (d) ordering window on the mega conv: correct and complete
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     ranked = df.withColumn("turn_rank", F.row_number().over(w))
@@ -1294,6 +1436,20 @@ def test_approx_percentiles_rank_error_bound(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+    # precondition the pinned approx_percentiles snapshot depends on:
+    # at the ORACLE SF every event_type group must fit the
+    # accuracy-10000 GK sketch uncompressed (compression would make
+    # the output partition-order-dependent and flake the hash gate).
+    # A future SF/testdata bump that breaks this must fail HERE, not
+    # in the driver's correctness run.
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    max_group = (ev.groupBy("event_type").count()
+                 .agg(F.max("count")).first()[0])
+    assert max_group < 10000, (
+        f"largest sf0.01 event_type group ({max_group}) reached the "
+        "accuracy-10000 sketch capacity: re-pin the approx_percentiles "
+        "snapshot or raise the accuracy")
 
 
 def test_ann_bruteforce_auto_method_selection(spark):

@@ -144,7 +144,7 @@ def test_from_tokens_diverges_only_on_feedback_fixtures(refbuild, harness):
         full_doc.encoding = None
         if dump_ascii(doc) != dump_ascii(full_doc):
             diverging.add(name)
-    # exactly two fixtures exercise feedback the token array cannot
+    # two known fixtures exercise feedback the token array cannot
     # carry: encoding_reenc_meta (the §13.2.3.5 re-encode handshake —
     # its meta sits past what the 1,024-byte prescan resolves, so only
     # the in-parse handshake can re-decode) and svg_cdata (the
@@ -152,6 +152,17 @@ def test_from_tokens_diverges_only_on_feedback_fixtures(refbuild, harness):
     # foreign CDATA into a bogus comment). The same two diverge
     # between the C build_tree_from_tokens and build_tree_from_input,
     # measured with the Makefile-flag harness build.
-    assert diverging == {
-        "encoding_reenc_meta.html", "svg_cdata.html",
-    }, diverging
+    #
+    # Assert BOTH directions without over-pinning the fixture list: the
+    # two known feedback fixtures must diverge, and anything else that
+    # diverges must itself be a feedback case (CDATA or late meta) —
+    # a NEW reference fixture exercising feedback extends the allowed
+    # set below instead of breaking parity-correct behavior.
+    known_feedback = {"encoding_reenc_meta.html", "svg_cdata.html"}
+    assert known_feedback <= diverging, diverging
+    assert diverging <= known_feedback, (
+        f"unexpected from-tokens divergence outside the known "
+        f"feedback fixtures: {sorted(diverging - known_feedback)} — "
+        f"if these exercise tokenizer<->builder feedback (CDATA "
+        f"gating / in-parse re-encode), add them to known_feedback; "
+        f"otherwise this is a real parity bug")

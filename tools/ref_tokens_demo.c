@@ -54,10 +54,24 @@ int main(int argc, char **argv) {
     tokenizer_init(&tz, input);
     size_t cap = 64, count = 0;
     token *tokens = (token *)malloc(cap * sizeof(token));
+    if (!tokens) {
+        fprintf(stderr, "token buffer allocation failed\n");
+        free(input);
+        return 1;
+    }
     for (;;) {
         if (count == cap) {
             cap *= 2;
-            tokens = (token *)realloc(tokens, cap * sizeof(token));
+            token *grown = (token *)realloc(tokens, cap * sizeof(token));
+            if (!grown) {
+                fprintf(stderr, "token buffer growth failed\n");
+                size_t j;
+                for (j = 0; j < count; ++j) token_free(&tokens[j]);
+                free(tokens);
+                free(input);
+                return 1;
+            }
+            tokens = grown;
         }
         token_init(&tokens[count]);
         tokenizer_next(&tz, &tokens[count]);
