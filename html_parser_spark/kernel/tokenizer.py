@@ -77,6 +77,26 @@ _ATTR_NAME_BAD = re.compile(r"[^0-9A-Za-z\-_:]")
 # per-char loop it replaces)
 _END_NAME_RUN = re.compile(r"[^ \n\t\f\r>/]*")
 
+# whole-attribute-section fast path for _parse_start_tag: matches the
+# overwhelmingly common well-formed shape — ws-separated attrs with
+# [a-zA-Z0-9-_:] names (exactly the _ATTR_NAME_BAD-free set, so the
+# machine emits no errors) and quoted/unquoted values containing no
+# '&' (no charref decode), no NUL, no quotes inside unquoted runs.
+# At most ONE trailing valueless attr: the machine's AFTER_ATTR_NAME
+# state deliberately does NOT reset the name buffer (C quirk,
+# src/tokenizer.c:1261-1266), so `<a x y>` tokenizes as attrs
+# ("x","xy") — any valueless-attr-followed-by-more shape must take
+# the state machine. Unquoted values keep '/' (`<a href=foo/>` is
+# value "foo/", not self-closing), matching the machine's UQ run.
+_SIMPLE_ATTR_UNIT = re.compile(
+    r"[ \n\t\f\r]+([a-zA-Z0-9\-_:]+)"
+    r"=(\"[^\"&\x00]*\"|'[^'&\x00]*'|[^ \n\t\f\r>\x00&\"']+)")
+_SIMPLE_ATTR_SECTION = re.compile(
+    r"(?:[ \n\t\f\r]+[a-zA-Z0-9\-_:]+"
+    r"=(?:\"[^\"&\x00]*\"|'[^'&\x00]*'|[^ \n\t\f\r>\x00&\"']+))*"
+    r"(?:[ \n\t\f\r]+([a-zA-Z0-9\-_:]+))?"
+    r"[ \n\t\f\r]*(/?)>")
+
 # memoized ascii_lower for tag names (they repeat constantly); bounded
 # so adversarial unique-name streams can't grow it without limit
 _LOWER_CACHE: dict = {}
@@ -879,6 +899,27 @@ class Tokenizer:
                 out.name = nm
                 self._enter_raw_for(nm)
                 return
+            # simple attribute section: consume the whole rest of the
+            # tag with one regex, no per-state stepping (see the
+            # _SIMPLE_ATTR_SECTION note for the exact machine-parity
+            # conditions; anything else falls through to the machine)
+            m2 = _SIMPLE_ATTR_SECTION.match(s, end)
+            if m2 is not None:
+                append_attr = self._append_attr
+                for am in _SIMPLE_ATTR_UNIT.finditer(s, end, m2.end()):
+                    v = am.group(2)
+                    if v[0] == '"' or v[0] == "'":
+                        v = v[1:-1]
+                    append_attr(out, _lower_name(am.group(1)), v)
+                tail = m2.group(1)
+                if tail is not None:
+                    append_attr(out, _lower_name(tail), "")
+                if m2.group(2):
+                    out.self_closing = True
+                self.pos = m2.end()
+                out.name = nm
+                self._enter_raw_for(nm)
+                return
             # seed the state machine with the already-matched name run
             tag_name.append(nm)
             self.pos = end
@@ -1109,75 +1150,75 @@ class Tokenizer:
         s, n = self.input, self.len
         pos = self.pos
         c = s[pos]
-        if c == "<":
-            nxt = s[pos + 1] if pos + 1 < n else "\0"
-            if nxt == "/":
-                c2 = s[pos + 2] if pos + 2 < n else "\0"
-                if c2 in _ALPHA:
-                    self._parse_end_tag(out)
-                    return out
-                # reference deviation: emit literal '<' (src/tokenizer.c:1544-1550)
-                self._error("invalid end tag")
-                out.type = TOKEN_CHARACTER
-                out.data = "<"
-                self.pos += 1
+        if c != "<":
+            # character data run until next '<' (checked first: half of
+            # all tokens in markup-dense input are text runs)
+            lt = s.find("<", pos)
+            self.pos = n if lt < 0 else lt
+            out.type = TOKEN_CHARACTER
+            data = s[pos : self.pos]
+            out.data = decode_character_references(data, False, self.errors)
+            return out
+        nxt = s[pos + 1] if pos + 1 < n else "\0"
+        if nxt == "/":
+            c2 = s[pos + 2] if pos + 2 < n else "\0"
+            if c2 in _ALPHA:
+                self._parse_end_tag(out)
                 return out
-            if nxt == "!" and s[pos + 2:pos + 4] == "--":
-                self._parse_comment(out)
-                return out
-            if nxt == "!" and self._starts_with_ci("<!DOCTYPE"):
-                self._parse_doctype(out)
-                return out
-            if (
-                nxt == "!"
-                and self.allow_cdata
-                and s[self.pos + 2 : self.pos + 9] == "[CDATA["
-            ):
-                self.pos += 9
-                start = self.pos
-                end = s.find("]]>", self.pos)
-                # C loop requires pos+2 < len, i.e. a full "]]>" inside input
-                if end >= 0 and end + 2 < n:
-                    out.type = TOKEN_CHARACTER
-                    out.data = s[start:end]
-                    self.pos = end + 3
-                    return out
-                out.type = TOKEN_CHARACTER
-                out.data = s[start:]
-                # C unclosed-CDATA: advance() stops at len-2, then a
-                # raw `tz->pos = tz->len` jump (src/tokenizer.c:1578)
-                if max(start, n - 2) < n:
-                    self.skipped.append((max(start, n - 2), n))
-                self.pos = n
-                return out
-            if nxt == "!":
-                # bogus comment (src/tokenizer.c:1581-1593)
-                self._error("bogus markup declaration")
-                self.pos += 2
-                start = self.pos
-                gt = s.find(">", self.pos)
-                if gt < 0:
-                    out.type = TOKEN_COMMENT
-                    out.data = s[start:]
-                    self.pos = n
-                else:
-                    out.type = TOKEN_COMMENT
-                    out.data = s[start:gt]
-                    self.pos = gt + 1
-                return out
-            if nxt in _ALPHA:
-                self._parse_start_tag(out)
-                return out
+            # reference deviation: emit literal '<' (src/tokenizer.c:1544-1550)
+            self._error("invalid end tag")
             out.type = TOKEN_CHARACTER
             out.data = "<"
             self.pos += 1
             return out
-
-        # character data run until next '<'
-        start = self.pos
-        lt = s.find("<", self.pos)
-        self.pos = n if lt < 0 else lt
+        if nxt == "!" and s[pos + 2:pos + 4] == "--":
+            self._parse_comment(out)
+            return out
+        if nxt == "!" and self._starts_with_ci("<!DOCTYPE"):
+            self._parse_doctype(out)
+            return out
+        if (
+            nxt == "!"
+            and self.allow_cdata
+            and s[self.pos + 2 : self.pos + 9] == "[CDATA["
+        ):
+            self.pos += 9
+            start = self.pos
+            end = s.find("]]>", self.pos)
+            # C loop requires pos+2 < len, i.e. a full "]]>" inside input
+            if end >= 0 and end + 2 < n:
+                out.type = TOKEN_CHARACTER
+                out.data = s[start:end]
+                self.pos = end + 3
+                return out
+            out.type = TOKEN_CHARACTER
+            out.data = s[start:]
+            # C unclosed-CDATA: advance() stops at len-2, then a
+            # raw `tz->pos = tz->len` jump (src/tokenizer.c:1578)
+            if max(start, n - 2) < n:
+                self.skipped.append((max(start, n - 2), n))
+            self.pos = n
+            return out
+        if nxt == "!":
+            # bogus comment (src/tokenizer.c:1581-1593)
+            self._error("bogus markup declaration")
+            self.pos += 2
+            start = self.pos
+            gt = s.find(">", self.pos)
+            if gt < 0:
+                out.type = TOKEN_COMMENT
+                out.data = s[start:]
+                self.pos = n
+            else:
+                out.type = TOKEN_COMMENT
+                out.data = s[start:gt]
+                self.pos = gt + 1
+            return out
+        if nxt in _ALPHA:
+            self._parse_start_tag(out)
+            return out
         out.type = TOKEN_CHARACTER
-        data = s[start : self.pos]
-        out.data = decode_character_references(data, False, self.errors)
+        out.data = "<"
+        self.pos += 1
         return out
+
