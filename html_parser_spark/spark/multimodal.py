@@ -15,6 +15,14 @@ forbidden, so everything here is PURE STDLIB):
   - image/gif : REAL decode (full LZW: variable code width,
     clear/EOI, 4096-entry dictionary) + a writer using the classic
     uncompressed-GIF technique; dispatch is by magic bytes.
+  - image/jpeg: REAL decode for BASELINE sequential (SOF0) — Huffman
+    entropy decode, dequantize, batched-numpy IDCT, integer chroma
+    upsampling, JFIF YCbCr->RGB, restart markers, 8/16-bit DQT — plus
+    a baseline writer (Annex K tables, all-ones quant, 4:4:4/4:2:0)
+    that the roundtrip tests pin the decoder against. Progressive /
+    extended / arithmetic frames follow the compressed-video policy:
+    strict=True raises at the documented integration point,
+    strict=False degrades to a deterministic payload digest.
   - audio/wav : REAL decode + encode (stdlib `wave` + struct, 16-bit
     PCM).
   - video/mp4 : container demux is REAL — box parsing (`mp4_probe`:
@@ -431,10 +439,537 @@ def _pad(vals) -> list:
     return out + [0.0] * (N_FEATURES - len(out))
 
 
+# ---------------------------------------------------------------------------
+# JPEG codec (pure stdlib + numpy; BASELINE sequential DCT only)
+#
+# Decoder: SOF0, 8-bit, 1 or 3 components, any integer chroma
+# subsampling, restart markers, 8/16-bit quant tables. Progressive /
+# extended / arithmetic frames raise NotImplementedError — that is the
+# media surface's documented strict-raise, mirroring the compressed-
+# video policy. Encoder: 4:4:4 or 4:2:0, spec Annex K Huffman tables,
+# all-ones quant (near-lossless; roundtrip-tested against the
+# decoder). The entropy loop is per-block Python (bounded by test
+# scale); dequantize + IDCT are batched numpy over all blocks.
+# ---------------------------------------------------------------------------
+
+# zigzag order: _JPEG_ZIGZAG[j] = natural (row*8+col) index of the
+# j-th zigzag-scanned coefficient
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# ITU-T T.81 Annex K "typical" Huffman tables (public spec constants)
+_JPEG_DC_LUM = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_DC_CHR = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_AC_LUM = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA),
+)
+_JPEG_AC_CHR = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA),
+)
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II basis M (M @ M.T == I): forward
+    S = M @ P @ M.T, inverse P = M.T @ S @ M."""
+    import math
+
+    import numpy as np
+
+    x = np.arange(8)
+    M = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    M[0] *= 1.0 / math.sqrt(2)
+    return M
+
+
+def _jpeg_build_decode_table(counts, symbols):
+    """Canonical Huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_build_encode_table(counts, symbols):
+    """Canonical Huffman: {symbol: (code, length)}."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in
+        _jpeg_build_decode_table(counts, symbols).items()
+    }
+
+
+class _JpegBits:
+    """MSB-first bit reader over a destuffed entropy segment."""
+
+    __slots__ = ("d", "i", "n", "buf", "cnt")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.i = 0
+        self.n = len(d)
+        self.buf = 0
+        self.cnt = 0
+
+    def receive(self, nbits: int) -> int:
+        while self.cnt < nbits:
+            if self.i >= self.n:
+                raise ValueError("JPEG entropy bitstream overrun")
+            self.buf = (self.buf << 8) | self.d[self.i]
+            self.i += 1
+            self.cnt += 8
+        self.cnt -= nbits
+        return (self.buf >> self.cnt) & ((1 << nbits) - 1)
+
+
+def _jpeg_decode_symbol(r: "_JpegBits", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.receive(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    # T.81 EXTEND: low-half values of an SSSS category are negative
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode_block(r: "_JpegBits", dc_table: dict, ac_table: dict):
+    """One 8x8 block -> 64 zigzag-order coefficients (DC is the DIFF,
+    caller accumulates the predictor)."""
+    t = _jpeg_decode_symbol(r, dc_table)
+    coef = [0] * 64
+    if t:
+        coef[0] = _jpeg_extend(r.receive(t), t)
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_symbol(r, ac_table)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index overflow")
+        coef[k] = _jpeg_extend(r.receive(size), size)
+        k += 1
+    return coef
+
+
+def _jpeg_entropy_segments(data: bytes, start: int):
+    """Destuffed entropy segments split at restart markers; returns
+    (segments, pos_after_scan)."""
+    segs, cur = [], bytearray()
+    i, n = start, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+            continue
+        break  # EOI or the next real marker
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def jpeg_decode(data: bytes):
+    """Baseline-JPEG reader: returns (width, height, channels, pixels)
+    with channels 1 (grayscale) or 3 (RGB, JFIF YCbCr conversion).
+    NotImplementedError for progressive/extended/arithmetic/12-bit
+    frames (the documented strict-raise surface); ValueError for
+    malformed data."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    scomps = None
+    restart = 0
+    segs = None
+    i, n = 2, len(data)
+    while i + 2 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = data[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            raise ValueError("truncated JPEG segment")
+        (ln,) = struct.unpack(">H", data[i + 2:i + 4])
+        seg = data[i + 4:i + 2 + ln]
+        i += 2 + ln
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(
+                        seg[p:p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    vals = np.frombuffer(
+                        seg[p:p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                if vals.size != 64:
+                    raise ValueError("short JPEG quant table")
+                natural = np.empty(64, np.int32)
+                natural[list(_JPEG_ZIGZAG)] = vals
+                qt[tq] = natural
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1:p + 17]
+                total = sum(counts)
+                symbols = seg[p + 17:p + 17 + total]
+                if len(symbols) != total:
+                    raise ValueError("short JPEG huffman table")
+                p += 17 + total
+                tbl = _jpeg_build_decode_table(counts, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+        elif m == 0xC0:  # SOF0 baseline sequential
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG precision (baseline is 8-bit)")
+            h_, w_ = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            p = 6
+            for _ in range(nc):
+                comps.append((seg[p], seg[p + 1] >> 4, seg[p + 1] & 15,
+                              seg[p + 2]))
+                p += 3
+            frame = (w_, h_, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG decodes in this "
+                f"container; frame marker 0xFF{m:02X} (progressive/"
+                "extended/arithmetic) is the documented integration "
+                "point for a real codec shipped via --py-files")
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            p = 1
+            for _ in range(ns):
+                scomps.append((seg[p], seg[p + 1] >> 4, seg[p + 1] & 15))
+                p += 2
+            segs, i = _jpeg_entropy_segments(data, i)
+            break
+    if frame is None or scomps is None or segs is None:
+        raise ValueError("truncated JPEG (no frame or scan)")
+    w, h, comps = frame
+    if w == 0 or h == 0 or len(comps) not in (1, 3):
+        raise ValueError(f"unsupported JPEG geometry ({len(comps)} "
+                         f"components, {w}x{h})")
+    if len(scomps) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+            c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
+            for c in comps):
+        raise ValueError("bad JPEG sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    sel = {cs: (td, ta) for cs, td, ta in scomps}
+    per_comp = []
+    coeffs = {}
+    for cid, hc, vc, tq in comps:
+        if cid not in sel or tq not in qt:
+            raise ValueError("JPEG scan/frame component mismatch")
+        td, ta = sel[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("JPEG scan names a missing huffman table")
+        per_comp.append((cid, hc, vc, huff_dc[td], huff_ac[ta]))
+        coeffs[cid] = np.zeros((mcuy * vc, mcux * hc, 64), np.int32)
+
+    seg_idx = 0
+    reader = _JpegBits(segs[0])
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    for m_i in range(mcux * mcuy):
+        if restart and m_i and m_i % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            reader = _JpegBits(segs[seg_idx])
+            pred = {cid: 0 for cid, _, _, _ in comps}
+        my, mx = divmod(m_i, mcux)
+        for cid, hc, vc, dct, act in per_comp:
+            for by in range(vc):
+                for bx in range(hc):
+                    blk = _jpeg_decode_block(reader, dct, act)
+                    pred[cid] += blk[0]
+                    blk[0] = pred[cid]
+                    coeffs[cid][my * vc + by, mx * hc + bx] = blk
+
+    M = _jpeg_dct_matrix()
+    zz = list(_JPEG_ZIGZAG)
+    planes = []
+    for cid, hc, vc, tq in comps:
+        z = coeffs[cid]
+        nat = np.zeros_like(z)
+        nat[:, :, zz] = z
+        nat = nat * qt[tq][None, None, :]
+        s = nat.reshape(nat.shape[0], nat.shape[1], 8, 8).astype(
+            np.float64)
+        # batched IDCT: P = M.T @ S @ M for every block at once
+        pix = np.einsum("xu,ijuv,vy->ijxy", M.T, s, M)
+        pix = np.clip(np.round(pix) + 128.0, 0, 255)
+        plane = pix.transpose(0, 2, 1, 3).reshape(
+            nat.shape[0] * 8, nat.shape[1] * 8)
+        plane = np.repeat(np.repeat(plane, vmax // vc, axis=0),
+                          hmax // hc, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return w, h, 1, planes[0].astype(np.uint8).tobytes()
+    y, cb, cr = planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r_, g_, b_], axis=-1)), 0, 255)
+    return w, h, 3, rgb.astype(np.uint8).tobytes()
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "buf", "cnt")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.buf = (self.buf << nbits) | (value & ((1 << nbits) - 1))
+        self.cnt += nbits
+        while self.cnt >= 8:
+            self.cnt -= 8
+            b = (self.buf >> self.cnt) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.buf &= (1 << self.cnt) - 1
+
+    def flush(self) -> None:
+        if self.cnt:
+            pad = 8 - self.cnt
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _jpeg_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def jpeg_encode(width: int, height: int, channels: int, pixels: bytes,
+                subsample: int = 1) -> bytes:
+    """Baseline-JPEG writer: gray (channels=1) or RGB (channels=3),
+    Annex K Huffman tables, ALL-ONES quant tables (near-lossless —
+    the roundtrip error is only DCT float rounding, so the decoder can
+    be tested against exact pixel content). subsample=2 emits 4:2:0
+    chroma (box-averaged), exercising the decoder's multi-block MCU
+    and upsampling paths."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("jpeg_encode: channels must be 1 or 3")
+    if subsample not in (1, 2):
+        raise ValueError("jpeg_encode: subsample must be 1 or 2")
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels).astype(np.float64)
+    if channels == 1:
+        planes = [px[:, :, 0]]
+        samp = [(1, 1)]
+    else:
+        r_, g_, b_ = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+        cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+        if subsample == 2:
+            # pad to even, box-average 2x2
+            eh, ew = -(-height // 2) * 2, -(-width // 2) * 2
+            def _box(p):
+                q = np.pad(p, ((0, eh - height), (0, ew - width)),
+                           mode="edge")
+                return (q.reshape(eh // 2, 2, ew // 2, 2)
+                        .mean(axis=(1, 3)))
+            planes = [y, _box(cb), _box(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    M = _jpeg_dct_matrix()
+    zz = list(_JPEG_ZIGZAG)
+    comp_blocks = []
+    for p, (hc, vc) in zip(planes, samp):
+        bh, bw = mcuy * vc * 8, mcux * hc * 8
+        q = np.pad(p, ((0, bh - p.shape[0]), (0, bw - p.shape[1])),
+                   mode="edge") - 128.0
+        blocks = q.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+        S = np.einsum("ux,ijxy,yv->ijuv", M, blocks, M.T)
+        zzb = np.round(S).astype(np.int32).reshape(
+            bh // 8, bw // 8, 64)[:, :, zz]
+        comp_blocks.append(zzb)
+
+    enc_dc = [_jpeg_build_encode_table(*_JPEG_DC_LUM),
+              _jpeg_build_encode_table(*_JPEG_DC_CHR)]
+    enc_ac = [_jpeg_build_encode_table(*_JPEG_AC_LUM),
+              _jpeg_build_encode_table(*_JPEG_AC_CHR)]
+
+    wtr = _JpegBitWriter()
+    pred = [0] * len(planes)
+    for m_i in range(mcux * mcuy):
+        my, mx = divmod(m_i, mcux)
+        for ci, (zzb, (hc, vc)) in enumerate(zip(comp_blocks, samp)):
+            t_dc = enc_dc[min(ci, 1)]
+            t_ac = enc_ac[min(ci, 1)]
+            for by in range(vc):
+                for bx in range(hc):
+                    blk = zzb[my * vc + by, mx * hc + bx]
+                    diff = int(blk[0]) - pred[ci]
+                    pred[ci] = int(blk[0])
+                    t = _jpeg_category(diff)
+                    code, ln = t_dc[t]
+                    wtr.write(code, ln)
+                    if t:
+                        wtr.write(diff if diff >= 0
+                                  else diff + (1 << t) - 1, t)
+                    run = 0
+                    nz = np.nonzero(blk[1:])[0]
+                    last = nz[-1] + 1 if nz.size else 0
+                    for k in range(1, last + 1):
+                        v = int(blk[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = t_ac[0xF0]  # ZRL
+                            wtr.write(code, ln)
+                            run -= 16
+                        s_ = _jpeg_category(v)
+                        code, ln = t_ac[(run << 4) | s_]
+                        wtr.write(code, ln)
+                        wtr.write(v if v >= 0 else v + (1 << s_) - 1, s_)
+                        run = 0
+                    if last < 63:
+                        code, ln = t_ac[0x00]  # EOB
+                        wtr.write(code, ln)
+    wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+
+    def _seg(marker, body):
+        out.extend(bytes((0xFF, marker)))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # Q0: all ones
+    if channels == 3:
+        _seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    sof = bytearray([8])
+    sof += struct.pack(">HH", height, width)
+    sof.append(len(planes))
+    for ci, (hc, vc) in enumerate(samp):
+        sof += bytes([ci + 1, (hc << 4) | vc, 0 if ci == 0 else 1])
+    _seg(0xC0, bytes(sof))
+    for tc, th, (counts, symbols) in (
+            (0, 0, _JPEG_DC_LUM), (1, 0, _JPEG_AC_LUM),
+            (0, 1, _JPEG_DC_CHR), (1, 1, _JPEG_AC_CHR))[
+                :4 if channels == 3 else 2]:
+        _seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts)
+             + bytes(symbols))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    _seg(0xDA, bytes(sos))
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def _decode_image(payload: bytes):
     """Sniff by magic bytes — real decoders dispatch on content."""
     if payload[:4] == b"GIF8":
         return gif_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode(payload)
     return png_decode(payload)
 
 
@@ -560,7 +1095,23 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 # corpus must mark its row, not kill the batch
                 try:
                     if kind == "image":
-                        feats.append(_image_features(b))
+                        try:
+                            feats.append(_image_features(b))
+                        except NotImplementedError:
+                            # recognized-but-undecodable variant
+                            # (progressive/extended JPEG): same policy
+                            # as compressed video — strict raises at
+                            # the integration point, lenient degrades
+                            # to a deterministic payload digest with
+                            # decode_ok False
+                            if strict:
+                                raise
+                            digest = hashlib.blake2b(
+                                b, digest_size=62).digest()
+                            feats.append(
+                                _pad([x / 255.0 for x in digest]))
+                            oks.append(False)
+                            continue
                     elif kind == "audio":
                         feats.append(_audio_features(b))
                     else:

@@ -439,6 +439,120 @@ class TestMultimodal:
         assert png_decode(bytes(out[0].payload))[:2] == (4, 4)
         assert out[1].payload is None and out[2].payload is None
 
+    def test_jpeg_roundtrip_444_420_gray(self):
+        """Baseline JPEG is REAL: encode (all-ones quant) -> decode
+        recovers pixels within DCT rounding; 4:2:0 exercises the
+        multi-block MCU + chroma upsample path; gray the 1-component
+        path. Non-multiple-of-8 and non-multiple-of-16 dims cover the
+        edge-crop logic."""
+        import numpy as np
+
+        from html_parser_spark.spark.multimodal import (
+            jpeg_decode, jpeg_encode,
+        )
+
+        h, w = 24, 33
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(xx * 7) % 256, (yy * 5) % 256,
+                        ((xx + yy) * 3) % 256], axis=-1).astype(np.uint8)
+        for sub, tol in ((1, 3), (2, 24)):
+            data = jpeg_encode(w, h, 3, img.tobytes(), subsample=sub)
+            w2, h2, ch, px = jpeg_decode(data)
+            assert (w2, h2, ch) == (w, h, 3)
+            out = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+            err = np.abs(out.astype(int) - img.astype(int))
+            # 4:4:4 error is pure DCT rounding; 4:2:0 additionally
+            # loses chroma resolution (gradient steps up to ~2x7 per
+            # 2px box), so its bound is looser but still tight enough
+            # to prove real pixel decoding, not a digest
+            assert err.max() <= tol, (sub, err.max())
+            assert err.mean() < (0.6 if sub == 1 else 4.0)
+
+        g = np.asarray([(x * 31 + y * 3) % 256
+                        for y in range(17) for x in range(19)],
+                       dtype=np.uint8)
+        data = jpeg_encode(19, 17, 1, g.tobytes())
+        w2, h2, ch, px = jpeg_decode(data)
+        assert (w2, h2, ch) == (19, 17, 1)
+        err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                     - g.astype(int))
+        assert err.max() <= 2
+
+    def test_jpeg_progressive_policy_strict_and_lenient(self, spark):
+        """Progressive JPEG mirrors the compressed-video policy:
+        strict=True raises NotImplementedError at the integration
+        point; strict=False yields deterministic digest features with
+        decode_ok False. Baseline JPEG rows decode for real either
+        way."""
+        import numpy as np
+        import pytest as _pytest
+
+        from html_parser_spark.spark.multimodal import (
+            MEDIA_SCHEMA, decode_media, jpeg_encode,
+        )
+
+        img = np.full((8, 8, 3), 99, dtype=np.uint8)
+        baseline = jpeg_encode(8, 8, 3, img.tobytes())
+        # minimal progressive header: SOI + SOF2 with an 8x8 1-comp body
+        import struct as _struct
+
+        sof2 = (b"\xff\xc2" + _struct.pack(">H", 11)
+                + bytes([8]) + _struct.pack(">HH", 8, 8)
+                + bytes([1, 1, 0x11, 0]))
+        progressive = b"\xff\xd8" + sof2 + b"\xff\xd9"
+
+        rows = [(0, "image", bytearray(baseline), None),
+                (1, "image", bytearray(progressive), None)]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+        got = {r.media_id: r for r in decode_media(df).collect()}
+        assert got[0].decode_ok and int(got[0].features[0]) == 8
+        assert not got[1].decode_ok
+        # deterministic digest, not a decode
+        again = {r.media_id: r
+                 for r in decode_media(df).collect()}
+        assert got[1].features == again[1].features
+
+        with _pytest.raises(Exception, match="baseline sequential"):
+            decode_media(df, strict=True).collect()
+
+    def test_jpeg_features_and_resize_through_spark(self, spark):
+        """A JPEG payload flows through the same Arrow kernels as PNG:
+        decode_media reports true dims/channels; resize_images decodes
+        the JPEG and re-emits a valid PNG at the target geometry whose
+        pixels match nearest-neighbor of the JPEG-decoded image."""
+        import numpy as np
+
+        from html_parser_spark.spark.multimodal import (
+            MEDIA_SCHEMA, decode_media, jpeg_decode, jpeg_encode,
+            png_decode, resize_images,
+        )
+
+        h, w = 20, 28
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(xx * 11) % 256, (yy * 9) % 256,
+                        (xx * yy) % 256], axis=-1).astype(np.uint8)
+        payload = jpeg_encode(w, h, 3, img.tobytes())
+        df = spark.createDataFrame(
+            [(0, "image", bytearray(payload), None)], MEDIA_SCHEMA)
+
+        feat = decode_media(df).collect()[0]
+        assert feat.decode_ok
+        assert (int(feat.features[0]), int(feat.features[1]),
+                int(feat.features[2])) == (w, h, 3)
+
+        r = resize_images(df, 7, 5).collect()[0]
+        rw, rh, rch, rpx = png_decode(bytes(r.payload))
+        assert (rw, rh, rch) == (7, 5, 3)
+        # reference: NN-resample of the DECODED jpeg (not the source)
+        _, _, _, dpx = jpeg_decode(payload)
+        dec = np.frombuffer(dpx, np.uint8).reshape(h, w, 3)
+        sy = np.arange(5) * h // 5
+        sx = np.arange(7) * w // 7
+        expect = dec[sy[:, None], sx[None, :], :]
+        assert np.array_equal(
+            np.frombuffer(rpx, np.uint8).reshape(5, 7, 3), expect)
+
     def test_mp4_probe_v1_and_largesize(self):
         """Version-1 mvhd/tkhd (64-bit times/durations) and size==1
         largesize boxes parse to the same duration/dims as v0."""
