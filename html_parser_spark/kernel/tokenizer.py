@@ -107,7 +107,10 @@ def _lower_name(raw: str) -> str:
     nm = _LOWER_CACHE.get(raw)
     if nm is None:
         nm = ascii_lower(raw)
-        if len(_LOWER_CACHE) < _LOWER_CACHE_MAX:
+        # bound entry LENGTH too: real tag names are short, and an
+        # unbounded-length entry would pin attacker-sized strings in
+        # this process-lifetime dict long after their document is gone
+        if len(raw) <= 64 and len(_LOWER_CACHE) < _LOWER_CACHE_MAX:
             _LOWER_CACHE[raw] = nm
     return nm
 

@@ -564,7 +564,12 @@ class _JpegBits:
             self.i += 1
             self.cnt += 8
         self.cnt -= nbits
-        return (self.buf >> self.cnt) & ((1 << nbits) - 1)
+        v = (self.buf >> self.cnt) & ((1 << nbits) - 1)
+        # truncate consumed bits (mirrors _JpegBitWriter): without
+        # this the buffer grows into one giant bigint and every
+        # `(buf << 8) | byte` copies it — quadratic in segment size
+        self.buf &= (1 << self.cnt) - 1
+        return v
 
 
 def _jpeg_decode_symbol(r: "_JpegBits", table: dict) -> int:

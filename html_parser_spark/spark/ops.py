@@ -181,15 +181,20 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
     byte-equal documents) can land thousands-to-millions of docs in ONE
     (band_id, band_hash) bucket, and the self-join then emits
     width^2/2 pairs from it — at 100 TB a single hot bucket dominates
-    the stage. Buckets wider than max_bucket are excluded from pair
-    generation (their membership is boilerplate-degenerate, not a
-    near-dup signal the verifier could use); the width is computed with
-    a window count over the same (band_id, band_hash) partitioning the
-    self-join shuffles on, so the cap adds no extra shuffle of the
-    banded rows. Set max_bucket=None to disable. With
-    with_dropped=True returns (pairs, dropped) where dropped is one row
-    per skipped bucket: (band_id, band_hash, bucket_width) — the
-    accounting view a curation run should persist alongside the pairs.
+    the stage. Buckets wider than max_bucket are CHAINED instead of
+    pairwise-joined: their members, ordered by doc_id, emit only the
+    width-1 consecutive pairs. For the boilerplate clusters that
+    create such buckets every chain link verifies (members are
+    near-identical), so connected-components still collapses the whole
+    cluster to one representative — dedup semantics survive, the cost
+    drops from O(width^2) to O(width), and nothing silently escapes
+    curation. Width and chain neighbors come from window functions
+    over the same (band_id, band_hash) partitioning the self-join
+    shuffles on, so the cap adds no extra shuffle of the banded rows.
+    Set max_bucket=None to disable. With with_dropped=True returns
+    (pairs, chained) where chained is one accounting row per chained
+    bucket: (band_id, band_hash, bucket_width) — empty (not None)
+    when the cap is disabled or nothing was chained.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, shingle_n)
@@ -209,19 +214,30 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
         F.explode(F.expr(f"array({bands_expr})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    dropped = None
+    chain_pairs = None
+    chained = None
     if max_bucket is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("band_id", "band_hash")
+        wo = w.orderBy("doc_id")
         widths = banded.withColumn("bucket_width",
                                    F.count(F.lit(1)).over(w))
+        wide = widths.where(F.col("bucket_width") > max_bucket)
         if with_dropped:
-            dropped = (
-                widths.where(F.col("bucket_width") > max_bucket)
-                .select("band_id", "band_hash", "bucket_width")
+            chained = (
+                wide.select("band_id", "band_hash", "bucket_width")
                 .distinct()  # one row per bucket, not per member
             )
+        # consecutive-member chain: width-1 pairs keep the bucket
+        # connected for the components pass at O(width) cost
+        chain_pairs = (
+            wide.select(
+                F.lag("doc_id").over(wo).alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+            .where(F.col("doc_a").isNotNull())
+        )
         banded = widths.where(
             F.col("bucket_width") <= max_bucket).drop("bucket_width")
 
@@ -238,10 +254,15 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
+    if chain_pairs is not None:
+        pairs = pairs.unionByName(chain_pairs)
+    pairs = pairs.distinct()
     if with_dropped:
-        return pairs, dropped
+        if chained is None:  # cap disabled: empty frame, same schema
+            chained = documents.sparkSession.createDataFrame(
+                [], "band_id int, band_hash bigint, bucket_width bigint")
+        return pairs, chained
     return pairs
 
 

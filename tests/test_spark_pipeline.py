@@ -185,10 +185,14 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark):
     """A post-exact-dedup boilerplate cluster (near-identical, not
     byte-equal docs) lands in one (band_id, band_hash) bucket; without
     a width cap the self-join emits width^2/2 pairs from it. The cap
-    must (a) bound candidates, (b) surface the skipped bucket in the
-    accounting frame, and (c) leave genuinely-near-dup pairs in
+    must (a) bound candidates to O(width) chain pairs, (b) keep the
+    hot cluster CONNECTED so components still collapse it (nothing
+    silently escapes dedup), (c) surface the chained bucket in the
+    accounting frame, and (d) leave genuinely-near-dup pairs in
     narrow buckets untouched (recall unchanged)."""
-    from html_parser_spark.spark.ops import minhash_lsh_candidates
+    from html_parser_spark.spark.ops import (
+        _components_union_find, minhash_lsh_candidates,
+    )
 
     boiler = ("terms of service apply to all pages on this site "
               "contact us for details about privacy and cookies")
@@ -206,17 +210,28 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark):
     # the boilerplate cluster alone contributes ~40*39/2 pairs
     assert n_uncapped >= 40 * 39 // 2
 
-    capped, dropped = minhash_lsh_candidates(
+    capped, chained = minhash_lsh_candidates(
         df, num_hashes=16, bands=8, max_bucket=10, with_dropped=True)
     cpairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
-    # bounded: every surviving bucket emits at most 10*9/2 pairs
+    hot_pairs = [(a, b) for a, b in cpairs if a < 40 and b < 40]
+    # bounded: O(width * bands) chain links, nowhere near width^2/2
+    assert 39 <= len(hot_pairs) <= 40 * 8
     assert len(cpairs) < n_uncapped
-    assert not any(a < 40 and b < 40 for a, b in cpairs)
+    # connected: components over the capped candidates still collapse
+    # the whole hot cluster to one root — dedup semantics preserved
+    roots = dict(_components_union_find(hot_pairs))
+    assert {roots[i] for i in range(40)} == {0}
     # recall unchanged for the narrow-bucket planted near-dup
     assert (100, 101) in cpairs
-    # accounting: at least one skipped bucket, all wider than the cap
-    drows = dropped.collect()
-    assert drows and all(r.bucket_width > 10 for r in drows)
+    # accounting: at least one chained bucket, all wider than the cap
+    crows = chained.collect()
+    assert crows and all(r.bucket_width > 10 for r in crows)
+
+    # contract uniformity: cap disabled -> empty frame, same schema
+    _, empty = minhash_lsh_candidates(
+        df, num_hashes=16, bands=8, max_bucket=None, with_dropped=True)
+    assert empty.columns == ["band_id", "band_hash", "bucket_width"]
+    assert empty.count() == 0
 
 
 def test_ann_lsh_subset_of_bruteforce_corpus(spark):

@@ -56,21 +56,16 @@ def clean() -> None:
     print(f"removed {len(removed)} built artifacts")
 
 
-def build_cython() -> bool:
-    try:
-        import Cython  # noqa: F401
-    except ImportError:
-        return False
-    from Cython.Build import cythonize  # noqa: F401
-    setup_src = f"""
-from setuptools import setup
-from Cython.Build import cythonize
-setup(ext_modules=cythonize(
-    {[os.path.join(KERNEL, m) for m in MODULES]!r},
-    compiler_directives={{"language_level": "3"}},
-))
-"""
-    setup_path = os.path.join(KERNEL, "_setup_cython.py")
+def _run_setup(tag: str, ext_expr: str) -> bool:
+    """Write a temp setup.py whose ext_modules come from `ext_expr`
+    (a Python expression over MODULE_PATHS), run build_ext --inplace,
+    clean up."""
+    setup_src = (
+        "from setuptools import setup\n"
+        f"MODULE_PATHS = {[os.path.join(KERNEL, m) for m in MODULES]!r}\n"
+        f"setup(ext_modules={ext_expr})\n"
+    )
+    setup_path = os.path.join(KERNEL, f"_setup_{tag}.py")
     with open(setup_path, "w") as f:
         f.write(setup_src)
     try:
@@ -83,6 +78,17 @@ setup(ext_modules=cythonize(
     finally:
         os.remove(setup_path)
     return True
+
+
+def build_cython() -> bool:
+    try:
+        import Cython  # noqa: F401
+    except ImportError:
+        return False
+    return _run_setup(
+        "cython",
+        "__import__('Cython.Build', fromlist=['cythonize']).cythonize("
+        "MODULE_PATHS, compiler_directives={'language_level': '3'})")
 
 
 def build_mypyc() -> bool:
@@ -90,25 +96,10 @@ def build_mypyc() -> bool:
         from mypyc.build import mypycify  # noqa: F401
     except ImportError:
         return False
-    setup_src = f"""
-from setuptools import setup
-from mypyc.build import mypycify
-setup(ext_modules=mypycify(
-    {[os.path.join(KERNEL, m) for m in MODULES]!r}))
-"""
-    setup_path = os.path.join(KERNEL, "_setup_mypyc.py")
-    with open(setup_path, "w") as f:
-        f.write(setup_src)
-    try:
-        r = subprocess.run(
-            [sys.executable, setup_path, "build_ext", "--inplace"],
-            cwd=os.path.dirname(KERNEL), capture_output=True, text=True)
-        if r.returncode != 0:
-            print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
-            return False
-    finally:
-        os.remove(setup_path)
-    return True
+    return _run_setup(
+        "mypyc",
+        "__import__('mypyc.build', fromlist=['mypycify'])"
+        ".mypycify(MODULE_PATHS)")
 
 
 def main() -> int:
