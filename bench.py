@@ -127,7 +127,11 @@ def main() -> int:
     import gc
 
     gc.collect()
-    extract_turns(transcripts.limit(512), ordered=False).count()
+    # full-size untimed warmup: a limit(512) probe only spins up a
+    # couple of Python workers, so the first timed run was paying the
+    # other ~30 workers' startup (observed as ~250% first-run spread)
+    extract_turns(transcripts, ordered=False).write.format(
+        "noop").mode("overwrite").save()
 
     queries: dict[str, float] = {}
     t_all = time.time()
