@@ -247,6 +247,20 @@ def _q_quality(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    # training-data sequence packing: bucketed greedy concat-and-split
+    # placement, one keyed window (no global sort) — SQL-exact
+    from html_parser_spark.spark.ops import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_balanced_sample(spark, sf_dir):
+    from html_parser_spark.spark.ops import lang_balanced_sample
+
+    return lang_balanced_sample(_t(spark, sf_dir, "documents"))
+
+
 def _q_lang_id(spark, sf_dir):
     from html_parser_spark.spark.ops import lang_id
 
@@ -656,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
+        "pack_sequences": _q_pack_sequences,
+        "lang_balanced_sample": _q_lang_balanced_sample,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -900,6 +916,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(len(list_distinct(string_split(text, ' '))) as int)
                        AS n_distinct_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "pack_sequences": """
+            WITH sized AS (
+                SELECT doc_id,
+                       cast(doc_id % 8 as int) AS bucket,
+                       cast(len(string_split(text, ' ')) as bigint)
+                           AS n_tokens
+                FROM documents
+            ), placed AS (
+                SELECT doc_id, bucket, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start_offset
+                FROM sized
+            )
+            SELECT doc_id, bucket,
+                   cast(n_tokens as int) AS n_tokens,
+                   cast(floor(start_offset / 512.0) as int) AS seq_id,
+                   cast(start_offset % 512 as int) AS seq_offset
+            FROM placed ORDER BY doc_id
+        """,
+        "lang_balanced_sample": """
+            SELECT doc_id, lang, source, rank_in_lang FROM (
+                SELECT doc_id, lang, source,
+                       cast(row_number() OVER (
+                           PARTITION BY lang ORDER BY doc_id) as int)
+                           AS rank_in_lang
+                FROM documents
+            ) WHERE rank_in_lang <= 20 ORDER BY doc_id
         """,
         "quality_score": f"""
             SELECT doc_id,

@@ -393,6 +393,64 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def pack_sequences(documents: DataFrame, budget_tokens: int = 512,
+                   buckets: int = 8) -> DataFrame:
+    """Sequence packing for training-data assembly: documents are
+    concatenated in deterministic (doc_id) order within hash-assigned
+    buckets and split into fixed token-budget sequences; a document
+    can span a boundary (the packed-attention style — consumers mask
+    across the cut). Returns per-doc placement:
+    (doc_id, bucket, n_tokens, seq_id, seq_offset).
+
+    Scale shape: NO global sort — the bucket column partitions the
+    one window (running token cumsum), so at 100 TB this is one keyed
+    shuffle like any other per-key window; sequences are globally
+    addressable as (bucket, seq_id). Whitespace token counts keep it
+    SQL-exact; swap in bpe_token_count for byte-accurate budgets."""
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        documents.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(buckets)).cast("int")
+            .alias("bucket"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id", "bucket",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.floor(F.col("start_offset") / F.lit(float(budget_tokens)))
+            .cast("int").alias("seq_id"),
+            F.pmod(F.col("start_offset"), F.lit(budget_tokens))
+            .cast("int").alias("seq_offset"),
+        )
+    )
+
+
+def lang_balanced_sample(documents: DataFrame,
+                         per_lang: int = 20) -> DataFrame:
+    """Deterministic per-language sample: the per_lang smallest
+    doc_ids of every lang — the balanced-mix builder for training
+    blends (and the shape of any 'N examples per stratum' debugging
+    pull). One window shuffle keyed by lang; doc_id order makes it
+    reproducible run-to-run with no RNG state to carry."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        documents.select("doc_id", "lang", "source")
+        .withColumn("rank_in_lang",
+                    F.row_number().over(w).cast("int"))
+        .where(F.col("rank_in_lang") <= per_lang)
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length band + stopword ratio +
     alpha ratio. Deterministic closed-form (SQL-oracled)."""

@@ -1065,6 +1065,65 @@ def test_components_paths_identical(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_pack_sequences_invariants(spark):
+    """Training-data packing: per-bucket running offsets are exact,
+    every offset-in-sequence is inside the budget, sequence ids are
+    dense per bucket, and the plan contains ONE hash-partitioned
+    window (no global sort)."""
+    from html_parser_spark.spark.ops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 37 + 1)) for i in range(200)],
+        "doc_id long, text string")
+    out = pack_sequences(docs, budget_tokens=64, buckets=4)
+    rows = sorted(out.collect(), key=lambda r: (r.bucket, r.doc_id))
+
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for b, rs in by_bucket.items():
+        offset = 0
+        for r in rs:
+            assert r.bucket == r.doc_id % 4
+            assert r.seq_id == offset // 64
+            assert r.seq_offset == offset % 64
+            assert 0 <= r.seq_offset < 64
+            offset += r.n_tokens
+        # dense sequence ids: the bucket's docs fill 0..max contiguously
+        assert {r.seq_id for r in rs} == set(
+            range(max(r.seq_id for r in rs) + 1))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bucket" in plan
+    assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_lang_balanced_sample_deterministic(spark):
+    from html_parser_spark.spark.ops import lang_balanced_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de", "fr"][i % 3], "web")
+         for i in range(90)],
+        "doc_id long, text string, lang string, source string")
+    got = lang_balanced_sample(docs, per_lang=5)
+    rows = got.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r.doc_id)
+    assert set(per) == {"en", "de", "fr"}
+    # exactly the 5 smallest ids per lang, ranks 1..5
+    for lang, ids in per.items():
+        all_ids = sorted(i for i in range(90)
+                         if ["en", "de", "fr"][i % 3] == lang)
+        assert sorted(ids) == all_ids[:5]
+    assert {r.rank_in_lang for r in rows} == {1, 2, 3, 4, 5}
+    # deterministic across repartitionings
+    again = lang_balanced_sample(docs.repartition(7), per_lang=5)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, rows))
+
+
 def test_components_distributed_at_bench_scale(spark):
     """The distributed min-label loop on a graph it has actually never
     seen in production shape: ~100k edges of multi-hop chains (length
