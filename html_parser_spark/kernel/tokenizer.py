@@ -852,11 +852,16 @@ class Tokenizer:
         end = m.end()
         out.type = TOKEN_END_TAG
         out.name = _lower_name(s[p:end])
-        self.pos = end
-        if end < n and s[end] != ">":
+        if end < n:
+            if s[end] == ">":  # the overwhelmingly common `</name>`
+                self.pos = end + 1
+                return
+            self.pos = end  # error position matches the per-char walk
             self._error("end tag has trailing garbage/attributes")
-        gt = s.find(">", end)
-        self.pos = n if gt < 0 else gt + 1
+            gt = s.find(">", end)
+            self.pos = n if gt < 0 else gt + 1
+        else:
+            self.pos = n
 
     # -- start tag (parse_start_tag, src/tokenizer.c:1145-1388) --
 
@@ -1120,14 +1125,24 @@ class Tokenizer:
         if out is None:
             out = Token()
         else:
+            # typed reset: only clear the fields the PREVIOUS token's
+            # parse could have set (start tags: name/attrs/self_closing;
+            # end tags: name; DOCTYPE: name/ids/quirks; character and
+            # comment tokens only set data, cleared unconditionally)
+            pt = out.type
             out.type = TOKEN_EOF
-            out.name = None
-            out.public_id = None
-            out.system_id = None
             out.data = None
-            out.attrs = []
-            out.self_closing = False
-            out.force_quirks = False
+            if pt == TOKEN_START_TAG:
+                out.name = None
+                out.attrs = []
+                out.self_closing = False
+            elif pt == TOKEN_END_TAG:
+                out.name = None
+            elif pt == TOKEN_DOCTYPE:
+                out.name = None
+                out.public_id = None
+                out.system_id = None
+                out.force_quirks = False
         if self.pos >= self.len:
             out.type = TOKEN_EOF
             return out

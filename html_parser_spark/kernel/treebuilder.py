@@ -720,10 +720,14 @@ class TreeBuilder:
             formatting_element = fl[fmt_idx][1]
 
             fe_stack_idx = -1
-            for i, x in enumerate(st):
-                if x is formatting_element:
-                    fe_stack_idx = i
-                    break
+            if formatting_element is not None and \
+                    formatting_element.in_stack:
+                # backward scan: in the well-nested common case the
+                # formatting element sits at/near the stack top
+                for i in range(len(st) - 1, -1, -1):
+                    if st[i] is formatting_element:
+                        fe_stack_idx = i
+                        break
             if fe_stack_idx < 0:
                 del fl[fmt_idx]
                 return True
@@ -1062,7 +1066,10 @@ class TreeBuilder:
             # reading it afterwards would re-ensure <body> where the
             # reference inserts at document level (found by fuzz seed
             # 10026: "<tbody><template ><thead").
-            in_template = self._in_template_context()
+            # inline _in_template_context (seen_template is monotonic
+            # and almost always False)
+            in_template = (self.seen_template
+                           and self._has_open("template"))
             is_fmt = name in FMT_TAGS
             st = self.st
             if is_fmt and self.fmt:
@@ -1969,7 +1976,8 @@ class TreeBuilder:
         data = t.data
         if not data:
             return _CHECK
-        if self.mode == IN_BODY and data.strip(_WS_STR):
+        non_ws = data.strip(_WS_STR)
+        if non_ws and self.mode == IN_BODY:
             # fast path: non-whitespace text in body (the dominant
             # shape) — identical to the fall-through below
             st = self.st
@@ -1980,7 +1988,7 @@ class TreeBuilder:
             n.parent = cur
             cur.children.append(n)
             return _CHECK
-        if not data.strip(_WS_STR):
+        if not non_ws:
             if self.mode == IN_BODY:
                 if not self._in_template_context():
                     self._ensure_body()
