@@ -292,6 +292,27 @@ def main():
          in p),
     ])
 
+    audit("pack_sequences (bucketed packing window)",
+          qs["pack_sequences"](spark, SF_DIR), [
+        ("one hash-partitioned window (bucket key), no global sort",
+         lambda p: "rangepartitioning" not in p.lower()),
+        ("running-sum window present",
+         lambda p: "Window" in p),
+        ("scan prunes to doc_id+text",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ])
+
+    audit("lang_balanced_sample (per-stratum top-N)",
+          qs["lang_balanced_sample"](spark, SF_DIR), [
+        ("rank filter survives in the plan",
+         lambda p: "rank_in_lang" in p),
+        ("one shuffle keyed by lang",
+         lambda p: p.count("Exchange") == 2),  # tree + details
+        ("scan prunes to the three needed columns",
+         lambda p: "ReadSchema: struct<doc_id:bigint,lang:string,"
+         "source:string>" in p),
+    ])
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
