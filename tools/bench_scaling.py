@@ -154,12 +154,27 @@ turns/sec are not comparable with bench.py's cold-scan numbers.)
 ## Round-2 note: headline metric + error-text feature
 
 From round 2, BENCH_r*.json's `value` is the SUM OF BEST-OF-N
-per-query times (extraction best-of-3, SF queries best-of-2); wall
-clock including the retry loops is reported separately as
-`wall_seconds_incl_retries`. On this shared host same-size walls
-spread ~2x, so a single-shot suite total conflates neighbors with
-regressions; min-of-N measures the job. `cpu_calibration_ms` (~14 ms
-on a quiet host) still indicates the contention level of a given run.
+per-query times; wall clock including the retry loops is reported
+separately as `wall_seconds_incl_retries`. On this shared host
+same-size walls spread ~2x, so a single-shot suite total conflates
+neighbors with regressions; min-of-N measures the job.
+`cpu_calibration_ms` (~14 ms on a quiet host) still indicates the
+contention level of a given run.
+
+## Round-6 note: bench protocol hardening + distributed CC
+
+Round 6 hardened the protocol per the judge's request: every SF-table
+query gets one UNTIMED warmup then best-of-3 (extras best-of-2), the
+extraction warmup is full-size so Python-worker startup never lands
+in a timed run, and `query_spread_pct` records (max-min)/min over the
+timed runs per query — a reader can separate host noise (spreads up
+to ~190% on this box, typically on GC-heavy explode stages) from real
+regressions without rerunning. Round 6 also added
+`cc_distributed_100k_edges` + `cc_distributed_info` to the extras:
+the distributed min-label connected-components loop forced onto a
+100k-edge diameter-20 chain graph every round (21 propagation
+iterations; the SF dup graphs stay under the union-find collect
+threshold and never exercise it otherwise).
 
 Round 2 also added full parse-error TEXT parity (positioned
 `line=N col=M: msg` strings surfaced as a `parse_error_texts` column).
