@@ -314,6 +314,13 @@ class TreeBuilder:
         self.tz = None
         self.change_encoding = None
         self.context = None  # fragment context element
+        # True only under build_document_from_tokens: the reference's
+        # from-tokens dispatcher respects self_closing on the in-table
+        # <form> push (src/tree_builder.c:2427) where the full parser
+        # pushes unconditionally (src/tree_builder.c:3305) — the ONE
+        # self_closing divergence between the two C dispatchers
+        # (verified by a line-by-line diff of both ranges)
+        self.from_tokens = False
 
     # -- error --
     def _err(self, msg):
@@ -1719,7 +1726,11 @@ class TreeBuilder:
                 parent.append_child(n)
             if not self._in_template_context():
                 self.form_ptr = n
-            self._push(n)
+            if not (self.from_tokens and t.self_closing):
+                # from-tokens C skips the push for <form/>
+                # (src/tree_builder.c:2427); the full parser never
+                # checks self_closing here (3305)
+                self._push(n)
             return _CHECK
         if name == "caption":
             n = Node(ELEMENT, "caption")
@@ -2566,6 +2577,7 @@ def build_document_from_tokens(tokens, errors=None):
     (doc, errors)."""
     tb = TreeBuilder(None, 2, errors)
     tb.want_change_encoding = False
+    tb.from_tokens = True
     tb.tz = _TokenFeed(list(tokens), tb.errors)
     tb._run(tb._dispatch_document)
     tb.st.clear()

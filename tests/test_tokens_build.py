@@ -117,6 +117,41 @@ def test_from_tokens_handmade_token_array():
     assert isinstance(errors, list)
 
 
+def test_from_tokens_self_closing_form_in_table():
+    """The ONE self_closing divergence between the reference's two
+    dispatchers (verified by line-by-line diff): the from-tokens
+    builder skips the stack push for a self-closing <form> in a table
+    (src/tree_builder.c:2427) where the full parser pushes it
+    unconditionally (3305). Found by tokens-mode differential fuzz
+    (seed 61006 case 778); pinned here both ways."""
+    from html_parser_spark.kernel import build_document_from_tokens
+    from html_parser_spark.kernel.tokenizer import (
+        TOKEN_START_TAG, Token,
+    )
+    from html_parser_spark.kernel.tree import dump_ascii
+    from html_parser_spark.kernel.treebuilder import build_document
+
+    def tok(name, self_closing=False):
+        t = Token()
+        t.type = TOKEN_START_TAG
+        t.name = name
+        t.self_closing = self_closing
+        return t
+
+    tokens = [tok("table"), tok("form", self_closing=True), tok("li")]
+    doc, _ = build_document_from_tokens(tokens)
+    dump = dump_ascii(doc)
+    # form popped (never pushed): li fosters as form's SIBLING
+    assert '|-- ELEMENT name="form"\n        |-- ELEMENT name="li"' \
+        in dump
+
+    # the full parser keeps form open: li nests INSIDE it
+    doc2, _, _ = build_document("<table><form/><li>")
+    dump2 = dump_ascii(doc2)
+    assert ('ELEMENT name="form"\n        |   '
+            '\\-- ELEMENT name="li"') in dump2
+
+
 def test_from_tokens_diverges_only_on_feedback_fixtures(refbuild, harness):
     """Pin the documented caveat itself: the fixtures where the
     from-tokens build differs from the FULL parser are exactly the
