@@ -130,8 +130,12 @@ def main() -> int:
     # full-size untimed warmup: a limit(512) probe only spins up a
     # couple of Python workers, so the first timed run was paying the
     # other ~30 workers' startup (observed as ~250% first-run spread)
-    extract_turns(transcripts, ordered=False).write.format(
-        "noop").mode("overwrite").save()
+    try:
+        extract_turns(transcripts, ordered=False).write.format(
+            "noop").mode("overwrite").save()
+    except Exception:
+        # noop sink unavailable -> same count fallback as _timed
+        extract_turns(transcripts, ordered=False).count()
 
     queries: dict[str, float] = {}
     t_all = time.time()

@@ -627,6 +627,9 @@ def _jpeg_entropy_segments(data: bytes, start: int):
             cur.append(0xFF)
             i += 2
             continue
+        if nxt == 0xFF:  # T.81 B.1.1.2: fill byte before a marker
+            i += 1
+            continue
         if 0xD0 <= nxt <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -658,6 +661,10 @@ def jpeg_decode(data: bytes):
     while i + 2 <= n:
         if data[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
         m = data[i + 1]
         if m == 0xD9:  # EOI
             break

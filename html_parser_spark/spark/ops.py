@@ -182,19 +182,32 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
     (band_id, band_hash) bucket, and the self-join then emits
     width^2/2 pairs from it — at 100 TB a single hot bucket dominates
     the stage. Buckets wider than max_bucket are CHAINED instead of
-    pairwise-joined: their members, ordered by doc_id, emit only the
-    width-1 consecutive pairs. For the boilerplate clusters that
-    create such buckets every chain link verifies (members are
+    pairwise-joined: their members, ordered by doc_id, emit the
+    stride-1 AND stride-2 links (2*width-3 pairs). For the boilerplate
+    clusters that create such buckets the links verify (members are
     near-identical), so connected-components still collapses the whole
     cluster to one representative — dedup semantics survive, the cost
     drops from O(width^2) to O(width), and nothing silently escapes
-    curation. Width and chain neighbors come from window functions
-    over the same (band_id, band_hash) partitioning the self-join
-    shuffles on, so the cap adds no extra shuffle of the banded rows.
-    Set max_bucket=None to disable. With with_dropped=True returns
-    (pairs, chained) where chained is one accounting row per chained
-    bucket: (band_id, band_hash, bucket_width) — empty (not None)
-    when the cap is disabled or nothing was chained.
+    curation; the stride-2 links keep the cluster connected even when
+    an isolated member fails jaccard verification on one side.
+
+    When is chaining lossy? Only if two genuinely-similar docs meet
+    EXCLUSIVELY in over-wide buckets and the chain links between them
+    fail verification. With rows_per_band >= 2 (both defaults: 32/8
+    and 32/16 give 4 and 2), a band-hash collision between DISSIMILAR
+    docs is a ~2^-64(+) per-pair event — a 1024-wide bucket of docs
+    that aren't near-identical means shingle-degenerate content (e.g.
+    documents shorter than the shingle window, whose one-element
+    shingle fallback collides); for those, jaccard verification would
+    have rejected the uncapped width^2/2 candidates anyway, so the cap
+    only removes wasted verifier work. Width and chain neighbors come
+    from window functions over the same (band_id, band_hash)
+    partitioning the self-join shuffles on, so the cap adds no extra
+    shuffle of the banded rows. Set max_bucket=None to disable. With
+    with_dropped=True returns (pairs, chained) where chained is one
+    accounting row per chained bucket: (band_id, band_hash,
+    bucket_width) — empty (not None) when the cap is disabled or
+    nothing was chained.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, shingle_n)
@@ -229,13 +242,17 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
                 wide.select("band_id", "band_hash", "bucket_width")
                 .distinct()  # one row per bucket, not per member
             )
-        # consecutive-member chain: width-1 pairs keep the bucket
-        # connected for the components pass at O(width) cost
+        # stride-1 + stride-2 chain: 2*width-3 pairs keep the bucket
+        # connected for the components pass at O(width) cost, and
+        # survive any single member failing verification
         chain_pairs = (
             wide.select(
-                F.lag("doc_id").over(wo).alias("doc_a"),
+                F.lag("doc_id", 1).over(wo).alias("a1"),
+                F.lag("doc_id", 2).over(wo).alias("a2"),
                 F.col("doc_id").alias("doc_b"),
             )
+            .select(
+                F.explode(F.array("a1", "a2")).alias("doc_a"), "doc_b")
             .where(F.col("doc_a").isNotNull())
         )
         banded = widths.where(

@@ -135,16 +135,22 @@ def upsert_parquet(spark, target_path: str, updates: DataFrame,
     tmp = Path(target_path + "._upsert_tmp")
     merged.write.mode("overwrite").parquet(str(tmp))
     n = spark.read.parquet(str(tmp)).count()
-    # Hadoop FS delete/rename report failure by RETURNING false, not
-    # raising — ignoring them here would silently lose the live table
-    # (delete succeeded, rename failed -> data stranded in tmp)
-    if fs.exists(target) and not fs.delete(target, True):
-        raise IOError(f"upsert: could not delete {target_path}")
-    if not fs.rename(tmp, target):
-        raise IOError(
-            f"upsert: rename {tmp} -> {target_path} failed; merged "
-            f"data is intact in the tmp path")
+    _swap_into_place(fs, tmp, target, "upsert")
     return n
+
+
+def _swap_into_place(fs, staging, target, verb: str) -> None:
+    """Shared stage-and-swap: delete the live target (if any), rename
+    the staging path in. Hadoop FS delete/rename report failure by
+    RETURNING false, not raising — ignoring them would silently lose
+    the live table (delete succeeded, rename failed -> data stranded
+    in staging)."""
+    if fs.exists(target) and not fs.delete(target, True):
+        raise IOError(f"{verb}: could not delete {target}")
+    if not fs.rename(staging, target):
+        raise IOError(
+            f"{verb}: rename {staging} -> {target} failed; the new "
+            f"data is intact in the staging path")
 
 
 class TableFormat:
@@ -201,12 +207,7 @@ class ParquetDirFormat(TableFormat):
         conf = spark._jsc.hadoopConfiguration()
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(table_path).getFileSystem(conf)
-        if not fs.delete(Path(table_path), True):
-            raise IOError(f"compact: could not delete {table_path}")
-        if not fs.rename(Path(out), Path(table_path)):
-            raise IOError(
-                f"compact: rename {out} -> {table_path} failed; "
-                f"compacted data is intact in the staging path")
+        _swap_into_place(fs, Path(out), Path(table_path), "compact")
         return n
 
     def merge(self, spark, table_path: str, updates: DataFrame,

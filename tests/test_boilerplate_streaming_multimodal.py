@@ -478,6 +478,30 @@ class TestMultimodal:
                      - g.astype(int))
         assert err.max() <= 2
 
+    def test_jpeg_fill_bytes_tolerated(self):
+        """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        marker code — both between header segments and before EOI at
+        the end of the entropy stream. A compliant padding encoder
+        must still decode."""
+        import numpy as np
+
+        from html_parser_spark.spark.multimodal import (
+            jpeg_decode, jpeg_encode,
+        )
+
+        h, w = 16, 16
+        img = np.arange(h * w * 3, dtype=np.uint32).reshape(h, w, 3)
+        img = (img % 256).astype(np.uint8)
+        data = jpeg_encode(w, h, 3, img.tobytes())
+        assert data[-2:] == b"\xff\xd9"
+        # fill bytes before EOI (after entropy data) and after SOI
+        padded = (data[:2] + b"\xff" * 3
+                  + data[2:-2] + b"\xff" * 4 + b"\xff\xd9")
+        w2, h2, ch, px = jpeg_decode(padded)
+        assert (w2, h2, ch) == (w, h, 3)
+        base = np.frombuffer(jpeg_decode(data)[3], np.uint8)
+        assert np.array_equal(np.frombuffer(px, np.uint8), base)
+
     def test_jpeg_progressive_policy_strict_and_lenient(self, spark):
         """Progressive JPEG mirrors the compressed-video policy:
         strict=True raises NotImplementedError at the integration

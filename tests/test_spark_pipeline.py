@@ -214,8 +214,9 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark):
         df, num_hashes=16, bands=8, max_bucket=10, with_dropped=True)
     cpairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
     hot_pairs = [(a, b) for a, b in cpairs if a < 40 and b < 40]
-    # bounded: O(width * bands) chain links, nowhere near width^2/2
-    assert 39 <= len(hot_pairs) <= 40 * 8
+    # bounded: O(width * bands) stride-1/2 chain links, nowhere near
+    # width^2/2
+    assert 39 <= len(hot_pairs) <= 2 * 40 * 8
     assert len(cpairs) < n_uncapped
     # connected: components over the capped candidates still collapse
     # the whole hot cluster to one root — dedup semantics preserved
