@@ -34,8 +34,12 @@ def get_spark(app_name: str = "html_parser_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # local-mode driver == executor: on this 128 GiB host an 8g
+        # heap GC-thrashes the explode-heavy stages (observed as
+        # ~190% same-query spread in bench best-of-3 runs); 16g keeps
+        # full-materialization runs out of the collector's teeth
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
