@@ -17,7 +17,8 @@ from typing import Iterator
 import pyarrow as pa
 
 from ..kernel.api import parse_document
-from .udfs import EXTRACT_FIELDS, EXTRACT_SPARK_SCHEMA, SPAN_TYPE
+from .udfs import (EXTRACT_FIELDS, EXTRACT_SPARK_SCHEMA, SPAN_TYPE,  # noqa: F401
+                   _spans_array, _str_list_array)
 
 RAW_INPUT_SCHEMA = "doc_id string, content binary, charset_hint string"
 RAW_OUTPUT_SCHEMA = "doc_id string, " + EXTRACT_SPARK_SCHEMA
@@ -65,11 +66,11 @@ def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             etexts_l.append([_sane(t) for t in res.errors])
         arrays = [ids,
                   pa.array(ext_l, pa.string()),
-                  pa.array(spans_l, SPAN_TYPE),
+                  _spans_array(spans_l),
                   pa.array(errs_l, pa.int32()),
                   pa.array(nodes_l, pa.int32()),
                   pa.array(enc_l, pa.string()),
-                  pa.array(etexts_l, pa.list_(pa.string()))]
+                  _str_list_array(etexts_l)]
         fields = [batch.schema.field("doc_id")] + EXTRACT_FIELDS
         yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
