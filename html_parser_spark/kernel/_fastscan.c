@@ -1,0 +1,915 @@
+/* _fastscan: optional C accelerator for the pure-Python HTML tokenizer.
+ *
+ * Architecture: an ALL-OR-NOTHING pre-scanner.  make_feed(text, errors)
+ * tokenizes the whole document in one C pass and returns a feed object
+ * the tree builder can drive exactly like kernel.tokenizer.Tokenizer
+ * (next() -> scratch token; .state / .allow_cdata / .errors / .skipped
+ * attributes).  The scanner accepts only the subset of inputs on which
+ * it is PROVABLY token-identical to the Python state machine — the
+ * subset is "every path of kernel/tokenizer.py that cannot call
+ * _error() and cannot depend on tree-builder feedback".  Anything else
+ * (a single '&' anywhere, foreign content, CDATA, bogus comments,
+ * malformed tags, <plaintext>, script escape sequences, doctypes with
+ * ids, lone '\r', NULs, surrogate escapes, EOF inside a construct)
+ * returns None and the caller falls back to the Python tokenizer for
+ * the WHOLE document, so parity holds by construction: on accepted
+ * inputs no parse error can occur and every token (type, name, data,
+ * attrs, self_closing, and the raw-state the builder observes after
+ * start tags) matches the state machine, which the differential tests
+ * in tests/test_fastscan.py verify token-by-token.
+ *
+ * This file is written against the *Python* kernel in this repository
+ * (kernel/tokenizer.py), which itself documents behavioral citations
+ * into the reference C tokenizer.  It is NOT a port of the reference:
+ * the reference is an incremental 80-state machine; this is a
+ * whole-document subset scanner with a bail-out.
+ *
+ * Behavioral notes replicated exactly (see kernel/tokenizer.py):
+ *  - duplicate attribute names are DROPPED silently (_append_attr)
+ *  - AFTER_ATTR_NAME does NOT reset the name buffer: <a x y> yields
+ *    attrs ("x",""), ("xy","")
+ *  - unquoted attribute values keep '/' (<a href=foo/> -> "foo/",
+ *    not self-closing)
+ *  - after a quoted value the machine returns to BEFORE_ATTR_NAME
+ *    directly: <a x="1"y="2"> is error-free
+ *  - bare '<' before a non-special char is a literal '<' CHARACTER
+ *    token with NO error; '</' + non-alpha errors (-> bail)
+ *  - </name> requires '>' IMMEDIATELY after the name run
+ *  - <!DOCTYPE: optional ws, name run, then (unless PUBLIC/SYSTEM
+ *    ci-matches at exactly that position -> bail) silent skip to '>'
+ *  - raw elements (title textarea style xmp iframe noembed noframes
+ *    script) emit their body as ONE character token ending just
+ *    before the matching "</name[ws / >]" terminator; entering the
+ *    raw state does NOT depend on self_closing
+ *  - <script> content escapes only on an exact "<!--" (-> bail)
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <structmember.h>
+#include <string.h>
+
+/* token types (kernel/tokenizer.py) */
+#define T_DOCTYPE 0
+#define T_START   1
+#define T_END     2
+#define T_COMMENT 3
+#define T_CHAR    4
+#define T_EOF     5
+
+/* tokenizer states the builder observes (kernel/tokenizer.py) */
+#define S_DATA    0
+#define S_RCDATA  1
+#define S_RAWTEXT 2
+#define S_SCRIPT  3
+
+/* ------------------------------------------------------------------ */
+/* FastToken: duck-types kernel.tokenizer.Token (slots read by the     */
+/* tree builder; never mutated by it — verified by grep + tests)       */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    PyObject_HEAD
+    int type;
+    PyObject *name;        /* str | None */
+    PyObject *public_id;   /* always None in the accepted subset */
+    PyObject *system_id;   /* always None */
+    PyObject *data;        /* str | None */
+    PyObject *attrs;       /* list[(str, str)] */
+    char self_closing;
+    char force_quirks;     /* always False in the accepted subset */
+} FastToken;
+
+static void
+FastToken_dealloc(FastToken *self)
+{
+    Py_XDECREF(self->name);
+    Py_XDECREF(self->public_id);
+    Py_XDECREF(self->system_id);
+    Py_XDECREF(self->data);
+    Py_XDECREF(self->attrs);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyMemberDef FastToken_members[] = {
+    {"type", T_INT, offsetof(FastToken, type), 0, NULL},
+    {"name", T_OBJECT, offsetof(FastToken, name), 0, NULL},
+    {"public_id", T_OBJECT, offsetof(FastToken, public_id), 0, NULL},
+    {"system_id", T_OBJECT, offsetof(FastToken, system_id), 0, NULL},
+    {"data", T_OBJECT, offsetof(FastToken, data), 0, NULL},
+    {"attrs", T_OBJECT, offsetof(FastToken, attrs), 0, NULL},
+    {"self_closing", T_BOOL, offsetof(FastToken, self_closing), 0, NULL},
+    {"force_quirks", T_BOOL, offsetof(FastToken, force_quirks), 0, NULL},
+    {NULL}
+};
+
+static PyTypeObject FastToken_Type = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "_fastscan.FastToken",
+    .tp_basicsize = sizeof(FastToken),
+    .tp_dealloc = (destructor)FastToken_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_members = FastToken_members,
+    .tp_new = PyType_GenericNew,
+};
+
+/* ------------------------------------------------------------------ */
+/* token records produced by the scan                                  */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    unsigned char type;
+    unsigned char self_closing;
+    unsigned char state_after;  /* state the builder reads after this token */
+    PyObject *name;             /* owned | NULL */
+    PyObject *data;             /* owned | NULL */
+    PyObject *attrs;            /* owned list | NULL (=> shared empty) */
+} TokRec;
+
+typedef struct {
+    TokRec *recs;
+    Py_ssize_t n, cap;
+} RecBuf;
+
+static int
+recbuf_push(RecBuf *rb, TokRec r)
+{
+    if (rb->n == rb->cap) {
+        Py_ssize_t newcap = rb->cap ? rb->cap * 2 : 256;
+        TokRec *nr = PyMem_Realloc(rb->recs, newcap * sizeof(TokRec));
+        if (!nr) return -1;
+        rb->recs = nr;
+        rb->cap = newcap;
+    }
+    rb->recs[rb->n++] = r;
+    return 0;
+}
+
+static void
+recbuf_clear(RecBuf *rb)
+{
+    for (Py_ssize_t i = 0; i < rb->n; i++) {
+        Py_XDECREF(rb->recs[i].name);
+        Py_XDECREF(rb->recs[i].data);
+        Py_XDECREF(rb->recs[i].attrs);
+    }
+    PyMem_Free(rb->recs);
+    rb->recs = NULL;
+    rb->n = rb->cap = 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* FastFeed                                                            */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *text;        /* keeps slices' owner alive (substrings copy,
+                              but keep a ref for debuggability anyway) */
+    TokRec *recs;
+    Py_ssize_t n, i;
+    FastToken *scratch;
+    int state;             /* builder reads tz.state */
+    PyObject *raw_tag;     /* builder may read/write (svg-title path
+                              can't trigger in the subset, but keep the
+                              attribute for interface parity) */
+    char allow_cdata;      /* builder writes this every token */
+    PyObject *errors;      /* shared list; never appended in subset */
+    PyObject *skipped;     /* list; never appended in subset */
+} FastFeed;
+
+static PyObject *EMPTY_ATTRS;   /* shared [] for attr-less tokens; the
+                                   builder only iterates/copies token
+                                   attrs (tests assert it stays empty) */
+
+static void
+FastFeed_dealloc(FastFeed *self)
+{
+    for (Py_ssize_t k = 0; k < self->n; k++) {
+        Py_XDECREF(self->recs[k].name);
+        Py_XDECREF(self->recs[k].data);
+        Py_XDECREF(self->recs[k].attrs);
+    }
+    PyMem_Free(self->recs);
+    Py_XDECREF(self->text);
+    Py_XDECREF(self->scratch);
+    Py_XDECREF(self->raw_tag);
+    Py_XDECREF(self->errors);
+    Py_XDECREF(self->skipped);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyObject *
+FastFeed_next(FastFeed *self, PyObject *Py_UNUSED(ignored))
+{
+    FastToken *t = self->scratch;
+    if (self->i < self->n) {
+        TokRec *r = &self->recs[self->i++];
+        t->type = r->type;
+        Py_INCREF(r->name ? r->name : Py_None);
+        Py_XSETREF(t->name, r->name ? r->name : Py_None);
+        Py_INCREF(r->data ? r->data : Py_None);
+        Py_XSETREF(t->data, r->data ? r->data : Py_None);
+        Py_INCREF(r->attrs ? r->attrs : EMPTY_ATTRS);
+        Py_XSETREF(t->attrs, r->attrs ? r->attrs : EMPTY_ATTRS);
+        t->self_closing = r->self_closing;
+        self->state = r->state_after;
+    } else {
+        t->type = T_EOF;
+        Py_INCREF(Py_None);
+        Py_XSETREF(t->name, Py_None);
+        Py_INCREF(Py_None);
+        Py_XSETREF(t->data, Py_None);
+        Py_INCREF(EMPTY_ATTRS);
+        Py_XSETREF(t->attrs, EMPTY_ATTRS);
+        t->self_closing = 0;
+        self->state = S_DATA;
+    }
+    Py_INCREF(t);
+    return (PyObject *)t;
+}
+
+static PyMethodDef FastFeed_methods[] = {
+    {"next", (PyCFunction)FastFeed_next, METH_NOARGS, NULL},
+    {NULL}
+};
+
+static PyMemberDef FastFeed_members[] = {
+    {"state", T_INT, offsetof(FastFeed, state), 0, NULL},
+    {"raw_tag", T_OBJECT, offsetof(FastFeed, raw_tag), 0, NULL},
+    {"allow_cdata", T_BOOL, offsetof(FastFeed, allow_cdata), 0, NULL},
+    {"errors", T_OBJECT, offsetof(FastFeed, errors), 0, NULL},
+    {"skipped", T_OBJECT, offsetof(FastFeed, skipped), 0, NULL},
+    {NULL}
+};
+
+static PyTypeObject FastFeed_Type = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "_fastscan.FastFeed",
+    .tp_basicsize = sizeof(FastFeed),
+    .tp_dealloc = (destructor)FastFeed_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_methods = FastFeed_methods,
+    .tp_members = FastFeed_members,
+};
+
+/* ------------------------------------------------------------------ */
+/* scanner                                                             */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    PyObject *text;
+    int kind;
+    const void *data;
+    Py_ssize_t n;
+    RecBuf rb;
+    PyObject *interns;      /* dict: name -> name (dedup allocations) */
+    const char *bail;       /* reason, NULL while OK */
+} Scan;
+
+#define RD(sc, i) PyUnicode_READ((sc)->kind, (sc)->data, (i))
+
+static int
+is_ws(Py_UCS4 c)
+{
+    return c == ' ' || c == '\n' || c == '\t' || c == '\f' || c == '\r';
+}
+
+static int
+is_alpha(Py_UCS4 c)
+{
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+
+static int
+attr_name_ok(Py_UCS4 c)
+{
+    /* _ATTR_NAME_BAD = [^0-9A-Za-z\-_:] -> error -> bail */
+    return (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')
+        || (c >= 'A' && c <= 'Z') || c == '-' || c == '_' || c == ':';
+}
+
+static Py_ssize_t
+find_char(Scan *sc, Py_UCS4 ch, Py_ssize_t from)
+{
+    Py_ssize_t r = PyUnicode_FindChar(sc->text, ch, from, sc->n, 1);
+    return r; /* -1 == not found (and -2 on error, checked by caller) */
+}
+
+/* substring [a,b) */
+static PyObject *
+substr(Scan *sc, Py_ssize_t a, Py_ssize_t b)
+{
+    return PyUnicode_Substring(sc->text, a, b);
+}
+
+/* ascii-lowered substring [a,b); lowers only A-Z (ascii_lower parity) */
+static PyObject *
+lower_substr(Scan *sc, Py_ssize_t a, Py_ssize_t b)
+{
+    int has_upper = 0;
+    Py_UCS4 maxc = 0;
+    for (Py_ssize_t i = a; i < b; i++) {
+        Py_UCS4 c = RD(sc, i);
+        if (c >= 'A' && c <= 'Z') has_upper = 1;
+        if (c > maxc) maxc = c;
+    }
+    if (!has_upper)
+        return substr(sc, a, b);
+    PyObject *s = PyUnicode_New(b - a, maxc);
+    if (!s) return NULL;
+    int k = PyUnicode_KIND(s);
+    void *d = PyUnicode_DATA(s);
+    for (Py_ssize_t i = a; i < b; i++) {
+        Py_UCS4 c = RD(sc, i);
+        if (c >= 'A' && c <= 'Z') c += 32;
+        PyUnicode_WRITE(k, d, i - a, c);
+    }
+    return s;
+}
+
+/* dedup name strings through a self-keyed dict */
+static PyObject *
+intern_name(Scan *sc, PyObject *s)
+{
+    if (!s) return NULL;
+    PyObject *got = PyDict_SetDefault(sc->interns, s, s);
+    if (!got) { Py_DECREF(s); return NULL; }
+    Py_INCREF(got);
+    Py_DECREF(s);
+    return got;
+}
+
+static int
+emit(Scan *sc, unsigned char type, PyObject *name, PyObject *data,
+     PyObject *attrs, unsigned char self_closing, unsigned char state_after)
+{
+    TokRec r = {type, self_closing, state_after, name, data, attrs};
+    if (recbuf_push(&sc->rb, r) < 0) {
+        Py_XDECREF(name); Py_XDECREF(data); Py_XDECREF(attrs);
+        return -1;
+    }
+    return 0;
+}
+
+#define BAIL(sc, why) do { (sc)->bail = (why); return 1; } while (0)
+
+/* raw-tag table: name -> state (title/textarea RCDATA, script, RAWTEXT
+   set).  Compared against the LOWERED tag name. */
+static int
+raw_state_for(PyObject *lowered_name)
+{
+    const char *names[] = {"title", "textarea", "script", "style", "xmp",
+                           "iframe", "noembed", "noframes", NULL};
+    const int states[] = {S_RCDATA, S_RCDATA, S_SCRIPT, S_RAWTEXT,
+                          S_RAWTEXT, S_RAWTEXT, S_RAWTEXT, S_RAWTEXT};
+    for (int k = 0; names[k]; k++) {
+        if (PyUnicode_CompareWithASCIIString(lowered_name, names[k]) == 0)
+            return states[k];
+    }
+    return S_DATA;
+}
+
+static int
+name_equals(PyObject *lowered_name, const char *s)
+{
+    return PyUnicode_CompareWithASCIIString(lowered_name, s) == 0;
+}
+
+/* ci-compare text[i..) against an ASCII-lower literal of length m */
+static int
+ci_match(Scan *sc, Py_ssize_t i, const char *lit, Py_ssize_t m)
+{
+    if (i + m > sc->n) return 0;
+    for (Py_ssize_t k = 0; k < m; k++) {
+        Py_UCS4 c = RD(sc, i + k);
+        if (c >= 'A' && c <= 'Z') c += 32;
+        if (c != (Py_UCS4)(unsigned char)lit[k]) return 0;
+    }
+    return 1;
+}
+
+/* append (name, value) to attrs, dropping duplicates (_append_attr) */
+static int
+attrs_append(PyObject *attrs, PyObject *name, PyObject *value)
+{
+    Py_ssize_t m = PyList_GET_SIZE(attrs);
+    for (Py_ssize_t k = 0; k < m; k++) {
+        PyObject *pair = PyList_GET_ITEM(attrs, k);
+        int eq = PyObject_RichCompareBool(PyTuple_GET_ITEM(pair, 0),
+                                          name, Py_EQ);
+        if (eq < 0) { Py_DECREF(name); Py_DECREF(value); return -1; }
+        if (eq) { Py_DECREF(name); Py_DECREF(value); return 0; }
+    }
+    PyObject *t = PyTuple_Pack(2, name, value);
+    Py_DECREF(name);
+    Py_DECREF(value);
+    if (!t) return -1;
+    int rc = PyList_Append(attrs, t);
+    Py_DECREF(t);
+    return rc;
+}
+
+/* attr-name accumulation buffer (AFTER_ATTR_NAME no-reset quirk means
+   names can span non-contiguous runs) */
+#define NAMEBUF_MAX 256
+typedef struct {
+    Py_UCS4 buf[NAMEBUF_MAX];
+    Py_ssize_t len;
+    int overflow;
+} NameBuf;
+
+static void nb_reset(NameBuf *nb) { nb->len = 0; nb->overflow = 0; }
+
+static void
+nb_append_lower(Scan *sc, NameBuf *nb, Py_ssize_t a, Py_ssize_t b)
+{
+    for (Py_ssize_t i = a; i < b; i++) {
+        if (nb->len >= NAMEBUF_MAX) { nb->overflow = 1; return; }
+        Py_UCS4 c = RD(sc, i);
+        if (c >= 'A' && c <= 'Z') c += 32;
+        nb->buf[nb->len++] = c;
+    }
+}
+
+static PyObject *
+nb_to_str(NameBuf *nb)
+{
+    return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, nb->buf, nb->len);
+}
+
+/* --- start tag parser ---------------------------------------------- */
+/* returns 0 ok, 1 bail, -1 error.  *out_i advanced past '>'.          */
+
+enum { ST_BEFORE_NAME_ /*unused*/, ST_TAG_NAME, ST_BEFORE_ATTR, ST_ATTR_NAME,
+       ST_AFTER_ATTR_NAME, ST_BEFORE_VALUE, ST_DQ, ST_SQ, ST_UQ, ST_SELF };
+
+static int
+parse_start_tag(Scan *sc, Py_ssize_t *io)
+{
+    Py_ssize_t i = *io + 1;        /* past '<'; caller verified alpha */
+    Py_ssize_t n = sc->n;
+
+    /* tag name: single run, stop set { WS, '/', '>' } (no NULs in the
+       accepted subset) */
+    Py_ssize_t a = i;
+    while (i < n) {
+        Py_UCS4 c = RD(sc, i);
+        if (is_ws(c) || c == '/' || c == '>') break;
+        i++;
+    }
+    if (i >= n) BAIL(sc, "eof-in-tag");
+    PyObject *name = intern_name(sc, lower_substr(sc, a, i));
+    if (!name) return -1;
+
+    PyObject *attrs = NULL;
+    unsigned char self_closing = 0;
+    NameBuf nb;
+    nb_reset(&nb);
+    int state = ST_BEFORE_ATTR;     /* entered on WS; '/' and '>' handled */
+
+    Py_UCS4 c = RD(sc, i);
+    if (c == '>') {
+        i++;
+        goto done;
+    }
+    if (c == '/') {
+        state = ST_SELF;
+        i++;
+    } else {
+        i++;                        /* consume the WS */
+    }
+
+    attrs = PyList_New(0);
+    if (!attrs) { Py_DECREF(name); return -1; }
+
+#define SBAIL(why) do { Py_DECREF(name); Py_XDECREF(attrs); \
+                        sc->bail = (why); return 1; } while (0)
+#define SERR() do { Py_DECREF(name); Py_XDECREF(attrs); return -1; } while (0)
+
+    while (1) {
+        if (i >= n) SBAIL("eof-in-tag");
+        c = RD(sc, i);
+        switch (state) {
+        case ST_BEFORE_ATTR:
+            if (is_ws(c)) { i++; }
+            else if (c == '/') { state = ST_SELF; i++; }
+            else if (c == '>') { i++; goto done; }
+            else if (c == '=') SBAIL("attr-name-missing");
+            else { nb_reset(&nb); state = ST_ATTR_NAME; }
+            break;
+        case ST_ATTR_NAME: {
+            if (is_ws(c)) { state = ST_AFTER_ATTR_NAME; i++; break; }
+            if (c == '=') { state = ST_BEFORE_VALUE; i++; break; }
+            if (c == '/' || c == '>') {
+                PyObject *an = nb_to_str(&nb);
+                if (!an) SERR();
+                an = intern_name(sc, an);
+                if (!an) SERR();
+                PyObject *ev = PyUnicode_FromStringAndSize("", 0);
+                if (!ev) { Py_DECREF(an); SERR(); }
+                if (attrs_append(attrs, an, ev) < 0) SERR();
+                if (c == '/') { state = ST_SELF; i++; }
+                else { i++; goto done; }
+                break;
+            }
+            /* name run: stop set { WS, '=', '/', '>' } */
+            Py_ssize_t ra = i;
+            while (i < n) {
+                Py_UCS4 rc_ = RD(sc, i);
+                if (is_ws(rc_) || rc_ == '=' || rc_ == '/' || rc_ == '>')
+                    break;
+                if (!attr_name_ok(rc_)) SBAIL("bad-attr-name-char");
+                i++;
+            }
+            nb_append_lower(sc, &nb, ra, i);
+            if (nb.overflow) SBAIL("attr-name-too-long");
+            break;
+        }
+        case ST_AFTER_ATTR_NAME:
+            if (is_ws(c)) { i++; }
+            else if (c == '=') { state = ST_BEFORE_VALUE; i++; }
+            else if (c == '>' || c == '/') {
+                PyObject *an = nb_to_str(&nb);
+                if (!an) SERR();
+                an = intern_name(sc, an);
+                if (!an) SERR();
+                PyObject *ev = PyUnicode_FromStringAndSize("", 0);
+                if (!ev) { Py_DECREF(an); SERR(); }
+                if (attrs_append(attrs, an, ev) < 0) SERR();
+                if (c == '/') { state = ST_SELF; i++; }
+                else { i++; goto done; }
+            } else {
+                /* no-reset quirk: emit current name valueless, keep
+                   accumulating into the SAME buffer */
+                PyObject *an = nb_to_str(&nb);
+                if (!an) SERR();
+                an = intern_name(sc, an);
+                if (!an) SERR();
+                PyObject *ev = PyUnicode_FromStringAndSize("", 0);
+                if (!ev) { Py_DECREF(an); SERR(); }
+                if (attrs_append(attrs, an, ev) < 0) SERR();
+                state = ST_ATTR_NAME;
+            }
+            break;
+        case ST_BEFORE_VALUE:
+            if (is_ws(c)) { i++; }
+            else if (c == '"') { state = ST_DQ; i++; }
+            else if (c == '\'') { state = ST_SQ; i++; }
+            else if (c == '>') SBAIL("attr-value-missing");
+            else state = ST_UQ;
+            break;
+        case ST_DQ: case ST_SQ: {
+            Py_UCS4 q = (state == ST_DQ) ? '"' : '\'';
+            Py_ssize_t e = find_char(sc, q, i);
+            if (e == -2) SERR();
+            if (e < 0) SBAIL("eof-in-attr-value");
+            PyObject *an = nb_to_str(&nb);
+            if (!an) SERR();
+            an = intern_name(sc, an);
+            if (!an) SERR();
+            PyObject *v = substr(sc, i, e);
+            if (!v) { Py_DECREF(an); SERR(); }
+            if (attrs_append(attrs, an, v) < 0) SERR();
+            i = e + 1;
+            state = ST_BEFORE_ATTR;
+            break;
+        }
+        case ST_UQ: {
+            Py_ssize_t va = i;
+            while (i < n) {
+                Py_UCS4 uc = RD(sc, i);
+                if (is_ws(uc) || uc == '>') break;
+                i++;
+            }
+            if (i >= n) SBAIL("eof-in-attr-value");
+            PyObject *an = nb_to_str(&nb);
+            if (!an) SERR();
+            an = intern_name(sc, an);
+            if (!an) SERR();
+            PyObject *v = substr(sc, va, i);
+            if (!v) { Py_DECREF(an); SERR(); }
+            if (attrs_append(attrs, an, v) < 0) SERR();
+            c = RD(sc, i);
+            if (c == '>') { i++; goto done; }
+            i++;  /* WS */
+            state = ST_BEFORE_ATTR;
+            break;
+        }
+        case ST_SELF:
+            if (c == '>') { self_closing = 1; i++; goto done; }
+            SBAIL("slash-not-before-gt");
+        }
+    }
+
+done: ;
+    /* foreign content and PLAINTEXT change tokenizer<->builder
+       coupling: out of subset */
+    if (name_equals(name, "plaintext") || name_equals(name, "svg")
+        || name_equals(name, "math")) {
+        Py_DECREF(name); Py_XDECREF(attrs);
+        BAIL(sc, "foreign-or-plaintext");
+    }
+    int rstate = raw_state_for(name);
+    if (emit(sc, T_START, name, NULL, attrs, self_closing,
+             (unsigned char)rstate) < 0)
+        return -1;
+    *io = i;
+
+    if (rstate != S_DATA) {
+        /* raw content scan — entered regardless of self_closing, like
+           _enter_raw_for.  Emits the body (if nonempty) as ONE token,
+           leaving *io at the '<' of the matching end tag (the main
+           loop then parses it as a normal end tag). */
+        PyObject *lname = name;  /* borrowed via recs (still alive) */
+        Py_ssize_t start = i;
+        while (1) {
+            Py_ssize_t lt = find_char(sc, '<', i);
+            if (lt == -2) return -1;
+            if (lt < 0) {
+                /* EOF in raw state: emit remainder, back to DATA */
+                if (sc->n > start) {
+                    PyObject *d = substr(sc, start, sc->n);
+                    if (!d) return -1;
+                    if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
+                        return -1;
+                }
+                *io = sc->n;
+                return 0;
+            }
+            if (lt + 1 >= sc->n) { i = lt + 1; continue; }
+            Py_UCS4 c2 = RD(sc, lt + 1);
+            if (rstate == S_SCRIPT && c2 == '!') {
+                /* only an exact "<!--" escapes; anything else returns
+                   to the data scan (after the '!') */
+                if (lt + 3 < sc->n && RD(sc, lt + 2) == '-'
+                    && RD(sc, lt + 3) == '-')
+                    BAIL(sc, "script-escape");
+                i = lt + 2;
+                continue;
+            }
+            if (c2 != '/') { i = lt + 1; continue; }
+            /* accumulate alpha run (cap 15), compare lowered name */
+            Py_ssize_t p = lt + 2, tl = 0;
+            Py_UCS4 tmp[16];
+            while (p < sc->n && is_alpha(RD(sc, p)) && tl < 15) {
+                Py_UCS4 tc = RD(sc, p);
+                if (tc >= 'A' && tc <= 'Z') tc += 32;
+                tmp[tl++] = tc;
+                p++;
+            }
+            if (p >= sc->n) { i = lt + 2; continue; }  /* EOF later */
+            Py_UCS4 term = RD(sc, p);
+            if (tl == 15 && is_alpha(term)) { i = p; continue; }
+            if (!(is_ws(term) || term == '/' || term == '>')) {
+                i = p; continue;
+            }
+            /* terminator reached: compare to raw tag */
+            Py_ssize_t want = PyUnicode_GET_LENGTH(lname);
+            int match = (tl == want);
+            if (match) {
+                for (Py_ssize_t k = 0; k < tl; k++) {
+                    if (PyUnicode_READ_CHAR(lname, k) != tmp[k]) {
+                        match = 0; break;
+                    }
+                }
+            }
+            if (!match) { i = p; continue; }
+            if (lt > start) {
+                PyObject *d = substr(sc, start, lt);
+                if (!d) return -1;
+                if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
+                    return -1;
+            }
+            *io = lt;
+            return 0;
+        }
+    }
+    return 0;
+#undef SBAIL
+#undef SERR
+}
+
+/* --- whole-document scan ------------------------------------------- */
+/* returns 0 ok, 1 bail, -1 python error                               */
+
+static int
+scan_all(Scan *sc)
+{
+    Py_ssize_t i = 0, n = sc->n;
+
+    /* global pre-checks: '&' (charrefs + their errors), '\r' (lone-CR
+       preprocessing quirk + WS-position semantics), NUL, surrogates
+       (surrogateescape byte fusion).  One pass, then the main scan
+       never needs to re-check. */
+    for (Py_ssize_t k = 0; k < n; k++) {
+        Py_UCS4 c = RD(sc, k);
+        if (c == '&' || c == '\r' || c == 0
+            || (c >= 0xD800 && c <= 0xDFFF))
+            BAIL(sc, "precheck");
+    }
+
+    while (i < n) {
+        Py_UCS4 c = RD(sc, i);
+        if (c != '<') {
+            Py_ssize_t lt = find_char(sc, '<', i);
+            if (lt == -2) return -1;
+            Py_ssize_t e = (lt < 0) ? n : lt;
+            PyObject *d = substr(sc, i, e);
+            if (!d) return -1;
+            if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0) return -1;
+            i = e;
+            continue;
+        }
+        if (i + 1 >= n) {
+            /* '<' at EOF: literal '<' character, no error */
+            PyObject *d = PyUnicode_FromStringAndSize("<", 1);
+            if (!d) return -1;
+            if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0) return -1;
+            i++;
+            continue;
+        }
+        Py_UCS4 c1 = RD(sc, i + 1);
+        if (c1 == '/') {
+            if (i + 2 >= n || !is_alpha(RD(sc, i + 2)))
+                BAIL(sc, "invalid-end-tag");
+            /* name run [^ WS > /]* then '>' IMMEDIATELY */
+            Py_ssize_t a = i + 2, p = a;
+            while (p < n) {
+                Py_UCS4 ec = RD(sc, p);
+                if (is_ws(ec) || ec == '>' || ec == '/') break;
+                p++;
+            }
+            if (p >= n || RD(sc, p) != '>')
+                BAIL(sc, "end-tag-garbage");
+            PyObject *nm = intern_name(sc, lower_substr(sc, a, p));
+            if (!nm) return -1;
+            if (emit(sc, T_END, nm, NULL, NULL, 0, S_DATA) < 0) return -1;
+            i = p + 1;
+            continue;
+        }
+        if (c1 == '!') {
+            if (i + 3 < n && RD(sc, i + 2) == '-' && RD(sc, i + 3) == '-') {
+                /* comment: body up to the FIRST "-->"; bail if the body
+                   contains "--" (covers --!>, ---, and nested <!--).
+                   COMMENT_START abrupt closes first: <!--> and <!--->
+                   emit an EMPTY comment WITH an error -> bail */
+                Py_ssize_t b = i + 4, e = -1;
+                if (b < n && RD(sc, b) == '>')
+                    BAIL(sc, "abrupt-comment");
+                if (b + 1 < n && RD(sc, b) == '-' && RD(sc, b + 1) == '>')
+                    BAIL(sc, "abrupt-comment");
+                for (Py_ssize_t k = b; k + 2 < n; k++) {
+                    if (RD(sc, k) == '-' && RD(sc, k + 1) == '-'
+                        && RD(sc, k + 2) == '>') { e = k; break; }
+                }
+                if (e < 0) BAIL(sc, "eof-in-comment");
+                for (Py_ssize_t k = b; k + 1 < e; k++) {
+                    if (RD(sc, k) == '-' && RD(sc, k + 1) == '-')
+                        BAIL(sc, "dashes-in-comment");
+                }
+                PyObject *d = substr(sc, b, e);
+                if (!d) return -1;
+                if (emit(sc, T_COMMENT, NULL, d, NULL, 0, S_DATA) < 0)
+                    return -1;
+                i = e + 3;
+                continue;
+            }
+            if (ci_match(sc, i, "<!doctype", 9)) {
+                Py_ssize_t p = i + 9;
+                while (p < n && is_ws(RD(sc, p))) p++;
+                Py_ssize_t a = p;
+                while (p < n && !is_ws(RD(sc, p)) && RD(sc, p) != '>') p++;
+                if (p == a) BAIL(sc, "doctype-name-missing");
+                PyObject *nm = intern_name(sc, lower_substr(sc, a, p));
+                if (!nm) return -1;
+                while (p < n && is_ws(RD(sc, p))) p++;
+                if (ci_match(sc, p, "public", 6)
+                    || ci_match(sc, p, "system", 6)) {
+                    Py_DECREF(nm);
+                    BAIL(sc, "doctype-ids");
+                }
+                /* silent skip to '>' (no error even over garbage) */
+                Py_ssize_t gt = find_char(sc, '>', p);
+                if (gt == -2) { Py_DECREF(nm); return -1; }
+                if (emit(sc, T_DOCTYPE, nm, NULL, NULL, 0, S_DATA) < 0)
+                    return -1;
+                i = (gt < 0) ? n : gt + 1;
+                continue;
+            }
+            /* bogus comment / CDATA: error or feedback-coupled */
+            BAIL(sc, "bogus-markup");
+        }
+        if (is_alpha(c1)) {
+            int rc = parse_start_tag(sc, &i);
+            if (rc) return rc;
+            continue;
+        }
+        /* '<' before non-special char: literal '<', no error */
+        {
+            PyObject *d = PyUnicode_FromStringAndSize("<", 1);
+            if (!d) return -1;
+            if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0) return -1;
+            i++;
+        }
+    }
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* module API                                                          */
+/* ------------------------------------------------------------------ */
+
+static const char *last_bail = NULL;
+
+static PyObject *
+make_feed(PyObject *Py_UNUSED(mod), PyObject *args)
+{
+    PyObject *text, *errors;
+    if (!PyArg_ParseTuple(args, "UO", &text, &errors))
+        return NULL;
+    if (PyUnicode_READY(text) < 0)
+        return NULL;
+
+    Scan sc = {0};
+    sc.text = text;
+    sc.kind = PyUnicode_KIND(text);
+    sc.data = PyUnicode_DATA(text);
+    sc.n = PyUnicode_GET_LENGTH(text);
+    sc.interns = PyDict_New();
+    if (!sc.interns) return NULL;
+
+    int rc = scan_all(&sc);
+    Py_DECREF(sc.interns);
+    if (rc != 0) {
+        recbuf_clear(&sc.rb);
+        if (rc < 0) return NULL;
+        last_bail = sc.bail;
+        Py_RETURN_NONE;
+    }
+    last_bail = NULL;
+
+    FastFeed *f = PyObject_New(FastFeed, &FastFeed_Type);
+    if (!f) { recbuf_clear(&sc.rb); return NULL; }
+    /* null every pointer first so dealloc is safe on partial init */
+    f->text = NULL; f->raw_tag = NULL; f->errors = NULL;
+    f->skipped = NULL; f->scratch = NULL;
+    f->recs = sc.rb.recs;       /* ownership moves */
+    f->n = sc.rb.n;
+    f->i = 0;
+    f->state = S_DATA;
+    f->allow_cdata = 0;
+    Py_INCREF(text);
+    f->text = text;
+    f->raw_tag = PyUnicode_FromStringAndSize("", 0);
+    Py_INCREF(errors);
+    f->errors = errors;
+    f->skipped = PyList_New(0);
+    f->scratch = PyObject_New(FastToken, &FastToken_Type);
+    if (!f->raw_tag || !f->skipped || !f->scratch) {
+        Py_DECREF(f);
+        return NULL;
+    }
+    FastToken *t = f->scratch;
+    t->type = T_EOF;
+    Py_INCREF(Py_None); t->name = Py_None;
+    Py_INCREF(Py_None); t->public_id = Py_None;
+    Py_INCREF(Py_None); t->system_id = Py_None;
+    Py_INCREF(Py_None); t->data = Py_None;
+    Py_INCREF(EMPTY_ATTRS); t->attrs = EMPTY_ATTRS;
+    t->self_closing = 0;
+    t->force_quirks = 0;
+    return (PyObject *)f;
+}
+
+static PyObject *
+bail_reason(PyObject *Py_UNUSED(mod), PyObject *Py_UNUSED(args))
+{
+    if (last_bail == NULL)
+        Py_RETURN_NONE;
+    return PyUnicode_FromString(last_bail);
+}
+
+static PyMethodDef module_methods[] = {
+    {"make_feed", make_feed, METH_VARARGS,
+     "make_feed(text, errors) -> FastFeed | None"},
+    {"bail_reason", bail_reason, METH_NOARGS,
+     "reason string for the most recent make_feed() bail (tests)"},
+    {NULL}
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_fastscan", NULL, -1, module_methods,
+};
+
+PyMODINIT_FUNC
+PyInit__fastscan(void)
+{
+    if (PyType_Ready(&FastToken_Type) < 0) return NULL;
+    if (PyType_Ready(&FastFeed_Type) < 0) return NULL;
+    EMPTY_ATTRS = PyList_New(0);
+    if (!EMPTY_ATTRS) return NULL;
+    PyObject *m = PyModule_Create(&moduledef);
+    if (!m) return NULL;
+    return m;
+}

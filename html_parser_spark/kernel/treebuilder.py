@@ -28,6 +28,7 @@ Known reference deviations (FIXTURES.md §5) intentionally reproduced:
 
 from __future__ import annotations
 
+from .fastscan import make_feed as _fast_feed
 from .foreign import (
     BREAKOUT_TAGS,
     font_has_breakout_attr,
@@ -1834,10 +1835,13 @@ class TreeBuilder:
         mode = self.mode
         if name not in _END_SPECIAL:
             # fast path: a generic end tag can only hit the shared
-            # tail below (identical code, the special chain can't fire)
+            # tail below (identical code, the special chain can't fire).
+            # FMT_TAGS pre-check mirrors adoption_agency's first guard
+            # (it returns False immediately for non-fmt names), saving
+            # the call for every generic non-formatting end tag
             if mode in (IN_BODY, IN_CELL, IN_TABLE, IN_TABLE_BODY, IN_ROW,
                         IN_CAPTION):
-                if self.adoption_agency(name):
+                if name in FMT_TAGS and self.adoption_agency(name):
                     return _CHECK
             if name is not None and not self._in_scope(name):
                 self._err("unexpected-end-tag")
@@ -1948,7 +1952,8 @@ class TreeBuilder:
             return _CHECK
         if self.mode in (IN_BODY, IN_CELL, IN_TABLE, IN_TABLE_BODY, IN_ROW,
                          IN_CAPTION):
-            if self.adoption_agency(name):
+            # FMT_TAGS pre-check == adoption_agency's first guard
+            if name in FMT_TAGS and self.adoption_agency(name):
                 return _CHECK
         if name is not None and not self._in_scope(name):
             self._err("unexpected-end-tag")
@@ -2001,11 +2006,19 @@ class TreeBuilder:
             return _CHECK
         if not non_ws:
             if self.mode == IN_BODY:
-                if not self._in_template_context():
-                    self._ensure_body()
-                parent = self._current()
-                if parent is not None:
-                    self._reconstruct_formatting(parent)
+                # same inlining as _in_body_start_document's fast path:
+                # _in_template_context via the monotonic seen_template
+                # flag, _ensure_body's body-is-st[1] fast case, and the
+                # fmt-empty reconstruct guard (reconstruct returns
+                # immediately when fl is empty; _current() is never
+                # None — it falls back to self.doc)
+                st = self.st
+                if not (self.seen_template and self._has_open("template")):
+                    body = self.body
+                    if body is None or len(st) < 2 or st[1] is not body:
+                        self._ensure_body()
+                if self.fmt:
+                    self._reconstruct_formatting(st[-1] if st else self.doc)
             return _CHECK
         if self.mode in (AFTER_BODY, AFTER_AFTER_BODY):
             self._err("unexpected-token-after-body")
@@ -2376,7 +2389,8 @@ class TreeBuilder:
             return _CHECK
         if mode in (IN_BODY, IN_CELL, IN_TABLE, IN_TABLE_BODY, IN_ROW,
                     IN_CAPTION):
-            if self.adoption_agency(name):
+            # FMT_TAGS pre-check == adoption_agency's first guard
+            if name in FMT_TAGS and self.adoption_agency(name):
                 return _CHECK
         if name is not None and not self._in_scope(name):
             self._err("unexpected-end-tag")
@@ -2593,8 +2607,13 @@ def build_document(input_text, encoding=None, confidence=2, errors=None,
     tb = TreeBuilder(encoding, confidence, errors)
     tb.want_change_encoding = want_change_encoding
     # share ONE error list between tokenizer and tree builder so the
-    # combined texts keep the reference's chronological stderr order
-    tb.tz = Tokenizer(input_text, errors=tb.errors, reuse_token=True)
+    # combined texts keep the reference's chronological stderr order.
+    # The C fast-scan feed is token-identical on its accepted subset
+    # (kernel/_fastscan.c header; differential-tested) and returns None
+    # otherwise — behavior never depends on which path runs.
+    tz = _fast_feed(input_text, tb.errors)
+    tb.tz = tz if tz is not None else Tokenizer(
+        input_text, errors=tb.errors, reuse_token=True)
     tb._run(tb._dispatch_document)
     if tb.change_encoding is not None:
         return None, tb.change_encoding, tb.tz.errors
@@ -2620,8 +2639,9 @@ def build_fragment(input_text, context_tag, encoding=None, confidence=2,
             tb._push(context)
             tb.mode = _RCDATA_FRAGMENT_MODES.get(context_tag, IN_BODY)
     tb.context = context
-    tb.tz = Tokenizer(input_text, context_tag, errors=tb.errors,
-                      reuse_token=True)
+    tz = _fast_feed(input_text, tb.errors, context_tag)
+    tb.tz = tz if tz is not None else Tokenizer(
+        input_text, context_tag, errors=tb.errors, reuse_token=True)
     tb._run(tb._dispatch_fragment)
     tb.st.clear()
     doc = tb.doc

@@ -1,0 +1,345 @@
+"""Differential + contract tests for the optional C fast-scan tokenizer
+(kernel/_fastscan.c via kernel/fastscan.py).
+
+The accelerator is all-or-nothing: make_feed() returns None (-> pure
+Python tokenizer) unless the document is in the provably
+token-identical subset.  These tests pin that contract three ways:
+  1. token-level differential vs the Python Tokenizer on every fixture
+     the scanner accepts (type, name, data, attrs, self_closing,
+     doctype fields, AND the post-token state the tree builder reads);
+  2. tree-level differential (dump + serialize + error texts) with the
+     scanner forced on vs off, over fixtures and a generated
+     well-formed corpus that exercises the accepted grammar;
+  3. explicit accept/bail spot-checks for the machine quirks the C
+     replicates (AFTER_ATTR_NAME no-reset, unquoted '/' retention,
+     quote-adjacent attrs, duplicate-attr drop, raw elements, literal
+     '<') and for every bail class (charrefs, foreign content,
+     malformed tags, script escapes, doctype ids, CDATA...).
+"""
+
+from __future__ import annotations
+
+import glob
+import random
+
+import pytest
+
+from html_parser_spark.kernel import fastscan
+from html_parser_spark.kernel.api import parse_document, parse_fragment
+from html_parser_spark.kernel.tokenizer import (
+    TOKEN_EOF, Tokenizer, replace_nulls,
+)
+from html_parser_spark.kernel.tree import dump_ascii, serialize_html
+
+pytestmark = pytest.mark.skipif(
+    fastscan._load() is None,
+    reason="fast-scan extension unavailable (no C toolchain)",
+)
+
+FIXTURES = sorted(glob.glob("/root/reference/tests/*.html")) + sorted(
+    glob.glob("tests/fixtures/*.html")
+)
+
+
+def _drain(feed_like):
+    out = []
+    while True:
+        t = feed_like.next()
+        out.append((
+            t.type, t.name, t.data, list(t.attrs), bool(t.self_closing),
+            t.public_id, t.system_id, bool(t.force_quirks),
+            feed_like.state,
+        ))
+        if t.type == TOKEN_EOF:
+            break
+    return out
+
+
+def _read_text(fp):
+    raw = open(fp, "rb").read()
+    try:
+        text = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        text = raw.decode("utf-8", "surrogateescape")
+    return replace_nulls(text)
+
+
+def _tree_snapshot(raw, frag):
+    r = parse_fragment(raw, "div") if frag else parse_document(raw)
+    return (dump_ascii(r.doc), serialize_html(r.doc), list(r.errors))
+
+
+def _with_fastscan_disabled(fn):
+    saved = fastscan._mod
+    fastscan._mod = None
+    fastscan._tried = True
+    try:
+        return fn()
+    finally:
+        fastscan._mod = saved
+
+
+# ---------------------------------------------------------------------
+# 1. token differential over the fixture corpus
+# ---------------------------------------------------------------------
+
+def test_token_differential_fixtures():
+    accepted = 0
+    for fp in FIXTURES:
+        text = _read_text(fp)
+        errs_fast: list = []
+        feed = fastscan.make_feed(text, errs_fast)
+        if feed is None:
+            continue
+        accepted += 1
+        errs_py: list = []
+        tz = Tokenizer(text, errors=errs_py)
+        assert _drain(feed) == _drain(tz), fp
+        # no tokenizer errors can occur in the accepted subset
+        assert errs_fast == [] and errs_py == [], fp
+    # the corpus contains plenty of well-formed documents
+    assert accepted >= 40, f"only {accepted} fixtures accepted"
+
+
+# ---------------------------------------------------------------------
+# 2. tree differential, fixtures + generated well-formed corpus
+# ---------------------------------------------------------------------
+
+def test_tree_differential_fixtures():
+    for fp in FIXTURES:
+        raw = open(fp, "rb").read()
+        for frag in (False, True):
+            on = _tree_snapshot(raw, frag)
+            off = _with_fastscan_disabled(
+                lambda: _tree_snapshot(raw, frag))
+            assert on == off, (fp, frag)
+
+
+def _gen_wellformed(rng: random.Random) -> str:
+    """Random document inside (mostly) the accepted grammar, biased at
+    the quirky edges: valueless attrs, unquoted values with '/',
+    quote-adjacent attrs, duplicate attrs, raw elements with '<' in
+    their bodies, self-closing raw tags, literal '<' in text."""
+    tags = ["div", "span", "p", "b", "i", "ul", "li", "table", "tr",
+            "td", "em", "strong", "a", "h1", "section", "DIV", "B"]
+    raws = ["script", "style", "title", "textarea", "xmp"]
+    parts = ["<!DOCTYPE html><html><body>"]
+    depth = 0
+    for _ in range(rng.randrange(4, 40)):
+        roll = rng.random()
+        if roll < 0.35:
+            t = rng.choice(tags)
+            attrs = ""
+            for _ in range(rng.randrange(0, 3)):
+                a = rng.choice(["class", "id", "data-x", "x", "CLASS"])
+                style = rng.random()
+                if style < 0.4:
+                    attrs += f' {a}="v{rng.randrange(9)}"'
+                elif style < 0.6:
+                    attrs += f" {a}='w w'"
+                elif style < 0.8:
+                    attrs += f" {a}=u{rng.randrange(9)}/x"
+                else:
+                    attrs += f" {a}"
+                    break  # valueless must stay trailing-ish
+            parts.append(f"<{t}{attrs}>")
+            depth += 1
+        elif roll < 0.6 and depth:
+            parts.append(f"</{rng.choice(tags)}>")
+            depth -= 1
+        elif roll < 0.75:
+            parts.append(rng.choice([
+                "text", "a < b", "  ", "\n\t", "x>y", "中文字",
+                "<", "1 << 2",
+            ]))
+        elif roll < 0.85:
+            parts.append(f"<!--c{rng.randrange(99)}-->")
+        else:
+            r = rng.choice(raws)
+            body = rng.choice([
+                "", "var x = 1 < 2;", "a</scr+b", "p { color: red }",
+                "doc.write('<tr><td>x</td></tr>')", "</ nope>",
+            ])
+            close = "" if rng.random() < 0.1 else f"</{r}>"
+            parts.append(f"<{r}>{body}{close}")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def test_tree_differential_generated():
+    rng = random.Random(20260817)
+    accepted = 0
+    for _ in range(400):
+        doc = _gen_wellformed(rng)
+        feed = fastscan.make_feed(doc, [])
+        if feed is not None:
+            accepted += 1
+            errs_py: list = []
+            tz = Tokenizer(doc, errors=errs_py)
+            errs_fast: list = []
+            feed2 = fastscan.make_feed(doc, errs_fast)
+            assert _drain(feed2) == _drain(tz), doc
+            assert errs_fast == [] and errs_py == [], doc
+        on = _tree_snapshot(doc, False)
+        off = _with_fastscan_disabled(lambda: _tree_snapshot(doc, False))
+        assert on == off, doc
+    assert accepted >= 200, f"generator drifted out of subset: {accepted}"
+
+
+# ---------------------------------------------------------------------
+# 3. machine-quirk acceptance + bail classes
+# ---------------------------------------------------------------------
+
+def _tokens(doc):
+    feed = fastscan.make_feed(doc, [])
+    assert feed is not None, f"unexpected bail: {fastscan.bail_reason()}"
+    return _drain(feed)
+
+
+def _expect_bail(doc, context=None):
+    assert fastscan.make_feed(doc, [], context) is None, doc
+
+
+def test_quirk_after_attr_name_no_reset():
+    # <a x y> -> attrs ("x",""), ("xy","") — the no-reset deviation
+    toks = _tokens("<a x y>")
+    assert toks[0][3] == [("x", ""), ("xy", "")]
+    py = Tokenizer("<a x y>", errors=[])
+    assert _drain(fastscan.make_feed("<a x y>", [])) == _drain(py)
+
+
+def test_quirk_unquoted_value_keeps_slash():
+    toks = _tokens("<a href=foo/>")
+    assert toks[0][3] == [("href", "foo/")]
+    assert toks[0][4] is False  # NOT self-closing
+
+
+def test_quirk_quote_adjacent_attrs():
+    toks = _tokens('<a x="1"y="2">')
+    assert toks[0][3] == [("x", "1"), ("y", "2")]
+
+
+def test_quirk_duplicate_attr_dropped():
+    toks = _tokens('<a id="1" id="2">')
+    assert toks[0][3] == [("id", "1")]
+
+
+def test_quirk_literal_lt():
+    toks = _tokens("a < b")
+    datas = [t[2] for t in toks if t[0] == 4]
+    assert datas == ["a ", "<", " b"]
+
+
+def test_quirk_selfclosing_raw_still_raw():
+    # <script/> enters SCRIPT_DATA regardless of self_closing
+    toks = _tokens("<script/>var x;</script>")
+    assert toks[0][0] == 1 and toks[0][4] is True and toks[0][8] == 3
+    assert toks[1][2] == "var x;"
+
+
+def test_quirk_raw_body_single_token():
+    toks = _tokens("<script>if (a<b) { w('<tr>') }</script>")
+    assert toks[1][0] == 4
+    assert toks[1][2] == "if (a<b) { w('<tr>') }"
+
+
+def test_quirk_rcdata_near_terminator():
+    toks = _tokens("<title>x</titl></title>")
+    assert toks[1][2] == "x</titl>"
+
+
+def test_doctype_simple():
+    toks = _tokens("<!DOCTYPE html><p>x</p>")
+    assert toks[0][0] == 0 and toks[0][1] == "html"
+    assert toks[0][5] is None and toks[0][6] is None and not toks[0][7]
+    # garbage before '>' is silently skipped (no PUBLIC/SYSTEM at the
+    # post-name position)
+    toks = _tokens("<!doctype HTML weird garbage><p>x</p>")
+    assert toks[0][1] == "html"
+
+
+def test_bail_classes():
+    _expect_bail("a &amp; b")                      # charrefs
+    _expect_bail("a\rb")                           # lone CR survives
+    _expect_bail("<svg><rect/></svg>")             # foreign content
+    _expect_bail("<math><mi>x</mi></math>")
+    _expect_bail("<plaintext>rest")
+    _expect_bail("<![CDATA[x]]>")                  # bogus/CDATA
+    _expect_bail("<!x>")
+    _expect_bail("</3>")                           # invalid end tag
+    _expect_bail("</div >")                        # end-tag garbage
+    _expect_bail("<div")                           # EOF in tag
+    _expect_bail("<a =x>")                         # '=' before name
+    _expect_bail("<a x=>")                         # missing value
+    _expect_bail("<a x/ y>")                       # '/' not before '>'
+    _expect_bail('<a x"y">')                       # bad attr-name char
+    _expect_bail("<script><!-- w('</script>') --></script>")
+    _expect_bail("<!-- a -- b -->")                # dashes in comment
+    _expect_bail("<!-- open")                      # EOF in comment
+    _expect_bail('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN">')
+    _expect_bail("<!DOCTYPE html SYSTEM 'x'>")
+    _expect_bail("x", context="title")             # raw fragment context
+    _expect_bail("x", context="SCRIPT")
+
+
+def test_shared_empty_attrs_never_mutated():
+    # the feed hands one shared [] to every attr-less token; a full
+    # parse through the builder must leave it empty
+    doc = "<!DOCTYPE html><p>x<b>y</b></p><table><tr><td>z</td></tr></table>"
+    r = parse_document(doc)
+    assert r.doc is not None
+    mod = fastscan._load()
+    feed = mod.make_feed(doc, [])
+    t = feed.next()
+    while t.type != TOKEN_EOF:
+        if t.type != 1:
+            assert list(t.attrs) == []
+        t = feed.next()
+
+
+def test_errors_list_is_shared_and_untouched():
+    errs: list = []
+    feed = fastscan.make_feed("<p>x</p>", errs)
+    assert feed is not None
+    assert feed.errors is errs
+    _drain(feed)
+    assert errs == []
+
+
+# ---------------------------------------------------------------------
+# 4. interleaved-instance cache-bleed smoke (full campaign:
+#    tools/fuzz_diff.py --interleave; this pins the property in-suite)
+# ---------------------------------------------------------------------
+
+def test_interleaved_instances_no_cache_bleed():
+    # advance 8 live feeds (fastscan + Python mixed) round-robin; every
+    # stream must equal a fresh solo tokenizer's — the shared scratch
+    # token, _LOWER_CACHE, and the shared empty-attrs list must not
+    # leak state across live instances
+    rng = random.Random(20260817)
+    texts = [_gen_wellformed(rng) for _ in range(8)]
+    want = []
+    for t in texts:
+        tz = Tokenizer(t, errors=[])
+        want.append(_drain(tz))
+    feeds = []
+    for i, t in enumerate(texts):
+        f = fastscan.make_feed(t, []) if i % 2 == 0 else None
+        if f is None:
+            f = Tokenizer(t, errors=[], reuse_token=True)
+        feeds.append(f)
+    streams = [[] for _ in texts]
+    live = list(range(len(texts)))
+    while live:
+        for i in list(live):
+            f = feeds[i]
+            t = f.next()
+            streams[i].append((
+                t.type, t.name, t.data, list(t.attrs),
+                bool(t.self_closing), t.public_id, t.system_id,
+                bool(t.force_quirks), f.state,
+            ))
+            if t.type == TOKEN_EOF:
+                live.remove(i)
+    for i in range(len(texts)):
+        assert streams[i] == want[i], texts[i][:200]
