@@ -274,6 +274,92 @@ def tokens_my_dump(data: bytes):
     return dump, errors
 
 
+def interleave_campaign(n: int, seed: int, gen_fn) -> int:
+    """Cross-document cache-bleed prover (--interleave).
+
+    Round 6 added memoized caches to the kernel (module-level
+    _LOWER_CACHE, per-Tokenizer scratch-token reuse, the fast-scan
+    feed's shared empty-attrs list).  All are content-keyed or
+    instance-scoped, so interleaving documents across live parser
+    instances must not change any output.  Two interleavings per
+    batch of K documents:
+
+    1. deterministic tokenizer round-robin — K live Tokenizer/fastscan
+       feeds advanced one token at a time in rotation; each stream must
+       equal a freshly-created solo tokenizer's stream; and
+    2. threaded full parses — the same K documents parsed concurrently
+       (GIL interleaves instances at bytecode granularity across every
+       module cache); each dump + error list must equal the solo parse.
+    """
+    import concurrent.futures
+
+    from html_parser_spark.kernel import fastscan
+    from html_parser_spark.kernel.tokenizer import (
+        TOKEN_EOF, Tokenizer,
+    )
+
+    def snap(t):
+        return (t.type, t.name, t.data, list(t.attrs), t.self_closing,
+                t.public_id, t.system_id, t.force_quirks)
+
+    def solo_stream(text):
+        tz = Tokenizer(text, errors=[])
+        out = []
+        while True:
+            t = tz.next()
+            out.append(snap(t))
+            if t.type == TOKEN_EOF:
+                return out
+
+    def solo_parse(data):
+        r = parse_document(data)
+        return r.dump(), list(r.errors)
+
+    rng = random.Random(seed)
+    k = 8
+    fails = 0
+    batches = max(1, n // k)
+    for b in range(batches):
+        texts = [gen_fn(rng) for _ in range(k)]
+        texts = [t.decode("utf-8", "surrogateescape")
+                 if isinstance(t, bytes) else t for t in texts]
+        # -- 1. tokenizer round-robin (mix fastscan + Python feeds) --
+        want = [solo_stream(t) for t in texts]
+        feeds, streams, live = [], [[] for _ in texts], []
+        for i, t in enumerate(texts):
+            f = fastscan.make_feed(t, []) if i % 2 == 0 else None
+            if f is None:
+                f = Tokenizer(t, errors=[], reuse_token=True)
+            feeds.append(f)
+            live.append(i)
+        while live:
+            for i in list(live):
+                t = feeds[i].next()
+                streams[i].append(snap(t))
+                if t.type == TOKEN_EOF:
+                    live.remove(i)
+        for i, t in enumerate(texts):
+            if streams[i] != want[i]:
+                fails += 1
+                print(f"INTERLEAVE token mismatch batch {b} doc {i}: "
+                      f"{t[:200]!r}")
+        # -- 2. threaded full parses vs solo results --
+        datas = [t.encode("utf-8", "surrogateescape") for t in texts]
+        solo = [solo_parse(d) for d in datas]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=k) as ex:
+            inter = list(ex.map(solo_parse, datas))
+        for i in range(k):
+            if inter[i] != solo[i]:
+                fails += 1
+                print(f"INTERLEAVE parse mismatch batch {b} doc {i}: "
+                      f"{texts[i][:200]!r}")
+        if fails >= 10:
+            break
+    print(f"{batches * k} cases, {fails} mismatches "
+          f"(seed={seed}, interleave k={k})")
+    return 1 if fails else 0
+
+
 def main():
     n = 2000
     seed = 1
@@ -306,6 +392,8 @@ def main():
         n = int(args[0])
     if "--seed" in sys.argv:
         seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    if "--interleave" in sys.argv:
+        return interleave_campaign(n, seed, gen_fn)
     rng = random.Random(seed)
     fails = 0
     for i in range(n):
