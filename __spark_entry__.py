@@ -229,6 +229,29 @@ def _q_events_daily(spark, sf_dir):
     )
 
 
+def _q_events_pruned_window(spark, sf_dir):
+    # date-bounded read over the days(ts)-partitioned events layout:
+    # the filter on the directory key becomes PartitionFilters in the
+    # scan (PLANS.md "events_pruned_window"), so whole day-directories
+    # are skipped at PLAN time — at 100 TB this is the difference
+    # between scanning 3 days and scanning the whole log. Results are
+    # oracle-identical to the same window computed over the flat table
+    # (min/max aggregates only: order-independent, hash-stable).
+    from html_parser_spark.spark.storage import partitioned_events_path
+
+    ev = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    return (
+        ev.filter(F.col("event_date").between("2024-01-10", "2024-01-12"))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from html_parser_spark.spark.ops import exact_dedup
 
@@ -668,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_agg": _q_events_agg,
         "json_props": _q_json_props,
         "events_daily": _q_events_daily,
+        "events_pruned_window": _q_events_pruned_window,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
@@ -902,6 +926,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(date_trunc('day', ts) as date) AS day, event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "events_pruned_window": """
+            SELECT cast(date_trunc('day', ts) as date) AS event_date,
+                   event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+            WHERE cast(date_trunc('day', ts) as date)
+                      BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+            GROUP BY 1, 2 ORDER BY event_date, event_type
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash,

@@ -313,6 +313,22 @@ def main():
          "source:string>" in p),
     ])
 
+    audit("events_pruned_window (days(ts) partition pruning)",
+          qs["events_pruned_window"](spark, SF_DIR), [
+        ("partition filters reach the scan (directories pruned at "
+         "plan time)",
+         lambda p: "PartitionFilters: [" in p
+         and "event_date" in p.split("PartitionFilters: [", 1)[1]
+                              .split("]", 1)[0]),
+        ("no pushed data filter needed — the bound IS the partition "
+         "key", lambda p: "PartitionFilters" in p),
+        ("partial aggregation before the exchange",
+         lambda p: p.count("HashAggregate") >= 4),  # tree + details
+    ], note="Runtime half of the evidence: "
+            "test_partition_pruned_scan asserts via input_file_name() "
+            "that exactly the 3 bounded event_date directories are "
+            "read out of ~30.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
