@@ -768,6 +768,19 @@ scan_all(Scan *sc)
                     if (RD(sc, k) == '-' && RD(sc, k + 1) == '-')
                         BAIL(sc, "dashes-in-comment");
                 }
+                /* terminator-straddle: a body TAIL can combine with
+                   the "-->" chars into "--" (body ends '-': the ---
+                   / nested <!-- overlap cases) or "<!--" (body ends
+                   "<!").  The Python machine walks those through the
+                   comment-end / bang-dash sub-states and can emit
+                   nested-comment (e.g. "<!--<!--->", found by review:
+                   the '--' of the inner '<!--' IS the terminator's)
+                   — bail on the whole class rather than model it */
+                if (e > b && RD(sc, e - 1) == '-')
+                    BAIL(sc, "comment-tail-dash");
+                if (e - b >= 2 && RD(sc, e - 2) == '<'
+                    && RD(sc, e - 1) == '!')
+                    BAIL(sc, "comment-tail-bang");
                 PyObject *d = substr(sc, b, e);
                 if (!d) return -1;
                 if (emit(sc, T_COMMENT, NULL, d, NULL, 0, S_DATA) < 0)

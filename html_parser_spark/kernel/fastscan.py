@@ -38,15 +38,41 @@ def _source_path() -> str:
                         "_fastscan.c")
 
 
+def _cache_dir() -> str | None:
+    """Per-user 0700 cache dir. A predictable world-writable /tmp path
+    would let any local user pre-plant a .so that we'd dlopen (review
+    finding) — so the cache lives in a directory OWNED by us with mode
+    0700, verified by lstat after creation; anything off disables the
+    accelerator rather than loading from it."""
+    import stat
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(),
+                     f"hp_fastscan_u{os.getuid()}")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.lstat(d)
+        if (not stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid()
+                or (st.st_mode & 0o077)):
+            return None
+    except OSError:
+        return None
+    return d
+
+
 def _build(src: str) -> str | None:
-    """Compile the extension into /tmp keyed by source hash; atomic."""
+    """Compile the extension into the user cache keyed by source hash;
+    atomic."""
     try:
         with open(src, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
     except OSError:
         return None
+    cache = _cache_dir()
+    if cache is None:
+        return None
     tag = f"hp_fastscan_{sys.version_info.major}{sys.version_info.minor}"
-    out = f"/tmp/{tag}_{digest}.so"
+    out = os.path.join(cache, f"{tag}_{digest}.so")
     if os.path.exists(out):
         return out
     include = sysconfig.get_paths()["include"]

@@ -411,6 +411,25 @@ class VersionedParquetFormat(TableFormat):
 
         def files_fn(base):
             nonlocal new_files
+            if base is not None:
+                # drift guard (review finding): recording only the
+                # appender's schema would silently reinterpret every
+                # prior snapshot file under it — a retyped or dropped
+                # column must refuse, exactly like merge does. Compared
+                # modulo nullability, same as _merged_frame.
+                import json as _json
+
+                from pyspark.sql import types as T
+
+                prev_schema = T.StructType.fromJson(_json.loads(
+                    self._manifest(spark, table_path, base)["schema"]))
+                if (_strip_nullability(prev_schema)
+                        != _strip_nullability(df.schema)):
+                    raise ValueError(
+                        f"append: schema drifts from {table_path} "
+                        f"snapshot v{base}: "
+                        f"{prev_schema.simpleString()} vs "
+                        f"{df.schema.simpleString()}")
             if new_files is None:  # data written once, rebased freely
                 new_files = self._write_data(
                     spark, table_path, df, f"c{self._nonce()}")
@@ -439,17 +458,22 @@ class VersionedParquetFormat(TableFormat):
 
     def merge(self, spark, table_path: str, updates: DataFrame,
               key: str) -> int:
-        if self.current_version(spark, table_path) is None:
-            self.overwrite(updates, table_path)
-            return self.read(spark, table_path).count()
         # snapshot-isolated MERGE: plan against the pinned current
         # snapshot, write the merged result as a full new snapshot. A
         # lost commit race recomputes against the winner (files_fn
         # rebase) — row-level conflict detection is the documented
         # Iceberg upgrade, base-recompute is the honest emulation.
+        # base=None (empty table) is handled INSIDE the loop: an
+        # empty-check-then-overwrite fast path would be a TOCTOU race
+        # that wholesale-replaces a first committer landing v1 in
+        # between (review finding).
         def files_fn(base):
-            existing = self.read(spark, table_path, base)
-            merged = _merged_frame(existing, updates, key, table_path)
+            if base is None:
+                merged = updates
+            else:
+                existing = self.read(spark, table_path, base)
+                merged = _merged_frame(existing, updates, key,
+                                       table_path)
             files = self._write_data(
                 spark, table_path, merged, f"c{self._nonce()}")
             return files, merged.schema.json()
@@ -507,13 +531,17 @@ class VersionedParquetFormat(TableFormat):
         for v in drop_v:
             fs.delete(
                 Path(f"{table_path}/{self._MANIFESTS}/v{v}.json"), False)
-        # drop now-empty commit dirs (best-effort tidiness)
+        # drop now-empty commit dirs (best-effort tidiness). ONLY dirs
+        # whose children are exactly job-success markers: a blanket
+        # "all children start with '_'" would also match a CONCURRENT
+        # committer's in-flight write staging (_temporary/) and destroy
+        # its job mid-flight (review finding)
         ddir = Path(f"{table_path}/data")
         if fs.exists(ddir):
             for st in fs.listStatus(ddir):
                 kids = fs.listStatus(st.getPath())
-                if all(k.getPath().getName().startswith("_")
-                       for k in kids):
+                if kids and all(k.getPath().getName() == "_SUCCESS"
+                                for k in kids):
                     fs.delete(st.getPath(), True)
         return deleted
 
@@ -533,11 +561,18 @@ def partitioned_events_path(spark, sf_dir: str) -> str:
     oracle-verified day bucketing). PLANS.md asserts the
     PartitionFilters; test_partition_pruned_scan asserts the scanned
     file set at runtime via input_file_name()."""
+    import hashlib
     import os
 
     from pyspark.sql import functions as F
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    # key the cache by the FULL resolved path, not just the basename:
+    # two datasets named sf0.1 in different parents must not share one
+    # partitioned copy (review finding — the stale hit would silently
+    # aggregate the wrong rows)
+    real = os.path.realpath(sf_dir)
+    tag = (os.path.basename(real)
+           + "_" + hashlib.sha1(real.encode()).hexdigest()[:8])
     path = f"/tmp/spark_graft_part/events_{tag}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -276,6 +276,11 @@ def test_bail_classes():
     _expect_bail("<script><!-- w('</script>') --></script>")
     _expect_bail("<!-- a -- b -->")                # dashes in comment
     _expect_bail("<!-- open")                      # EOF in comment
+    # terminator-straddle class (review finding): the inner "<!--"'s
+    # dashes ARE the terminator's -> Python emits nested-comment
+    _expect_bail("<p>hello<!--<!---></p>")
+    _expect_bail("<!--a--->")                      # tail dash + "-->"
+    _expect_bail("<!--a<!-->")                     # tail "<!" + "--"
     _expect_bail('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN">')
     _expect_bail("<!DOCTYPE html SYSTEM 'x'>")
     _expect_bail("x", context="title")             # raw fragment context

@@ -1833,3 +1833,25 @@ def test_lsh_chain_cap_at_1000x_width(spark):
     rows = comp.collect()
     assert len(rows) == width                 # every doc clustered
     assert {r.cluster_root for r in rows} == {0}
+
+
+def test_versioned_format_append_refuses_schema_drift(spark, tmp_path):
+    """append must refuse drift instead of silently reinterpreting all
+    prior snapshot files under the appender's schema (review finding):
+    a retyped or dropped column raises; a nullability-only difference
+    does not."""
+    from html_parser_spark.spark.storage import VersionedParquetFormat
+
+    fmt = VersionedParquetFormat()
+    path = str(tmp_path / "vtbl_drift")
+    fmt.overwrite(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), path)
+    with pytest.raises(ValueError, match="drift"):
+        fmt.append(spark.createDataFrame([(2,)], "id long"), path)
+    with pytest.raises(ValueError, match="drift"):
+        fmt.append(spark.createDataFrame(
+            [(2, 3)], "id long, v long"), path)
+    # same value types, different nullability flags: fine
+    fmt.append(spark.createDataFrame([(2, "b")], "id long, v string")
+               .selectExpr("id", "coalesce(v, 'x') as v"), path)
+    assert fmt.read(spark, path).count() == 2

@@ -45,6 +45,7 @@ SNIPPETS = [
     "<!DOCTYPE html PUBLIC 'unclosed>", "<!DOCTYPE>", "<!DOCTYPE >",
     "<!DOCTYPE html puBlic '-//w3c//dtd xhtml 1.0 transitional//en'>",
     "<!-->", "<!--->", "<!-- x --!>", "<!-- <!-- -->", "<![CDATA[x]]>",
+    "<!--<!--->", "<!--a--->", "<!--a<!-->", "<!--x<!-",  # tail straddles
     "</>", "</ x>", "<!doctype html>", "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01//EN\">",
     "<?php ?>", "<!x y>", "<a a=1 a=2>", "<b/>", "text<b><i>x</b>y</i>",
     "<table><tr><td>", "</table>", "</td>", "</p>", "</li>", "</body>",
