@@ -8,7 +8,9 @@
  * it is PROVABLY token-identical to the Python state machine — the
  * subset is "every path of kernel/tokenizer.py that cannot call
  * _error() and cannot depend on tree-builder feedback".  Anything else
- * (a single '&' anywhere, foreign content, CDATA, bogus comments,
+ * ('&' followed by [0-9A-Za-z#] in a charref-processing region — a
+ * literal ampersand before any OTHER char is accepted — foreign
+ * content, CDATA, bogus comments,
  * malformed tags, <plaintext>, script escape sequences, doctypes with
  * ids, lone '\r', NULs, surrogate escapes, EOF inside a construct)
  * returns None and the caller falls back to the Python tokenizer for
@@ -289,6 +291,35 @@ attr_name_ok(Py_UCS4 c)
         || (c >= 'A' && c <= 'Z') || c == '-' || c == '_' || c == ':';
 }
 
+/* Literal-ampersand guard over a charref-processing region (data
+ * runs, RCDATA bodies, attribute values).  The Python machine leaves
+ * '&' literal — same coalesced run, NO error — exactly when the next
+ * input char is not [0-9A-Za-z#] (probed: "a & b", "a &; b", "x&",
+ * "&<p>", attr "1 && 2", rcdata "1 & 2").  Anything that could start
+ * a named/numeric reference attempt may decode or error (note this
+ * kernel decodes semicolonless "&amp" too), so the scanner refuses
+ * those documents.  The char AFTER the region boundary is the correct
+ * lookahead for a trailing '&' (quote, '<', or EOF all mean literal).
+ * Returns 1 if the region is charref-free-literal, 0 if the caller
+ * must bail. */
+static int
+amp_region_ok(Scan *sc, Py_ssize_t a, Py_ssize_t e)
+{
+    Py_ssize_t k = a;
+    while (1) {
+        k = PyUnicode_FindChar(sc->text, '&', k, e, 1);
+        if (k == -2) { PyErr_Clear(); return 0; }  /* bail, stay safe */
+        if (k < 0) return 1;
+        if (k + 1 < sc->n) {
+            Py_UCS4 c = RD(sc, k + 1);
+            if (c == '#' || (c >= '0' && c <= '9')
+                || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+                return 0;
+        }
+        k++;
+    }
+}
+
 static Py_ssize_t
 find_char(Scan *sc, Py_UCS4 ch, Py_ssize_t from)
 {
@@ -564,6 +595,7 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
             Py_ssize_t e = find_char(sc, q, i);
             if (e == -2) SERR();
             if (e < 0) SBAIL("eof-in-attr-value");
+            if (!amp_region_ok(sc, i, e)) SBAIL("charref-attempt-attr");
             PyObject *an = nb_to_str(&nb);
             if (!an) SERR();
             an = intern_name(sc, an);
@@ -583,6 +615,7 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
                 i++;
             }
             if (i >= n) SBAIL("eof-in-attr-value");
+            if (!amp_region_ok(sc, va, i)) SBAIL("charref-attempt-attr");
             PyObject *an = nb_to_str(&nb);
             if (!an) SERR();
             an = intern_name(sc, an);
@@ -629,6 +662,11 @@ done: ;
             if (lt < 0) {
                 /* EOF in raw state: emit remainder, back to DATA */
                 if (sc->n > start) {
+                    /* RCDATA (title/textarea) processes charrefs;
+                       RAWTEXT/script never do, '&' stays literal */
+                    if (rstate == S_RCDATA
+                        && !amp_region_ok(sc, start, sc->n))
+                        BAIL(sc, "charref-attempt-rcdata");
                     PyObject *d = substr(sc, start, sc->n);
                     if (!d) return -1;
                     if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
@@ -676,6 +714,9 @@ done: ;
             }
             if (!match) { i = p; continue; }
             if (lt > start) {
+                if (rstate == S_RCDATA
+                    && !amp_region_ok(sc, start, lt))
+                    BAIL(sc, "charref-attempt-rcdata");
                 PyObject *d = substr(sc, start, lt);
                 if (!d) return -1;
                 if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
@@ -698,13 +739,15 @@ scan_all(Scan *sc)
 {
     Py_ssize_t i = 0, n = sc->n;
 
-    /* global pre-checks: '&' (charrefs + their errors), '\r' (lone-CR
-       preprocessing quirk + WS-position semantics), NUL, surrogates
-       (surrogateescape byte fusion).  One pass, then the main scan
-       never needs to re-check. */
+    /* global pre-checks: '\r' (lone-CR preprocessing quirk +
+       WS-position semantics), NUL, surrogates (surrogateescape byte
+       fusion).  One pass, then the main scan never needs to re-check.
+       '&' is NOT global: literal ampersands (not followed by
+       [0-9A-Za-z#]) are accepted per-region via amp_region_ok;
+       anything that could start a charref attempt still bails there. */
     for (Py_ssize_t k = 0; k < n; k++) {
         Py_UCS4 c = RD(sc, k);
-        if (c == '&' || c == '\r' || c == 0
+        if (c == '\r' || c == 0
             || (c >= 0xD800 && c <= 0xDFFF))
             BAIL(sc, "precheck");
     }
@@ -715,6 +758,7 @@ scan_all(Scan *sc)
             Py_ssize_t lt = find_char(sc, '<', i);
             if (lt == -2) return -1;
             Py_ssize_t e = (lt < 0) ? n : lt;
+            if (!amp_region_ok(sc, i, e)) BAIL(sc, "charref-attempt");
             PyObject *d = substr(sc, i, e);
             if (!d) return -1;
             if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0) return -1;

@@ -150,7 +150,8 @@ def _gen_wellformed(rng: random.Random) -> str:
         elif roll < 0.75:
             parts.append(rng.choice([
                 "text", "a < b", "  ", "\n\t", "x>y", "中文字",
-                "<", "1 << 2",
+                "<", "1 << 2", "a & b", "x&", "&; ", "1 && 2",
+                "&amp;", "R&D",
             ]))
         elif roll < 0.85:
             parts.append(f"<!--c{rng.randrange(99)}-->")
