@@ -126,6 +126,13 @@ typedef struct {
     PyObject *name;             /* owned | NULL */
     PyObject *data;             /* owned | NULL */
     PyObject *attrs;            /* owned list | NULL (=> shared empty) */
+    PyObject *errs;             /* owned list | NULL: charref-decode
+                                   errors, appended to the shared
+                                   errors list when the token is
+                                   PULLED — the Python tokenizer
+                                   appends them at production time,
+                                   so deferral preserves interleaving
+                                   with builder-side errors exactly */
 } TokRec;
 
 typedef struct {
@@ -154,6 +161,7 @@ recbuf_clear(RecBuf *rb)
         Py_XDECREF(rb->recs[i].name);
         Py_XDECREF(rb->recs[i].data);
         Py_XDECREF(rb->recs[i].attrs);
+        Py_XDECREF(rb->recs[i].errs);
     }
     PyMem_Free(rb->recs);
     rb->recs = NULL;
@@ -191,6 +199,7 @@ FastFeed_dealloc(FastFeed *self)
         Py_XDECREF(self->recs[k].name);
         Py_XDECREF(self->recs[k].data);
         Py_XDECREF(self->recs[k].attrs);
+        Py_XDECREF(self->recs[k].errs);
     }
     PyMem_Free(self->recs);
     Py_XDECREF(self->text);
@@ -207,6 +216,24 @@ FastFeed_next(FastFeed *self, PyObject *Py_UNUSED(ignored))
     FastToken *t = self->scratch;
     if (self->i < self->n) {
         TokRec *r = &self->recs[self->i++];
+        if (r->errs) {
+            /* charref-decode errors surface at PRODUCTION time, like
+               the Python tokenizer — so they interleave with builder
+               errors identically */
+            for (Py_ssize_t k = 0; k < PyList_GET_SIZE(r->errs); k++) {
+                PyObject *item = PyList_GET_ITEM(r->errs, k);
+                if (PyList_Check(self->errors)) {
+                    if (PyList_Append(self->errors, item) < 0)
+                        return NULL;
+                } else {
+                    PyObject *rv = PyObject_CallMethod(
+                        self->errors, "append", "O", item);
+                    if (!rv) return NULL;
+                    Py_DECREF(rv);
+                }
+            }
+            Py_CLEAR(r->errs);  /* scratch reuse: append exactly once */
+        }
         t->type = r->type;
         Py_INCREF(r->name ? r->name : Py_None);
         Py_XSETREF(t->name, r->name ? r->name : Py_None);
@@ -267,6 +294,12 @@ typedef struct {
     RecBuf rb;
     PyObject *interns;      /* dict: name -> name (dedup allocations) */
     const char *bail;       /* reason, NULL while OK */
+    PyObject *decode_fn;    /* borrowed: charref.decode_character_
+                               references, or NULL (then any charref
+                               attempt bails) */
+    PyObject *pending_errs; /* owned list | NULL: decode errors for the
+                               token currently being assembled; emit()
+                               steals it into the TokRec */
 } Scan;
 
 #define RD(sc, i) PyUnicode_READ((sc)->kind, (sc)->data, (i))
@@ -327,6 +360,58 @@ find_char(Scan *sc, Py_UCS4 ch, Py_ssize_t from)
     return r; /* -1 == not found (and -2 on error, checked by caller) */
 }
 
+static PyObject *substr(Scan *sc, Py_ssize_t a, Py_ssize_t b);
+
+/* Text of a charref-PROCESSING region [a,e) (data run, RCDATA body,
+ * attribute value).  Ampersand-free or literal-only regions return the
+ * plain substring (the common case, no Python call).  A region with a
+ * charref ATTEMPT is handed to the Python kernel's own
+ * decode_character_references — the exact function the tokenizer
+ * runs — so the decoded text and any error strings are identical by
+ * construction (the kernel's charref errors carry no position info,
+ * which is what makes this composable with the no-positioned-errors
+ * subset).  Decode errors accumulate on sc->pending_errs and ride the
+ * NEXT emitted token (the one this region belongs to).
+ * Returns 0 ok (*out owned), 1 bail, -1 python error. */
+static int
+region_text(Scan *sc, Py_ssize_t a, Py_ssize_t e, int in_attr,
+            PyObject **out)
+{
+    if (amp_region_ok(sc, a, e)) {
+        *out = substr(sc, a, e);
+        return *out ? 0 : -1;
+    }
+    if (!sc->decode_fn) { sc->bail = "charref-attempt"; return 1; }
+    PyObject *raw = substr(sc, a, e);
+    if (!raw) return -1;
+    PyObject *errs = PyList_New(0);
+    if (!errs) { Py_DECREF(raw); return -1; }
+    PyObject *dec = PyObject_CallFunctionObjArgs(
+        sc->decode_fn, raw, in_attr ? Py_True : Py_False, errs, NULL);
+    Py_DECREF(raw);
+    if (!dec) { Py_DECREF(errs); return -1; }
+    if (!PyUnicode_Check(dec)) {
+        Py_DECREF(dec); Py_DECREF(errs);
+        PyErr_SetString(PyExc_TypeError, "decode_fn must return str");
+        return -1;
+    }
+    if (PyList_GET_SIZE(errs) > 0) {
+        if (sc->pending_errs == NULL) {
+            sc->pending_errs = errs;
+            errs = NULL;
+        } else if (PyList_SetSlice(
+                       sc->pending_errs,
+                       PyList_GET_SIZE(sc->pending_errs),
+                       PyList_GET_SIZE(sc->pending_errs), errs) < 0) {
+            Py_DECREF(dec); Py_DECREF(errs);
+            return -1;
+        }
+    }
+    Py_XDECREF(errs);
+    *out = dec;
+    return 0;
+}
+
 /* substring [a,b) */
 static PyObject *
 substr(Scan *sc, Py_ssize_t a, Py_ssize_t b)
@@ -375,9 +460,12 @@ static int
 emit(Scan *sc, unsigned char type, PyObject *name, PyObject *data,
      PyObject *attrs, unsigned char self_closing, unsigned char state_after)
 {
-    TokRec r = {type, self_closing, state_after, name, data, attrs};
+    TokRec r = {type, self_closing, state_after, name, data, attrs,
+                sc->pending_errs};
+    sc->pending_errs = NULL;        /* stolen into the record */
     if (recbuf_push(&sc->rb, r) < 0) {
         Py_XDECREF(name); Py_XDECREF(data); Py_XDECREF(attrs);
+        Py_XDECREF(r.errs);
         return -1;
     }
     return 0;
@@ -595,13 +683,14 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
             Py_ssize_t e = find_char(sc, q, i);
             if (e == -2) SERR();
             if (e < 0) SBAIL("eof-in-attr-value");
-            if (!amp_region_ok(sc, i, e)) SBAIL("charref-attempt-attr");
+            PyObject *v;
+            int rr = region_text(sc, i, e, 1, &v);
+            if (rr < 0) SERR();
+            if (rr) SBAIL(sc->bail);
             PyObject *an = nb_to_str(&nb);
-            if (!an) SERR();
+            if (!an) { Py_DECREF(v); SERR(); }
             an = intern_name(sc, an);
-            if (!an) SERR();
-            PyObject *v = substr(sc, i, e);
-            if (!v) { Py_DECREF(an); SERR(); }
+            if (!an) { Py_DECREF(v); SERR(); }
             if (attrs_append(attrs, an, v) < 0) SERR();
             i = e + 1;
             state = ST_BEFORE_ATTR;
@@ -615,13 +704,14 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
                 i++;
             }
             if (i >= n) SBAIL("eof-in-attr-value");
-            if (!amp_region_ok(sc, va, i)) SBAIL("charref-attempt-attr");
+            PyObject *v;
+            int rr = region_text(sc, va, i, 1, &v);
+            if (rr < 0) SERR();
+            if (rr) SBAIL(sc->bail);
             PyObject *an = nb_to_str(&nb);
-            if (!an) SERR();
+            if (!an) { Py_DECREF(v); SERR(); }
             an = intern_name(sc, an);
-            if (!an) SERR();
-            PyObject *v = substr(sc, va, i);
-            if (!v) { Py_DECREF(an); SERR(); }
+            if (!an) { Py_DECREF(v); SERR(); }
             if (attrs_append(attrs, an, v) < 0) SERR();
             c = RD(sc, i);
             if (c == '>') { i++; goto done; }
@@ -664,11 +754,14 @@ done: ;
                 if (sc->n > start) {
                     /* RCDATA (title/textarea) processes charrefs;
                        RAWTEXT/script never do, '&' stays literal */
-                    if (rstate == S_RCDATA
-                        && !amp_region_ok(sc, start, sc->n))
-                        BAIL(sc, "charref-attempt-rcdata");
-                    PyObject *d = substr(sc, start, sc->n);
-                    if (!d) return -1;
+                    PyObject *d;
+                    if (rstate == S_RCDATA) {
+                        int rr = region_text(sc, start, sc->n, 0, &d);
+                        if (rr) return rr;
+                    } else {
+                        d = substr(sc, start, sc->n);
+                        if (!d) return -1;
+                    }
                     if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
                         return -1;
                 }
@@ -714,11 +807,14 @@ done: ;
             }
             if (!match) { i = p; continue; }
             if (lt > start) {
-                if (rstate == S_RCDATA
-                    && !amp_region_ok(sc, start, lt))
-                    BAIL(sc, "charref-attempt-rcdata");
-                PyObject *d = substr(sc, start, lt);
-                if (!d) return -1;
+                PyObject *d;
+                if (rstate == S_RCDATA) {
+                    int rr = region_text(sc, start, lt, 0, &d);
+                    if (rr) return rr;
+                } else {
+                    d = substr(sc, start, lt);
+                    if (!d) return -1;
+                }
                 if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
                     return -1;
             }
@@ -758,9 +854,9 @@ scan_all(Scan *sc)
             Py_ssize_t lt = find_char(sc, '<', i);
             if (lt == -2) return -1;
             Py_ssize_t e = (lt < 0) ? n : lt;
-            if (!amp_region_ok(sc, i, e)) BAIL(sc, "charref-attempt");
-            PyObject *d = substr(sc, i, e);
-            if (!d) return -1;
+            PyObject *d;
+            int rr = region_text(sc, i, e, 0, &d);
+            if (rr) return rr;
             if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0) return -1;
             i = e;
             continue;
@@ -882,8 +978,8 @@ static const char *last_bail = NULL;
 static PyObject *
 make_feed(PyObject *Py_UNUSED(mod), PyObject *args)
 {
-    PyObject *text, *errors;
-    if (!PyArg_ParseTuple(args, "UO", &text, &errors))
+    PyObject *text, *errors, *decode_fn = NULL;
+    if (!PyArg_ParseTuple(args, "UO|O", &text, &errors, &decode_fn))
         return NULL;
     if (PyUnicode_READY(text) < 0)
         return NULL;
@@ -893,11 +989,14 @@ make_feed(PyObject *Py_UNUSED(mod), PyObject *args)
     sc.kind = PyUnicode_KIND(text);
     sc.data = PyUnicode_DATA(text);
     sc.n = PyUnicode_GET_LENGTH(text);
+    sc.decode_fn = (decode_fn && decode_fn != Py_None) ? decode_fn
+                                                       : NULL;
     sc.interns = PyDict_New();
     if (!sc.interns) return NULL;
 
     int rc = scan_all(&sc);
     Py_DECREF(sc.interns);
+    Py_CLEAR(sc.pending_errs);  /* set-then-bail leaves a remnant */
     if (rc != 0) {
         recbuf_clear(&sc.rb);
         if (rc < 0) return NULL;

@@ -135,7 +135,13 @@ def make_feed(input_text: str, errors: list, context_tag: str | None = None):
     if context_tag and context_tag[:31].lower() in _NON_DATA_CONTEXTS:
         return None
     try:
-        return mod.make_feed(input_text, errors)
+        # the scanner delegates charref-bearing regions to the SAME
+        # decode function the Python tokenizer uses (charref.py), so
+        # decoded text and error strings are identical by construction
+        from .charref import decode_character_references
+
+        return mod.make_feed(input_text, errors,
+                             decode_character_references)
     except Exception:
         return None
 
