@@ -835,16 +835,20 @@ scan_all(Scan *sc)
 {
     Py_ssize_t i = 0, n = sc->n;
 
-    /* global pre-checks: '\r' (lone-CR preprocessing quirk +
-       WS-position semantics), NUL, surrogates (surrogateescape byte
+    /* global pre-checks: NUL, surrogates (surrogateescape byte
        fusion).  One pass, then the main scan never needs to re-check.
-       '&' is NOT global: literal ampersands (not followed by
-       [0-9A-Za-z#]) are accepted per-region via amp_region_ok;
-       anything that could start a charref attempt still bails there. */
+       NOT global:
+       - '&': literal ampersands are accepted per-region and charref
+         attempts are delegated to the kernel's decoder (region_text);
+       - '\r': this kernel preserves CR verbatim in token data (no
+         CRLF normalization — reference deviation) and treats it as
+         whitespace in every tag-machine state exactly like is_ws()
+         here; the CR paths that ERROR in the Python machine
+         (\r before '>' in end tags, after '/') already end in bails
+         because they break the immediate-'>' / self-closing shape. */
     for (Py_ssize_t k = 0; k < n; k++) {
         Py_UCS4 c = RD(sc, k);
-        if (c == '\r' || c == 0
-            || (c >= 0xD800 && c <= 0xDFFF))
+        if (c == 0 || (c >= 0xD800 && c <= 0xDFFF))
             BAIL(sc, "precheck");
     }
 

@@ -160,7 +160,7 @@ def _gen_wellformed(rng: random.Random) -> str:
                 "<", "1 << 2", "a & b", "x&", "&; ", "1 && 2",
                 "&amp;", "R&D", "&#65; &lt; &#x41;", "&nbsp;x",
                 "&notit;", "&#151;", "&bull; item", "&qz nope",
-                "fish &amp chips",
+                "fish &amp chips", "line1\r\nline2", "a\rb", "\r\n",
             ]))
         elif roll < 0.85:
             parts.append(f"<!--c{rng.randrange(99)}-->")
@@ -269,7 +269,10 @@ def test_doctype_simple():
 
 
 def test_bail_classes():
-    _expect_bail("a\rb")                           # lone CR survives
+    # CR is accepted as data/whitespace (preserved verbatim, like the
+    # kernel); only the CR shapes that ERROR in the Python machine bail
+    _expect_bail("</p\r>")                         # ws before end '>'
+    _expect_bail("<p/\r>")                         # '/' not before '>'
     _expect_bail("<svg><rect/></svg>")             # foreign content
     _expect_bail("<math><mi>x</mi></math>")
     _expect_bail("<plaintext>rest")
