@@ -270,6 +270,22 @@ def _q_quality(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
+def _q_repetition_scores(spark, sf_dir):
+    # Gopher-style repetition filters: per-row HOF metrics + one
+    # keyed (doc_id, gram) aggregate for the top bigram — SQL-exact
+    from html_parser_spark.spark.ops import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_decontaminate(spark, sf_dir):
+    # benchmark n-gram-collision decontamination: broadcast bench
+    # gram set, per-doc distinct-gram overlap fraction — SQL-exact
+    from html_parser_spark.spark.ops import decontaminate
+
+    return decontaminate(_t(spark, sf_dir, "documents"))
+
+
 def _q_pack_sequences(spark, sf_dir):
     # training-data sequence packing: bucketed greedy concat-and-split
     # placement, one keyed window (no global sort) — SQL-exact
@@ -697,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "lang_balanced_sample": _q_lang_balanced_sample,
         "quality_score": _q_quality,
+        "repetition_scores": _q_repetition_scores,
+        "decontaminate": _q_decontaminate,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "shingle_stats": _q_shingles,
@@ -1001,6 +1019,89 @@ def oracle_sql() -> dict[str, str]:
                           + case when length(text) between 100 and 2000
                                  then 1.0 else 0.5 end) / 3.0, 6) AS quality
             FROM documents ORDER BY doc_id
+        """,
+        "repetition_scores": """
+            WITH perrow AS (
+                SELECT doc_id, length(text) AS _chars,
+                    string_split(text, ' ') AS toks,
+                    string_split(text, chr(10)) AS lines
+                FROM documents
+            ), metrics AS (
+                SELECT doc_id, _chars,
+                    round((len(toks) - len(list_distinct(toks))) * 1.0
+                          / greatest(len(toks), 1), 6) AS dup_word_frac,
+                    CASE WHEN len(toks) >= 3 THEN round(
+                        (len(toks) - 2
+                         - len(list_distinct(list_transform(
+                               generate_series(0, len(toks) - 3),
+                               i -> array_to_string(
+                                   list_slice(toks, i + 1, i + 3), ' ')))))
+                        * 1.0 / (len(toks) - 2), 6)
+                    ELSE 0.0 END AS dup_trigram_frac,
+                    round((len(lines) - len(list_distinct(lines))) * 1.0
+                          / greatest(len(lines), 1), 6) AS dup_line_frac,
+                    round((coalesce(list_sum(list_transform(
+                               lines, x -> length(x))), 0)
+                           - coalesce(list_sum(list_transform(
+                               list_distinct(lines), x -> length(x))), 0))
+                          * 1.0
+                          / greatest(coalesce(list_sum(list_transform(
+                               lines, x -> length(x))), 0), 1), 6)
+                        AS dup_line_char_frac
+                FROM perrow
+            ), bigrams AS (
+                SELECT doc_id,
+                    unnest(list_transform(
+                        generate_series(0, len(toks) - 2),
+                        i -> array_to_string(
+                            list_slice(toks, i + 1, i + 2), ' '))) AS gram
+                FROM perrow WHERE len(toks) >= 2
+            ), counts AS (
+                SELECT doc_id, gram, count(*) AS cnt
+                FROM bigrams GROUP BY doc_id, gram
+            ), top AS (
+                SELECT doc_id, gram, cnt FROM (
+                    SELECT doc_id, gram, cnt,
+                        row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram DESC) AS rn
+                    FROM counts) WHERE rn = 1
+            )
+            SELECT m.doc_id, m.dup_word_frac, m.dup_trigram_frac,
+                   m.dup_line_frac, m.dup_line_char_frac,
+                   t.gram AS top_bigram,
+                   cast(coalesce(t.cnt, 0) as int) AS top_bigram_count,
+                   round(coalesce(t.cnt * length(t.gram), 0) * 1.0
+                         / greatest(m._chars, 1), 6)
+                       AS top_bigram_char_frac
+            FROM metrics m LEFT JOIN top t USING (doc_id)
+            ORDER BY m.doc_id
+        """,
+        "decontaminate": """
+            WITH grams AS (
+                SELECT doc_id, (doc_id % 10 = 7) AS _bench,
+                    unnest(CASE WHEN len(string_split(text, ' ')) >= 5
+                        THEN list_distinct(list_transform(
+                            generate_series(
+                                0, len(string_split(text, ' ')) - 5),
+                            i -> array_to_string(list_slice(
+                                string_split(text, ' '),
+                                i + 1, i + 5), ' ')))
+                        ELSE [text] END) AS gram
+                FROM documents
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE _bench
+            ), corpus AS (
+                SELECT doc_id, gram FROM grams WHERE NOT _bench
+            )
+            SELECT c.doc_id,
+                   cast(count(*) as int) AS n_grams,
+                   cast(count(b.gram) as int) AS n_hits,
+                   round(count(b.gram) * 1.0 / count(*), 6)
+                       AS contamination_frac,
+                   count(b.gram) * 1.0 / count(*) >= 0.2
+                       AS is_contaminated
+            FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+            GROUP BY c.doc_id ORDER BY c.doc_id
         """,
         "lang_id": f"""
             SELECT doc_id, lang AS labeled_lang,

@@ -468,6 +468,168 @@ def lang_balanced_sample(documents: DataFrame,
     )
 
 
+def _word_ngrams(words, n: int):
+    """Non-distinct n-gram list over a token array (JVM-side only).
+    Empty when the document has fewer than n tokens — repetition
+    metrics are defined as 0 there (mirrored in the SQL oracle)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(documents: DataFrame, top_n: int = 2,
+                      dup_n: int = 3) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.1 — public
+    paper; also used by RefinedWeb/Dolma): repeated-token mass,
+    duplicate n-gram fraction, duplicate-line fraction + the character
+    mass of repeated lines, and the character fraction covered by the
+    most frequent word bigram. High values flag boilerplate/spam-like
+    documents for the curation gate.
+
+    Scale shape: every metric except the top-bigram is a PER-ROW
+    higher-order-function expression (no shuffle, whole-stage
+    codegen). The top-bigram needs a per-(doc, gram) count: explode →
+    two-stage hash aggregate on (doc_id, gram) → one doc_id window —
+    keyed shuffles only, partial aggregation applies, no driver
+    participation; the final join back to the per-row frame is a
+    doc_id equi-join (AQE picks broadcast when one side is small).
+    Deterministic tie-break: highest count, then lexicographically
+    LAST gram — identical ORDER BY in the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    n_toks = F.size(words)
+    n_lines = F.size(lines)
+    dup_ngrams = _word_ngrams(words, dup_n)
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    uniq_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, x: acc + F.length(x))
+
+    per_row = documents.select(
+        "doc_id",
+        F.length("text").alias("_chars"),
+        F.round(
+            (n_toks - F.size(F.array_distinct(words)))
+            / F.greatest(n_toks, F.lit(1)).cast("double"), 6)
+        .alias("dup_word_frac"),
+        F.round(
+            F.when(
+                F.size(dup_ngrams) > 0,
+                (F.size(dup_ngrams) - F.size(F.array_distinct(dup_ngrams)))
+                / F.size(dup_ngrams).cast("double"),
+            ).otherwise(F.lit(0.0)), 6)
+        .alias("dup_trigram_frac"),
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines)))
+            / F.greatest(n_lines, F.lit(1)).cast("double"), 6)
+        .alias("dup_line_frac"),
+        F.round(
+            (line_chars - uniq_line_chars)
+            / F.greatest(line_chars, F.lit(1)).cast("double"), 6)
+        .alias("dup_line_char_frac"),
+    )
+
+    grams = (
+        _spread(documents)
+        .select("doc_id",
+                F.explode(_word_ngrams(words, top_n)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.desc("gram"))
+    top = (
+        grams.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_bigram"),
+                F.col("cnt").alias("top_bigram_count"))
+    )
+    return (
+        per_row.join(top, "doc_id", "left")
+        .select(
+            "doc_id", "dup_word_frac", "dup_trigram_frac",
+            "dup_line_frac", "dup_line_char_frac", "top_bigram",
+            F.coalesce("top_bigram_count", F.lit(0)).cast("int")
+            .alias("top_bigram_count"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_count")
+                    * F.length("top_bigram"), F.lit(0))
+                / F.greatest(F.col("_chars"), F.lit(1)).cast("double"), 6)
+            .alias("top_bigram_char_frac"),
+        )
+    )
+
+
+def decontaminate(documents: DataFrame, n: int = 5, bench_mod: int = 10,
+                  bench_rem: int = 7,
+                  threshold: float = 0.2) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct
+    word n-grams that also appear in a held-out benchmark set — the
+    GPT-3/PaLM-style n-gram-collision check that keeps eval data out
+    of a training corpus (public methodology; Brown et al. 2020
+    appendix C). The benchmark here is carved deterministically from
+    the same table (doc_id % bench_mod == bench_rem) so the operator
+    is self-contained and SQL-oracled; in production the benchmark
+    side is the eval suites' text.
+
+    Scale shape: the corpus side is an exploded distinct-gram frame
+    (one generate + one (doc_id, gram) aggregate — keyed shuffles with
+    partial aggregation). The benchmark gram set is SMALL by nature
+    (eval suites, not the corpus), so it is broadcast: the membership
+    probe costs no shuffle of the corpus grams beyond the per-doc
+    count aggregate. Every corpus document comes back (zero-hit docs
+    included) so the output is a total annotation, not a filter."""
+    words = F.split(F.col("text"), " ")
+    # distinct grams per doc; sub-n-token docs contribute their whole
+    # text as the single gram (same fallback as word_shingles)
+    grams = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == bench_rem
+
+    exploded = (
+        _spread(documents)
+        .select("doc_id", is_bench.alias("_bench"),
+                F.explode(grams).alias("gram"))
+    )
+    bench_grams = (
+        exploded.where(F.col("_bench")).select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = exploded.where(~F.col("_bench"))
+    return (
+        corpus.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.count("_hit").cast("int").alias("n_hits"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_hits",
+            F.round(
+                F.col("n_hits")
+                / F.col("n_grams").cast("double"), 6)
+            .alias("contamination_frac"),
+            (F.col("n_hits") / F.col("n_grams").cast("double")
+             >= threshold).alias("is_contaminated"),
+        )
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length band + stopword ratio +
     alpha ratio. Deterministic closed-form (SQL-oracled)."""

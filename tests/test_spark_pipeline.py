@@ -1855,3 +1855,83 @@ def test_versioned_format_append_refuses_schema_drift(spark, tmp_path):
     fmt.append(spark.createDataFrame([(2, "b")], "id long, v string")
                .selectExpr("id", "coalesce(v, 'x') as v"), path)
     assert fmt.read(spark, path).count() == 2
+
+
+def test_repetition_scores_planted(spark):
+    """Gopher-style repetition metrics on hand-computable documents:
+    repeated-bigram mass, duplicate-line fractions (the sf corpus has
+    no newlines, so the line metrics are exercised HERE), the
+    deterministic count-then-lexicographic tie-break, and
+    repartition-invariance."""
+    from html_parser_spark.spark.ops import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),       # bigrams: "a b" x3, "b a" x2
+         (2, "x\ny\nx\nz"),        # one 4-line doc, line "x" repeated
+         (3, "p q r")],            # all-unique tokens
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert len(out) == 3
+
+    r1 = out[1]
+    assert r1.dup_word_frac == round((6 - 2) / 6, 6)
+    assert r1.dup_trigram_frac == 0.5        # 4 trigrams, 2 distinct
+    assert r1.dup_line_frac == 0.0
+    assert r1.top_bigram == "a b"
+    assert r1.top_bigram_count == 3
+    assert r1.top_bigram_char_frac == round(3 * 3 / 11, 6)
+
+    r2 = out[2]
+    # whitespace-split sees ONE token, so word/bigram metrics are zero
+    assert r2.dup_word_frac == 0.0
+    assert r2.dup_trigram_frac == 0.0
+    assert r2.top_bigram is None and r2.top_bigram_count == 0
+    assert r2.top_bigram_char_frac == 0.0
+    assert r2.dup_line_frac == 0.25          # 4 lines, 3 distinct
+    assert r2.dup_line_char_frac == 0.25     # 4 line chars, 1 repeated
+
+    r3 = out[3]
+    assert r3.dup_word_frac == 0.0
+    # tie between "p q" and "q r" (count 1): lexicographically LAST
+    assert r3.top_bigram == "q r"
+    assert r3.top_bigram_count == 1
+    assert r3.top_bigram_char_frac == round(3 / 5, 6)
+
+    again = repetition_scores(docs.repartition(5)).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        tuple(out[k]) for k in sorted(out))
+
+
+def test_decontaminate_planted(spark):
+    """n-gram-collision decontamination: a corpus doc sharing a
+    5-gram with a benchmark doc is flagged, disjoint docs are not,
+    the sub-n-token whole-text fallback matches across sides, and
+    benchmark docs never appear in the output."""
+    from html_parser_spark.spark.ops import decontaminate
+
+    docs = spark.createDataFrame(
+        [(7, "w1 w2 w3 w4 w5 w6"),     # benchmark (7 % 10 == 7)
+         (27, "short text"),           # benchmark, sub-5-token
+         (1, "w1 w2 w3 w4 w5"),        # == bench gram -> contaminated
+         (2, "z1 z2 z3 z4 z5 z6 z7"),  # disjoint
+         (3, "short text")],           # fallback-gram hit
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert set(out) == {1, 2, 3}       # corpus side only
+
+    assert out[1].n_grams == 1 and out[1].n_hits == 1
+    assert out[1].contamination_frac == 1.0
+    assert out[1].is_contaminated
+
+    assert out[2].n_grams == 3 and out[2].n_hits == 0
+    assert out[2].contamination_frac == 0.0
+    assert not out[2].is_contaminated
+
+    assert out[3].n_grams == 1 and out[3].n_hits == 1
+    assert out[3].is_contaminated
+
+    # the benchmark gram set rides a broadcast, not a shuffle join
+    plan = decontaminate(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -313,6 +313,38 @@ def main():
          "source:string>" in p),
     ])
 
+    audit("repetition_scores (Gopher repetition filters)",
+          qs["repetition_scores"](spark, SF_DIR), [
+        ("per-row metrics stay JVM-side (no Python node)",
+         lambda p: "Python" not in p),
+        ("top-bigram count aggregates partially before its exchange",
+         lambda p: p.count("HashAggregate") >= 4),  # tree + details
+        ("no cartesian/BNL join anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("scan prunes to doc_id+text",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ], note="Everything except the top-bigram is a per-row "
+            "higher-order-function expression: zero shuffles. The "
+            "top-bigram pays one keyed (doc_id, gram) aggregate plus "
+            "a doc_id window — both partial-agg-friendly at 100 TB.")
+
+    audit("decontaminate (benchmark n-gram collisions)",
+          qs["decontaminate"](spark, SF_DIR), [
+        ("benchmark gram set is broadcast (no corpus-side shuffle "
+         "for the membership probe)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian/BNL join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("gram construction stays JVM-side (no Python node)",
+         lambda p: "Python" not in p),
+        ("per-doc overlap aggregates partially",
+         lambda p: p.count("HashAggregate") >= 4),
+    ], note="The benchmark side (eval suites) is small by nature -> "
+            "broadcast is the 100 TB shape; the corpus side is one "
+            "generate + one keyed aggregate, never joined to itself.")
+
     audit("events_pruned_window (days(ts) partition pruning)",
           qs["events_pruned_window"](spark, SF_DIR), [
         ("partition filters reach the scan (directories pruned at "
