@@ -286,6 +286,21 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(_t(spark, sf_dir, "documents"))
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    # top-k characteristic terms per doc; rational TF-rarity score
+    # (engine-exact, no libm log) — SQL-exact
+    from html_parser_spark.spark.ops import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+def _q_split_assign(spark, sf_dir):
+    # deterministic md5-bucket train/val/test split — SQL-exact
+    from html_parser_spark.spark.ops import split_assign
+
+    return split_assign(_t(spark, sf_dir, "documents"))
+
+
 def _q_pack_sequences(spark, sf_dir):
     # training-data sequence packing: bucketed greedy concat-and-split
     # placement, one keyed window (no global sort) — SQL-exact
@@ -715,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "repetition_scores": _q_repetition_scores,
         "decontaminate": _q_decontaminate,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "split_assign": _q_split_assign,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "shingle_stats": _q_shingles,
@@ -1102,6 +1119,46 @@ def oracle_sql() -> dict[str, str]:
                        AS is_contaminated
             FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
             GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (
+                SELECT doc_id, term, cast(count(*) as int) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, cast(count(*) as int) AS df
+                FROM terms GROUP BY term
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), ranked AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       t.tf * (n.n_docs + 1) / (d.df + 1) AS score,
+                       cast(row_number() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY t.tf * (n.n_docs + 1) / (d.df + 1)
+                               DESC, t.term ASC) as int) AS term_rank
+                FROM terms t, dfreq d, n WHERE t.term = d.term
+            )
+            SELECT doc_id, term, tf, df,
+                   round(score, 6) AS tfidf, term_rank
+            FROM ranked WHERE term_rank <= 3
+            ORDER BY doc_id, term_rank
+        """,
+        "split_assign": """
+            SELECT doc_id, lang,
+                   cast(bucket as int) AS bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(cast(doc_id as varchar)
+                                           || '|split42'), 1, 8))::BIGINT
+                           % 100 AS bucket
+                FROM documents
+            ) ORDER BY doc_id
         """,
         "lang_id": f"""
             SELECT doc_id, lang AS labeled_lang,

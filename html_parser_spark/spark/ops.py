@@ -630,6 +630,79 @@ def decontaminate(documents: DataFrame, n: int = 5, bench_mod: int = 10,
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k characteristic terms by a smoothed
+    TF-rarity score: tf * (N + 1) / (df + 1). The weight is
+    monotone-decreasing in document frequency like add-one-smoothed
+    IDF, but stays in RATIONAL arithmetic — integer products and one
+    IEEE double division, which is correctly-rounded and therefore
+    bit-identical between the JVM and DuckDB — instead of libm log,
+    whose last-ulp differences across engines could flip a rank at a
+    tie boundary. Ties break on the term string ascending.
+
+    Scale shape: one (doc_id, term) count aggregate, one (term)
+    document-frequency aggregate, a keyed equi-join on term (AQE
+    picks the strategy; the vocabulary side is Zipf-small after
+    aggregation), and one doc_id window for the top-k — all partial-
+    agg-friendly, no driver participation except the one scalar
+    corpus count (bounded action, same pattern as the k-means
+    stats)."""
+    from pyspark.sql import Window
+
+    n_docs = documents.count()
+    terms = (
+        _spread(documents)
+        .select("doc_id",
+                F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(
+        F.count("*").cast("int").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (
+        terms.join(dfreq, "term")
+        .withColumn("score",
+                    F.col("tf") * F.lit(n_docs + 1) / (F.col("df") + 1))
+        .withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "df",
+                F.round("score", 6).alias("tfidf"), "term_rank")
+    )
+
+
+def split_assign(documents: DataFrame, train_pct: int = 90,
+                 val_pct: int = 5, salt: str = "split42") -> DataFrame:
+    """Deterministic train/val/test assignment: bucket 0-99 from the
+    first 8 hex digits of md5(doc_id | salt), thresholded into
+    train / val / test. Pure per-row expression — ZERO shuffles, no
+    RNG state, repartition- and rerun-invariant, and changing the
+    salt re-rolls the split without touching any other column. The
+    identical md5-substring arithmetic runs in the DuckDB oracle
+    (('0x' || hex)::BIGINT there, conv(hex, 16, 10) here), so the
+    assignment is engine-exact, not just statistically alike."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.lit(salt))),
+                1, 8),
+            16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select(
+        "doc_id", "lang",
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length band + stopword ratio +
     alpha ratio. Deterministic closed-form (SQL-oracled)."""

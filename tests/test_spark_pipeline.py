@@ -1935,3 +1935,82 @@ def test_decontaminate_planted(spark):
         .toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_top_terms_planted(spark):
+    """Rational TF-rarity ranking on a hand-computable corpus,
+    including the tie broken by term string (no libm log anywhere,
+    so ranks are engine-exact by construction)."""
+    from html_parser_spark.spark.ops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "common common dog")],
+        "doc_id long, text string")
+    rows = tfidf_top_terms(docs, k=3).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.term_rank)
+
+    # N=3; score = tf * 4 / (df + 1)
+    d1 = [(r.term, r.tfidf) for r in by_doc[1]]
+    assert d1 == [("apple", 4.0), ("banana", round(4 / 3, 6)),
+                  ("common", 1.0)]
+    d2 = [(r.term, r.tfidf) for r in by_doc[2]]
+    assert d2 == [("cherry", 2.0), ("banana", round(4 / 3, 6)),
+                  ("common", 1.0)]
+    # doc 3: common (tf=2, df=3) and dog (tf=1, df=1) BOTH score 2.0
+    # -> term-ascending tie-break
+    d3 = [(r.term, r.tfidf) for r in by_doc[3]]
+    assert d3 == [("common", 2.0), ("dog", 2.0)]
+
+    again = tfidf_top_terms(docs.repartition(5), k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_split_assign_deterministic(spark):
+    """md5-bucket split: thresholds honored, assignment reproducible
+    across repartitionings and exactly equal to a driver-side
+    recomputation; changing the salt re-rolls it."""
+    import hashlib
+
+    from html_parser_spark.spark.ops import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web") for i in range(1000)],
+        "doc_id long, text string, lang string, source string")
+    rows = split_assign(docs).collect()
+    assert len(rows) == 1000
+
+    def expect_bucket(doc_id, salt="split42"):
+        h = hashlib.md5(f"{doc_id}|{salt}".encode()).hexdigest()
+        return int(h[:8], 16) % 100
+
+    for r in rows:
+        b = expect_bucket(r.doc_id)
+        assert r.bucket == b
+        assert r.split == (
+            "train" if b < 90 else "val" if b < 95 else "test")
+
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for r in rows:
+        counts[r.split] += 1
+    # md5 buckets are uniform; 1000 draws stay well inside these bands
+    assert 850 <= counts["train"] <= 950
+    assert 20 <= counts["val"] <= 90
+    assert 20 <= counts["test"] <= 90
+
+    again = split_assign(docs.repartition(7)).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+    rerolled = split_assign(docs, salt="other").collect()
+    assert {(r.doc_id, r.bucket) for r in rerolled} != {
+        (r.doc_id, r.bucket) for r in rows}
+
+    # pure per-row expression: the plan holds NO exchange at all
+    plan = split_assign(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan

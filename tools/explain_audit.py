@@ -345,6 +345,34 @@ def main():
             "broadcast is the 100 TB shape; the corpus side is one "
             "generate + one keyed aggregate, never joined to itself.")
 
+    audit("tfidf_top_terms (characteristic terms)",
+          qs["tfidf_top_terms"](spark, SF_DIR), [
+        ("term-frequency and document-frequency aggregates are "
+         "partial (map-side combine)",
+         lambda p: p.count("HashAggregate") >= 6),  # tree + details
+        ("no cartesian/BNL join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("whole pipeline stays JVM-side (no Python node)",
+         lambda p: "Python" not in p),
+        ("top-k filter prunes on the rank",
+         lambda p: "term_rank" in p),
+    ], note="The corpus size N rides in as a literal (one bounded "
+            "driver count), NOT a joined one-row frame — so no "
+            "nested-loop join appears anywhere.")
+
+    audit("split_assign (deterministic train/val/test)",
+          qs["split_assign"](spark, SF_DIR), [
+        ("pure per-row expression: ZERO exchanges in the plan",
+         lambda p: "Exchange" not in p),
+        ("no Python node",
+         lambda p: "Python" not in p),
+        ("scan prunes to doc_id+lang",
+         lambda p: "ReadSchema: struct<doc_id:bigint,lang:string>"
+         in p),
+    ], note="The md5-bucket assignment shuffles NOTHING at any "
+            "scale — the one shape that is trivially 100 TB-safe.")
+
     audit("events_pruned_window (days(ts) partition pruning)",
           qs["events_pruned_window"](spark, SF_DIR), [
         ("partition filters reach the scan (directories pruned at "
