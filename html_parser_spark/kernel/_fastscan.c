@@ -300,6 +300,9 @@ typedef struct {
     PyObject *pending_errs; /* owned list | NULL: decode errors for the
                                token currently being assembled; emit()
                                steals it into the TokRec */
+    int seen_foreign;       /* sticky: a <svg>/<math> start tag was
+                               emitted.  From then on any raw-state
+                               trigger tag bails (see done: below) */
 } Scan;
 
 #define RD(sc, i) PyUnicode_READ((sc)->kind, (sc)->data, (i))
@@ -726,14 +729,35 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
     }
 
 done: ;
-    /* foreign content and PLAINTEXT change tokenizer<->builder
-       coupling: out of subset */
-    if (name_equals(name, "plaintext") || name_equals(name, "svg")
-        || name_equals(name, "math")) {
+    /* PLAINTEXT changes tokenizer<->builder coupling irrecoverably:
+       out of subset */
+    if (name_equals(name, "plaintext")) {
         Py_DECREF(name); Py_XDECREF(attrs);
-        BAIL(sc, "foreign-or-plaintext");
+        BAIL(sc, "plaintext");
     }
+    /* Foreign content (<svg>/<math>) is builder-side EXCEPT for two
+       feedback channels, both gated on specific later input: the
+       builder's SVG-<title> tokenizer undo (foreign.py) and the
+       foreign-gated CDATA flag (allow_cdata).  CDATA needs "<![",
+       which always bails via the bogus-comment path; the undo (and
+       every other raw-entry ambiguity — e.g. <style> inside svg vs
+       inside an HTML integration point, breakout <font color>, a
+       <title> after </svg>) needs a raw-state trigger START tag at
+       some tag position after the first foreign tag.  So: accept the
+       foreign tag itself as a plain DATA-state token and set a STICKY
+       flag; from then on any raw-trigger start tag bails the whole
+       document.  Conservative (a plain-HTML <title> after </svg>
+       also bails) but context-free and provably token-identical:
+       before the flag nothing changed, after the flag no raw state is
+       ever entered C-side, matching every builder-feedback scenario
+       by never reaching one. */
+    if (name_equals(name, "svg") || name_equals(name, "math"))
+        sc->seen_foreign = 1;
     int rstate = raw_state_for(name);
+    if (rstate != S_DATA && sc->seen_foreign) {
+        Py_DECREF(name); Py_XDECREF(attrs);
+        BAIL(sc, "raw-tag-after-foreign");
+    }
     if (emit(sc, T_START, name, NULL, attrs, self_closing,
              (unsigned char)rstate) < 0)
         return -1;
