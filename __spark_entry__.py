@@ -301,6 +301,22 @@ def _q_split_assign(spark, sf_dir):
     return split_assign(_t(spark, sf_dir, "documents"))
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # sliding word-window chunking (pretraining/RAG prep) — one
+    # narrow JVM stage, zero shuffles — SQL-exact
+    from html_parser_spark.spark.ops import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def _q_temperature_sample(spark, sf_dir):
+    # per-language temperature sampling (alpha=0.5) with an integer-
+    # squared md5 threshold; broadcast count join — SQL-exact
+    from html_parser_spark.spark.ops import temperature_sample
+
+    return temperature_sample(_t(spark, sf_dir, "documents"))
+
+
 def _q_pack_sequences(spark, sf_dir):
     # training-data sequence packing: bucketed greedy concat-and-split
     # placement, one keyed window (no global sort) — SQL-exact
@@ -732,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "split_assign": _q_split_assign,
+        "chunk_documents": _q_chunk_documents,
+        "temperature_sample": _q_temperature_sample,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "shingle_stats": _q_shingles,
@@ -1159,6 +1177,48 @@ def oracle_sql() -> dict[str, str]:
                            % 100 AS bucket
                 FROM documents
             ) ORDER BY doc_id
+        """,
+        "chunk_documents": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id, words, g.start
+                FROM w, LATERAL (
+                    SELECT unnest(range(
+                        1, greatest(len(words), 1) + 1, 32)) AS start
+                ) g
+            )
+            SELECT doc_id,
+                   cast((start - 1) // 32 as int) AS chunk_idx,
+                   array_to_string(words[start : start + 47], ' ')
+                       AS chunk_text,
+                   cast(least(48, len(words) - start + 1) as int)
+                       AS n_tokens
+            FROM s ORDER BY doc_id, chunk_idx
+        """,
+        "temperature_sample": """
+            WITH c AS (
+                SELECT lang, cast(count(*) as bigint) AS n_lang
+                FROM documents GROUP BY lang
+            ), m AS (
+                SELECT lang, n_lang, max(n_lang) OVER () AS n_max
+                FROM c
+            ), b AS (
+                SELECT d.doc_id, d.lang, m.n_lang, m.n_max,
+                       ('0x' || substr(md5(cast(d.doc_id as varchar)
+                                           || '|temp7'), 1, 8))::BIGINT
+                           % 10000 AS bucket
+                FROM documents d JOIN m ON d.lang = m.lang
+            )
+            SELECT doc_id, lang, n_lang,
+                   cast(bucket as int) AS bucket,
+                   round(least(1.0,
+                               0.5 * sqrt(cast(n_max as double)
+                                          / n_lang)), 6) AS keep_rate,
+                   (bucket * bucket * n_lang
+                    < 2500 * n_max * 10000) AS kept
+            FROM b ORDER BY doc_id
         """,
         "lang_id": f"""
             SELECT doc_id, lang AS labeled_lang,

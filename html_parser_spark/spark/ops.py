@@ -703,6 +703,104 @@ def split_assign(documents: DataFrame, train_pct: int = 90,
     )
 
 
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 48,
+                    overlap: int = 16) -> DataFrame:
+    """Sliding-window chunking — the pretraining/RAG prep step that
+    turns documents into fixed-size overlapping token windows. Words
+    are single-space splits (empty tokens from runs of spaces are
+    KEPT, matching both engines' split semantics); window i starts at
+    word 1 + i*stride with stride = chunk_tokens - overlap, and the
+    final window may be short.
+
+    Scale shape: split + sequence + posexplode + slice + array_join
+    are all JVM codegen expressions — ONE narrow stage, zero
+    shuffles, no Python. Fan-out is bounded by ceil(words/stride)
+    rows per document, each carrying only its own slice, so output
+    partitioning inherits input partitioning and a 100 TB corpus
+    chunks in a single map pass."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(stride))
+    return (
+        documents
+        .select("doc_id", words.alias("words"),
+                F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("words"), F.col("start"), chunk_tokens),
+                " ").alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size("words") - F.col("start") + 1,
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def temperature_sample(documents: DataFrame, pct: int = 50,
+                       salt: str = "temp7") -> DataFrame:
+    """Per-language temperature sampling (the mT5/XLM-R balancing
+    move) at temperature alpha = 0.5: language l with n_l docs keeps
+    each doc with probability min(1, (pct/100) * sqrt(n_max / n_l)),
+    so the largest language keeps pct% and rarer languages are
+    upsampled toward parity. The keep decision is DETERMINISTIC (an
+    md5 bucket like split_assign) and — because alpha = 1/2 — the
+    threshold compare runs in INTEGER arithmetic by squaring both
+    sides:  bucket^2 * n_l  <  pct^2 * n_max * B^2 / 100^2,  with
+    bucket uniform on [0, B). No libm pow anywhere, so the oracle is
+    engine-exact, not last-ulp-lucky. (Bounds: with B = 10^4 the
+    comparison fits in int64 up to ~9 * 10^6 docs per language;
+    production at corpus scale widens the literals to DECIMAL.)
+
+    Scale shape: one partial-agg count on the low-cardinality lang
+    key, a broadcast join of that tiny frame back onto the corpus,
+    and a pure per-row expression — no corpus-wide shuffle, no RNG
+    state, repartition- and rerun-invariant. The n_max window runs
+    over the k-language count frame, not the corpus."""
+    from pyspark.sql import Window
+
+    counts = documents.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_lang"))
+    # global max over the tiny per-language frame (k rows, one task)
+    counts = counts.withColumn(
+        "n_max", F.max("n_lang").over(
+            Window.partitionBy(F.lit(1))))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.lit(salt))),
+                1, 8),
+            16, 10)
+        .cast("bigint") % 10000
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(F.broadcast(counts), "lang")
+        .select(
+            "doc_id", "lang", "n_lang",
+            bucket.cast("int").alias("bucket"),
+            # sqrt and / are IEEE correctly-rounded, so the rounded
+            # informational rate is also engine-exact
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(pct) / F.lit(100.0))
+                    * F.sqrt(F.col("n_max").cast("double")
+                             / F.col("n_lang"))),
+                6).alias("keep_rate"),
+            (bucket * bucket * F.col("n_lang")
+             < F.lit(pct * pct) * F.col("n_max") * F.lit(10000))
+            .alias("kept"),
+        )
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length band + stopword ratio +
     alpha ratio. Deterministic closed-form (SQL-oracled)."""

@@ -2014,3 +2014,93 @@ def test_split_assign_deterministic(spark):
     plan = split_assign(docs)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_planted(spark):
+    """Sliding-window chunking: windows tile the word sequence with
+    the configured overlap, the tail may be short, reconstruction by
+    dropping each window's overlap prefix reproduces the document,
+    and the plan is a single narrow stage (zero exchanges)."""
+    from html_parser_spark.spark.ops import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "web"),
+         (2, "solo", "en", "web"),
+         (3, "", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.chunk_idx)
+
+    # doc 1: stride 2 over 10 words -> starts 1,3,5,7,9
+    c1 = by_doc[1]
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7",
+        "w6 w7 w8 w9", "w8 w9"]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 4, 2]
+    # reconstruction: first window whole, then drop the overlap
+    rebuilt = c1[0].chunk_text.split(" ")
+    for r in c1[1:]:
+        rebuilt += r.chunk_text.split(" ")[2:]
+    assert rebuilt == words
+
+    # short and empty docs produce exactly one window
+    assert [r.chunk_text for r in by_doc[2]] == ["solo"]
+    assert [(r.chunk_text, r.n_tokens) for r in by_doc[3]] == [("", 1)]
+
+    # narrow stage: no shuffle, no Python
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_temperature_sample_planted(spark):
+    """alpha=0.5 temperature sampling: the largest language keeps
+    ~pct%, rare languages hit the rate cap and keep everything, the
+    per-row decision equals a driver-side integer recomputation, and
+    the count frame joins back by BROADCAST (no corpus-side SMJ)."""
+    import hashlib
+    import math
+
+    from html_parser_spark.spark.ops import temperature_sample
+
+    rows = ([(i, "t", "en", "web") for i in range(900)]
+            + [(1000 + i, "t", "fr", "web") for i in range(100)]
+            + [(2000 + i, "t", "zh", "web") for i in range(25)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = temperature_sample(docs, pct=50).collect()
+    assert len(out) == 1025
+
+    n = {"en": 900, "fr": 100, "zh": 25}
+
+    def expect_kept(doc_id, lang):
+        h = hashlib.md5(f"{doc_id}|temp7".encode()).hexdigest()
+        bucket = int(h[:8], 16) % 10000
+        return bucket * bucket * n[lang] < 2500 * 900 * 10000
+
+    kept_counts = {"en": 0, "fr": 0, "zh": 0}
+    for r in out:
+        assert r.n_lang == n[r.lang]
+        assert r.kept == expect_kept(r.doc_id, r.lang), r
+        exp_rate = min(1.0, 0.5 * math.sqrt(900 / n[r.lang]))
+        assert abs(r.keep_rate - round(exp_rate, 6)) < 1e-9
+        kept_counts[r.lang] += bool(r.kept)
+    # en: rate 0.5 -> binomial(900, .5) stays well inside this band
+    assert 380 <= kept_counts["en"] <= 520
+    # fr rate = 1.5 capped at 1, zh rate = 3 capped at 1: keep all
+    assert kept_counts["fr"] == 100
+    assert kept_counts["zh"] == 25
+
+    again = temperature_sample(docs.repartition(7), pct=50).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    plan = temperature_sample(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

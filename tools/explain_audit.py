@@ -373,6 +373,35 @@ def main():
     ], note="The md5-bucket assignment shuffles NOTHING at any "
             "scale — the one shape that is trivially 100 TB-safe.")
 
+    audit("chunk_documents (sliding-window chunking)",
+          qs["chunk_documents"](spark, SF_DIR), [
+        ("pure narrow stage: ZERO exchanges in the plan",
+         lambda p: "Exchange" not in p),
+        ("no Python node",
+         lambda p: "Python" not in p),
+        ("one generator (posexplode), no join",
+         lambda p: p.count("Generate") >= 1 and "Join" not in p),
+        ("scan prunes to doc_id+text",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>"
+         in p),
+    ], note="Chunk fan-out is a per-row generate over in-row slices: "
+            "output co-partitions with input, nothing moves — the "
+            "100 TB chunking pass is scan-bound by construction.")
+
+    audit("temperature_sample (alpha=0.5 language balancing)",
+          qs["temperature_sample"](spark, SF_DIR), [
+        ("per-language count frame joins back by BROADCAST",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no sort-merge join of the corpus",
+         lambda p: "SortMergeJoin" not in p),
+        ("count aggregate is partial (map-side combine)",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("keep decision stays JVM-side (no Python node)",
+         lambda p: "Python" not in p),
+    ], note="The only shuffle is the k-language count aggregate; the "
+            "corpus itself never moves. The n_max window runs over "
+            "the k-row count frame, not the corpus.")
+
     audit("events_pruned_window (days(ts) partition pruning)",
           qs["events_pruned_window"](spark, SF_DIR), [
         ("partition filters reach the scan (directories pruned at "
