@@ -37,13 +37,17 @@
  *  - bare '<' before a non-special char is a literal '<' CHARACTER
  *    token with NO error; '</' + non-alpha errors (-> bail)
  *  - </name> requires '>' IMMEDIATELY after the name run
- *  - <!DOCTYPE: optional ws, name run, then (unless PUBLIC/SYSTEM
- *    ci-matches at exactly that position -> bail) silent skip to '>'
+ *  - <!DOCTYPE: optional ws, name run, then optionally PUBLIC/SYSTEM
+ *    with properly-quoted ids (ids ASCII-lowered; a missing SECOND
+ *    public id is silent, a missing/unclosed quote errors -> bail),
+ *    then silent skip to '>'
  *  - raw elements (title textarea style xmp iframe noembed noframes
  *    script) emit their body as ONE character token ending just
  *    before the matching "</name[ws / >]" terminator; entering the
  *    raw state does NOT depend on self_closing
- *  - <script> content escapes only on an exact "<!--" (-> bail)
+ *  - <script> content: an exact "<!--" enters the escaped family,
+ *    whose terminator rule equals the plain scan's — accepted; an
+ *    inner ci "<script" after it could enter DOUBLE-escape -> bail
  */
 
 #define PY_SSIZE_T_CLEAN
@@ -237,16 +241,50 @@ FastFeed_next(FastFeed *self, PyObject *Py_UNUSED(ignored))
         t->type = r->type;
         Py_INCREF(r->name ? r->name : Py_None);
         Py_XSETREF(t->name, r->name ? r->name : Py_None);
-        Py_INCREF(r->data ? r->data : Py_None);
-        Py_XSETREF(t->data, r->data ? r->data : Py_None);
-        Py_INCREF(r->attrs ? r->attrs : EMPTY_ATTRS);
-        Py_XSETREF(t->attrs, r->attrs ? r->attrs : EMPTY_ATTRS);
+        if (r->type == T_DOCTYPE) {
+            /* DOCTYPE records carry public/system ids in the unused
+               (data, attrs) slots; builder-visible data stays None
+               and attrs stays the shared empty list, like the
+               Python scratch token */
+            Py_INCREF(r->data ? r->data : Py_None);
+            Py_XSETREF(t->public_id, r->data ? r->data : Py_None);
+            Py_INCREF(r->attrs ? r->attrs : Py_None);
+            Py_XSETREF(t->system_id, r->attrs ? r->attrs : Py_None);
+            Py_INCREF(Py_None);
+            Py_XSETREF(t->data, Py_None);
+            Py_INCREF(EMPTY_ATTRS);
+            Py_XSETREF(t->attrs, EMPTY_ATTRS);
+        } else {
+            /* typed scratch reset: ids only survive a DOCTYPE token
+               itself (Tokenizer.next clears them on the following
+               pull) */
+            if (t->public_id != Py_None) {
+                Py_INCREF(Py_None);
+                Py_XSETREF(t->public_id, Py_None);
+            }
+            if (t->system_id != Py_None) {
+                Py_INCREF(Py_None);
+                Py_XSETREF(t->system_id, Py_None);
+            }
+            Py_INCREF(r->data ? r->data : Py_None);
+            Py_XSETREF(t->data, r->data ? r->data : Py_None);
+            Py_INCREF(r->attrs ? r->attrs : EMPTY_ATTRS);
+            Py_XSETREF(t->attrs, r->attrs ? r->attrs : EMPTY_ATTRS);
+        }
         t->self_closing = r->self_closing;
         self->state = r->state_after;
     } else {
         t->type = T_EOF;
         Py_INCREF(Py_None);
         Py_XSETREF(t->name, Py_None);
+        if (t->public_id != Py_None) {
+            Py_INCREF(Py_None);
+            Py_XSETREF(t->public_id, Py_None);
+        }
+        if (t->system_id != Py_None) {
+            Py_INCREF(Py_None);
+            Py_XSETREF(t->system_id, Py_None);
+        }
         Py_INCREF(Py_None);
         Py_XSETREF(t->data, Py_None);
         Py_INCREF(EMPTY_ATTRS);
@@ -770,6 +808,8 @@ done: ;
            loop then parses it as a normal end tag). */
         PyObject *lname = name;  /* borrowed via recs (still alive) */
         Py_ssize_t start = i;
+        int esc_seen = 0;  /* an exact "<!--" occurred in this script
+                              body (S_ESCAPE* family entered) */
         while (1) {
             Py_ssize_t lt = find_char(sc, '<', i);
             if (lt == -2) return -1;
@@ -795,15 +835,32 @@ done: ;
             if (lt + 1 >= sc->n) { i = lt + 1; continue; }
             Py_UCS4 c2 = RD(sc, lt + 1);
             if (rstate == S_SCRIPT && c2 == '!') {
-                /* only an exact "<!--" escapes; anything else returns
-                   to the data scan (after the '!') */
+                /* only an exact "<!--" escapes (S_ESCAPE_START needs
+                   two dashes); anything else returns to the data scan
+                   (after the '!').  Escaped script data keeps the SAME
+                   terminator rule as the plain scan ("</" + name run
+                   == raw_tag + [ws / >], both S_DATA_END_NAME and
+                   S_ESCAPED_END_NAME), and "-->" / a second "<!--"
+                   are terminator-neutral — the ONLY way the machines
+                   diverge is DOUBLE-escape, entered by an inner
+                   ci "<script" while escaped.  So track the escape
+                   and bail just on that inner pattern (below). */
                 if (lt + 3 < sc->n && RD(sc, lt + 2) == '-'
-                    && RD(sc, lt + 3) == '-')
-                    BAIL(sc, "script-escape");
+                    && RD(sc, lt + 3) == '-') {
+                    esc_seen = 1;
+                    i = lt + 4;
+                    continue;
+                }
                 i = lt + 2;
                 continue;
             }
-            if (c2 != '/') { i = lt + 1; continue; }
+            if (c2 != '/') {
+                if (rstate == S_SCRIPT && esc_seen
+                    && ci_match(sc, lt + 1, "script", 6))
+                    BAIL(sc, "script-double-escape");
+                i = lt + 1;
+                continue;
+            }
             /* accumulate alpha run (cap 15), compare lowered name */
             Py_ssize_t p = lt + 2, tl = 0;
             Py_UCS4 tmp[16];
@@ -965,15 +1022,70 @@ scan_all(Scan *sc)
                 PyObject *nm = intern_name(sc, lower_substr(sc, a, p));
                 if (!nm) return -1;
                 while (p < n && is_ws(RD(sc, p))) p++;
-                if (ci_match(sc, p, "public", 6)
-                    || ci_match(sc, p, "system", 6)) {
-                    Py_DECREF(nm);
-                    BAIL(sc, "doctype-ids");
+                /* PUBLIC/SYSTEM ids, mirroring _parse_doctype: the
+                   error-free shapes are keyword + ws* + 'id' (must
+                   CLOSE its quote) [+ ws* + 'id2' for PUBLIC, the
+                   second quote optional — its ABSENCE is silent].
+                   A keyword whose next non-ws char is not a quote,
+                   or any unclosed quote, errors in the Python
+                   machine -> bail.  Ids are ASCII-lowered; whatever
+                   follows them is silently skipped to '>' exactly
+                   like the no-id form.  Emitted through the DOCTYPE
+                   record's (data, attrs) slots, which doctypes never
+                   use otherwise. */
+                PyObject *pub = NULL, *sysid = NULL;
+                int kw_public = ci_match(sc, p, "public", 6);
+                if (kw_public || ci_match(sc, p, "system", 6)) {
+                    p += 6;
+                    while (p < n && is_ws(RD(sc, p))) p++;
+                    Py_UCS4 q = (p < n) ? RD(sc, p) : 0;
+                    if (q != '"' && q != '\'') {
+                        Py_DECREF(nm);
+                        BAIL(sc, "doctype-id-missing");
+                    }
+                    p++;
+                    Py_ssize_t e1 = find_char(sc, q, p);
+                    if (e1 == -2) { Py_DECREF(nm); return -1; }
+                    if (e1 < 0) {
+                        Py_DECREF(nm);
+                        BAIL(sc, "doctype-id-unclosed");
+                    }
+                    PyObject *id1 = lower_substr(sc, p, e1);
+                    if (!id1) { Py_DECREF(nm); return -1; }
+                    p = e1 + 1;
+                    if (kw_public) {
+                        pub = id1;
+                        while (p < n && is_ws(RD(sc, p))) p++;
+                        Py_UCS4 q2 = (p < n) ? RD(sc, p) : 0;
+                        if (q2 == '"' || q2 == '\'') {
+                            p++;
+                            Py_ssize_t e2 = find_char(sc, q2, p);
+                            if (e2 == -2) {
+                                Py_DECREF(nm); Py_DECREF(pub);
+                                return -1;
+                            }
+                            if (e2 < 0) {
+                                Py_DECREF(nm); Py_DECREF(pub);
+                                BAIL(sc, "doctype-id-unclosed");
+                            }
+                            sysid = lower_substr(sc, p, e2);
+                            if (!sysid) {
+                                Py_DECREF(nm); Py_DECREF(pub);
+                                return -1;
+                            }
+                            p = e2 + 1;
+                        }
+                    } else {
+                        sysid = id1;
+                    }
                 }
                 /* silent skip to '>' (no error even over garbage) */
                 Py_ssize_t gt = find_char(sc, '>', p);
-                if (gt == -2) { Py_DECREF(nm); return -1; }
-                if (emit(sc, T_DOCTYPE, nm, NULL, NULL, 0, S_DATA) < 0)
+                if (gt == -2) {
+                    Py_DECREF(nm); Py_XDECREF(pub); Py_XDECREF(sysid);
+                    return -1;
+                }
+                if (emit(sc, T_DOCTYPE, nm, pub, sysid, 0, S_DATA) < 0)
                     return -1;
                 i = (gt < 0) ? n : gt + 1;
                 continue;

@@ -197,6 +197,8 @@ def _gen_wellformed(rng: random.Random) -> str:
             body = rng.choice([
                 "", "var x = 1 < 2;", "a</scr+b", "p { color: red }",
                 "doc.write('<tr><td>x</td></tr>')", "</ nope>",
+                "<!-- var y = 3; -->", "<!-- a < b --> tail",
+                "<!-- w('</q>') -->", "<!--<script>bail</script>-->",
             ])
             close = "" if rng.random() < 0.1 else f"</{r}>"
             parts.append(f"<{r}>{body}{close}")
@@ -320,7 +322,10 @@ def test_bail_classes():
     _expect_bail("<a x=>")                         # missing value
     _expect_bail("<a x/ y>")                       # '/' not before '>'
     _expect_bail('<a x"y">')                       # bad attr-name char
-    _expect_bail("<script><!-- w('</script>') --></script>")
+    # escaped script data is accepted now; only the double-escape
+    # entry pattern (inner ci "<script" after "<!--") stays out
+    _expect_bail("<script><!--<script>x</script>--></script>")
+    _expect_bail("<script><!--<SCRIPT y</script>")
     _expect_bail("<!-- a -- b -->")                # dashes in comment
     _expect_bail("<!-- open")                      # EOF in comment
     # terminator-straddle class (review finding): the inner "<!--"'s
@@ -328,10 +333,78 @@ def test_bail_classes():
     _expect_bail("<p>hello<!--<!---></p>")
     _expect_bail("<!--a--->")                      # tail dash + "-->"
     _expect_bail("<!--a<!-->")                     # tail "<!" + "--"
-    _expect_bail('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN">')
-    _expect_bail("<!DOCTYPE html SYSTEM 'x'>")
+    # well-formed PUBLIC/SYSTEM ids are ACCEPTED now; only the
+    # error-emitting shapes stay out of subset
+    _expect_bail("<!DOCTYPE html PUBLIC>")          # keyword, no quote
+    _expect_bail('<!DOCTYPE html PUBLIC "unclosed>')
+    _expect_bail("<!DOCTYPE html SYSTEM >")
+    _expect_bail('<!DOCTYPE html PUBLIC "a" "unclosed2>')
     _expect_bail("x", context="title")             # raw fragment context
     _expect_bail("x", context="SCRIPT")
+
+
+def test_doctype_ids_accepted_and_tree_equal():
+    """Well-formed PUBLIC/SYSTEM doctypes are in the subset; the ids
+    must surface on the token (ASCII-lowered, like _parse_doctype)
+    and drive the builder's quirks-mode decision identically."""
+    docs = [
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN"'
+        ' "http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd">'
+        "<html><body><p>x<table><td>y</table>",
+        # quirks-triggering public id prefix (HTML 4.01 Transitional
+        # without system id -> limited quirks / quirks per the tables)
+        "<!DOCTYPE HTML PUBLIC '-//W3C//DTD HTML 4.01 Transitional//EN'>"
+        "<p>q<table><td>z</table>",
+        "<!DOCTYPE html SYSTEM 'about:legacy-compat'><p>s",
+        '<!DOCTYPE html PUBLIC "-//A//B//EN" junk trailing><i>t',
+        '<!doctype html public "MiXeD CaSe Id"\'second\'><b>u',
+        '<!DOCTYPE html PUBLIC "a"',  # EOF after closed id, no '>'
+    ]
+    for doc in docs:
+        feed = fastscan.make_feed(doc, [])
+        assert feed is not None, (doc, fastscan.bail_reason())
+        errs_py: list = []
+        tz = Tokenizer(doc, errors=errs_py)
+        errs_fast: list = []
+        feed2 = fastscan.make_feed(doc, errs_fast)
+        assert _drain(feed2) == _drain(tz), doc
+        assert errs_fast == errs_py, doc
+        raw = doc.encode("utf-8")
+        on = _tree_snapshot(raw, False)
+        off = _with_fastscan_disabled(lambda: _tree_snapshot(raw, False))
+        assert on == off, doc
+
+
+def test_escaped_script_accepted_and_tree_equal():
+    """Script bodies holding an exact "<!--" stay in the subset: the
+    escaped machine's terminator rule equals the plain scan's, so the
+    token stream (incl. the classic early-termination trap where a
+    quoted "</script>" inside the comment ENDS the element) matches.
+    Only the double-escape entry (inner ci "<script") bails."""
+    docs = [
+        "<script><!-- var x = 1; --></script><p>a",
+        "<script><!-- if (a<b) { f(); } --></script>b",
+        "<script><!-- x --> y <!-- z --></script>c",
+        "<script><!--</script>after",
+        "<script><!-- w('</script>') --></script>trap",
+        "<script><!-- unterminated",
+        "<script><!-x<script>inert</script>h",
+    ]
+    for doc in docs:
+        feed = fastscan.make_feed(doc, [])
+        assert feed is not None, (doc, fastscan.bail_reason())
+        errs_py: list = []
+        tz = Tokenizer(doc, errors=errs_py)
+        errs_fast: list = []
+        feed2 = fastscan.make_feed(doc, errs_fast)
+        assert _drain(feed2) == _drain(tz), doc
+        assert errs_fast == errs_py, doc
+        raw = doc.encode("utf-8")
+        for frag in (False, True):
+            on = _tree_snapshot(raw, frag)
+            off = _with_fastscan_disabled(
+                lambda: _tree_snapshot(raw, frag))
+            assert on == off, (doc, frag)
 
 
 def test_foreign_content_accepted_and_tree_equal():
