@@ -1460,6 +1460,12 @@ class TreeBuilder:
         # check order is semantics-free; EOF/DOCTYPE happen once/doc)
         ttype = t.type
         if ttype == TOKEN_START_TAG:
+            if self.mode == IN_BODY:
+                # steady-state shortcut: _start_tag_document's chain for
+                # mode==IN_BODY (INITIAL/BEFORE_HTML/IN_HEAD misses,
+                # _TABLE_MODES miss) reduces to exactly this pair
+                self._in_body_start_document(t)
+                return _CHECK
             return self._start_tag_document(t)
         if ttype == TOKEN_CHARACTER:
             return self._character_document(t)
@@ -2484,9 +2490,16 @@ class TreeBuilder:
         st = self.st  # never rebound (only cleared), so safe to bind
         tz_next = tz.next
         raw_states = (RCDATA, RAWTEXT, SCRIPT_DATA)
+        # allow_cdata is read ONLY by the real Tokenizer's CDATA branch
+        # (tokenizer.py:1200); the pre-tokenized feeds (C FastFeed,
+        # _TokenFeed) never consult it, so the per-token maintenance —
+        # including the st[-1] probe that feeds it — is dead weight for
+        # them and skipped wholesale (parity: a write nobody reads)
+        live_tz = isinstance(tz, Tokenizer)
         while True:
-            top = st[-1] if st else None
-            tz.allow_cdata = top is not None and top.ns != NS_HTML
+            if live_tz:
+                top = st[-1] if st else None
+                tz.allow_cdata = top is not None and top.ns != NS_HTML
             t = tz_next()
             act = dispatch(t)
             while act == _REPROCESS:
