@@ -975,10 +975,34 @@ scan_all(Scan *sc)
         }
         if (c1 == '!') {
             if (i + 3 < n && RD(sc, i + 2) == '-' && RD(sc, i + 3) == '-') {
-                /* comment: body up to the FIRST "-->"; bail if the body
-                   contains "--" (covers --!>, ---, and nested <!--).
-                   COMMENT_START abrupt closes first: <!--> and <!--->
-                   emit an EMPTY comment WITH an error -> bail */
+                /* comment: data is EXACTLY text[b:e) where e is the
+                   FIRST "-->" occurrence, consumed through e+2.  Proof
+                   sketch against _parse_comment's 10-state machine:
+                   every consumed char is eventually appended to data
+                   except the final "--" ">" — dash runs park in
+                   COMMENT_END appending the extra dashes ("a---->" ->
+                   "a--"), "--!" is appended by COMMENT_END_BANG on
+                   '-', and the LT_BANG(_DASH*) chain either closes on
+                   the straddled terminator ("...<!" + "-->", data
+                   keeps "<!") or raises nested-comment.  The machine
+                   can only CLOSE at a literal "-->" (COMMENT_END '>')
+                   or at an ERROR shape, so on the error-free subset
+                   the close point IS the first "-->".  Error shapes
+                   (all -> bail):
+                     - abrupt close: <!--> / <!---> (START/START_DASH)
+                     - no terminator: eof-in-comment
+                     - "--!>" before e: incorrectly-closed-comment
+                       (END_BANG '>'; its "--" is always literal, so
+                       the substring test is exact — it cannot span
+                       the terminator: that would need '!' where the
+                       terminator has '-')
+                     - "<!--" starting at k <= e-3: nested-comment
+                       (LT_BANG_DASH_DASH next char is not '>': if
+                       both dashes sit in the body, first-"-->" means
+                       the next char is not '>'; if they straddle one
+                       terminator dash, k = e-3, the next char is the
+                       other dash).  k = e-2 — both dashes ARE the
+                       terminator's — closes silently, accepted. */
                 Py_ssize_t b = i + 4, e = -1;
                 if (b < n && RD(sc, b) == '>')
                     BAIL(sc, "abrupt-comment");
@@ -989,23 +1013,16 @@ scan_all(Scan *sc)
                         && RD(sc, k + 2) == '>') { e = k; break; }
                 }
                 if (e < 0) BAIL(sc, "eof-in-comment");
-                for (Py_ssize_t k = b; k + 1 < e; k++) {
-                    if (RD(sc, k) == '-' && RD(sc, k + 1) == '-')
-                        BAIL(sc, "dashes-in-comment");
+                for (Py_ssize_t k = b; k + 3 < e; k++) {
+                    if (RD(sc, k) == '-' && RD(sc, k + 1) == '-'
+                        && RD(sc, k + 2) == '!' && RD(sc, k + 3) == '>')
+                        BAIL(sc, "comment-bang-close");
                 }
-                /* terminator-straddle: a body TAIL can combine with
-                   the "-->" chars into "--" (body ends '-': the ---
-                   / nested <!-- overlap cases) or "<!--" (body ends
-                   "<!").  The Python machine walks those through the
-                   comment-end / bang-dash sub-states and can emit
-                   nested-comment (e.g. "<!--<!--->", found by review:
-                   the '--' of the inner '<!--' IS the terminator's)
-                   — bail on the whole class rather than model it */
-                if (e > b && RD(sc, e - 1) == '-')
-                    BAIL(sc, "comment-tail-dash");
-                if (e - b >= 2 && RD(sc, e - 2) == '<'
-                    && RD(sc, e - 1) == '!')
-                    BAIL(sc, "comment-tail-bang");
+                for (Py_ssize_t k = b; k + 3 <= e; k++) {
+                    if (RD(sc, k) == '<' && RD(sc, k + 1) == '!'
+                        && RD(sc, k + 2) == '-' && RD(sc, k + 3) == '-')
+                        BAIL(sc, "nested-comment");
+                }
                 PyObject *d = substr(sc, b, e);
                 if (!d) return -1;
                 if (emit(sc, T_COMMENT, NULL, d, NULL, 0, S_DATA) < 0)

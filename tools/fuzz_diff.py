@@ -46,6 +46,11 @@ SNIPPETS = [
     "<!DOCTYPE html puBlic '-//w3c//dtd xhtml 1.0 transitional//en'>",
     "<!-->", "<!--->", "<!-- x --!>", "<!-- <!-- -->", "<![CDATA[x]]>",
     "<!--<!--->", "<!--a--->", "<!--a<!-->", "<!--x<!-",  # tail straddles
+    # r7 dash-run comment acceptance: error-free "--" bodies now take
+    # the C fast-scan path; keep every boundary shape in rotation
+    "<!-- a -- b -->", "<!--a---->", "<!--a--!b-->", "<!--a--!-->",
+    "<!--a--!>b-->", "<!--a<!--b-->", "<!--<<<-->", "<!-- -- -- -->",
+    "<!--[if lt IE 9]>x<![endif]-->", "<!--->x-->", "<!---->",
     "</>", "</ x>", "<!doctype html>", "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01//EN\">",
     "<?php ?>", "<!x y>", "<a a=1 a=2>", "<b/>", "text<b><i>x</b>y</i>",
     "<table><tr><td>", "</table>", "</td>", "</p>", "</li>", "</body>",
