@@ -286,6 +286,22 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(_t(spark, sf_dir, "documents"))
 
 
+def _q_dup_passages(spark, sf_dir):
+    # exact duplicated-passage annotation (Lee et al. 2021 ExactSubstr
+    # signal): md5-keyed cross-doc n-gram doc-frequency — SQL-exact
+    from html_parser_spark.spark.ops import dup_passages
+
+    return dup_passages(_t(spark, sf_dir, "documents"))
+
+
+def _q_pmi_collocations(spark, sf_dir):
+    # corpus-level top-k collocations; rational association score
+    # (engine-exact, no libm log), broadcast vocabulary joins
+    from html_parser_spark.spark.ops import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     # top-k characteristic terms per doc; rational TF-rarity score
     # (engine-exact, no libm log) — SQL-exact
@@ -748,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "split_assign": _q_split_assign,
+        "dup_passages": _q_dup_passages,
+        "pmi_collocations": _q_pmi_collocations,
         "chunk_documents": _q_chunk_documents,
         "temperature_sample": _q_temperature_sample,
         "lang_id": _q_lang_id,
@@ -1163,6 +1181,73 @@ def oracle_sql() -> dict[str, str]:
                    round(score, 6) AS tfidf, term_rank
             FROM ranked WHERE term_rank <= 3
             ORDER BY doc_id, term_rank
+        """,
+        "dup_passages": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                    unnest(list_transform(
+                        generate_series(0, len(ws) - 8),
+                        i -> md5(array_to_string(
+                            list_slice(ws, i + 1, i + 8), ' ')))) AS gkey
+                FROM toks WHERE len(ws) >= 8
+            ), pdg AS (
+                SELECT gkey, doc_id, count(*) AS pos_cnt
+                FROM grams GROUP BY gkey, doc_id
+            ), gdf AS (
+                SELECT gkey, count(*) AS doc_freq
+                FROM pdg GROUP BY gkey HAVING count(*) >= 2
+            ), per_doc AS (
+                SELECT p.doc_id,
+                    sum(p.pos_cnt) AS n_positions,
+                    coalesce(sum(p.pos_cnt)
+                             FILTER (g.gkey IS NOT NULL), 0)
+                        AS n_dup_positions,
+                    count(g.gkey) AS n_dup_grams
+                FROM pdg p LEFT JOIN gdf g USING (gkey)
+                GROUP BY p.doc_id
+            )
+            SELECT d.doc_id,
+                cast(coalesce(p.n_positions, 0) as int) AS n_positions,
+                cast(coalesce(p.n_dup_positions, 0) as int)
+                    AS n_dup_positions,
+                cast(coalesce(p.n_dup_grams, 0) as int) AS n_dup_grams,
+                coalesce(round(p.n_dup_positions * 1.0
+                               / p.n_positions, 6), 0.0) AS dup_frac
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "pmi_collocations": """
+            WITH toks AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+            ), wc AS (
+                SELECT w, count(*) AS wcnt
+                FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+            ), bc AS (
+                SELECT bigram, count(*) AS cnt FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(0, len(ws) - 2),
+                        i -> array_to_string(
+                            list_slice(ws, i + 1, i + 2), ' '))) AS bigram
+                    FROM toks WHERE len(ws) >= 2)
+                GROUP BY bigram HAVING count(*) >= 5
+            ), sc AS (
+                SELECT bigram, cnt,
+                    string_split(bigram, ' ')[1] AS w1,
+                    string_split(bigram, ' ')[2] AS w2
+                FROM bc
+            )
+            SELECT s.bigram, cast(s.cnt as int) AS pair_count,
+                cast(c1.wcnt as int) AS w1_count,
+                cast(c2.wcnt as int) AS w2_count,
+                round((s.cnt * s.cnt) * 1.0
+                      / (c1.wcnt * c2.wcnt), 6) AS assoc
+            FROM sc s
+            JOIN wc c1 ON s.w1 = c1.w
+            JOIN wc c2 ON s.w2 = c2.w
+            ORDER BY assoc DESC, s.bigram ASC LIMIT 50
         """,
         "split_assign": """
             SELECT doc_id, lang,

@@ -672,6 +672,135 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def dup_passages(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Exact duplicated-passage annotation (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public paper; the ExactSubstr signal): for every document, the
+    fraction of its word n-gram POSITIONS whose n-gram also occurs in
+    at least one OTHER document. Position coverage approximates the
+    character mass a suffix-array dedup would remove; documents above
+    ~0.5 are near-verbatim reprints that exact-hash dedup misses
+    (differing headers/footers) and MinHash underweights (long shared
+    passages inside otherwise-distinct pages).
+
+    Scale shape: one generate (posexplode of the gram array) → one
+    (gram-key, doc) partial-aggregated count → one doc-frequency
+    aggregate on the gram key → equi-join back → one doc_id aggregate.
+    All shuffles are keyed, no driver participation, no window over
+    the corpus. The join/aggregation key is md5(gram), NOT the gram
+    text, so shuffle width is a constant 32 bytes per row regardless
+    of n (at 100 TB swap in xxhash64 for an 8-byte key — md5 here
+    because DuckDB computes the identical digest for the oracle).
+    Sub-n-token documents have zero positions and report dup_frac 0.
+
+    Output: doc_id, n_positions, n_dup_positions (positions whose gram
+    has cross-document frequency >= 2 docs), dup_frac, plus
+    n_dup_grams (DISTINCT duplicated grams in the doc)."""
+    words = F.split(F.col("text"), " ")
+    positions = (
+        _spread(documents)
+        .select("doc_id", F.explode(_word_ngrams(words, n)).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("gkey"))
+    )
+    # per-(doc, gram) position counts first: the doc-frequency agg then
+    # runs over one row per (doc, gram) instead of one per position,
+    # and the SAME frame feeds both sides (self-join on the key)
+    per_doc_gram = (
+        positions.groupBy("gkey", "doc_id")
+        .agg(F.count("*").alias("pos_cnt"))
+    )
+    gram_df = (
+        per_doc_gram.groupBy("gkey")
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") >= 2)
+    )
+    per_doc = (
+        per_doc_gram.join(gram_df, "gkey", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("pos_cnt").cast("int").alias("n_positions"),
+            F.coalesce(
+                F.sum(F.when(F.col("doc_freq").isNotNull(),
+                             F.col("pos_cnt"))), F.lit(0))
+            .cast("int").alias("n_dup_positions"),
+            F.count(F.col("doc_freq")).cast("int").alias("n_dup_grams"),
+        )
+    )
+    # total annotation: sub-n-token documents have no gram rows at all,
+    # so join back to the id spine and report an explicit zero row
+    return (
+        documents.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_positions", F.lit(0)).cast("int")
+            .alias("n_positions"),
+            F.coalesce("n_dup_positions", F.lit(0)).cast("int")
+            .alias("n_dup_positions"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("int")
+            .alias("n_dup_grams"),
+            F.coalesce(
+                F.round(F.col("n_dup_positions")
+                        / F.col("n_positions").cast("double"), 6),
+                F.lit(0.0)).alias("dup_frac"),
+        )
+    )
+
+
+def pmi_collocations(documents: DataFrame, k: int = 50,
+                     min_count: int = 5) -> DataFrame:
+    """Corpus-level collocation extraction: top-k word bigrams by a
+    PMI-family association score (Church & Hanks 1990 — public
+    methodology). Rank score is c(xy)^2 / (c(x) * c(y)) — monotone in
+    squared-PMI exp(2*pmi)*c(xy)... up to corpus-size constants, the
+    standard frequency-biased variant that suppresses hapax pairs —
+    kept in INTEGER products with one IEEE double division (correctly
+    rounded, bit-identical between the JVM and DuckDB) instead of libm
+    log, whose last-ulp spread could flip adjacent ranks across
+    engines (same policy as tfidf_top_terms). Products fit bigint
+    comfortably at test scale; at 100 TB cast the counts to double
+    first — IEEE multiply is also correctly rounded, so cross-engine
+    determinism survives.
+
+    Scale shape: one bigram explode → one gram-count aggregate (bigram
+    side), one word explode → one word-count aggregate; the word-count
+    frame joins the bigram frame TWICE on each component word. Word
+    counts after aggregation are a VOCABULARY-sized frame (small), so
+    both joins broadcast; the only big shuffles are the two partial
+    aggregates. Final top-k is a single ORDER BY over the >=min_count
+    survivors (vocabulary-scale, not corpus-scale)."""
+    words = F.split(F.col("text"), " ")
+    toks = _spread(documents).select(
+        F.explode(words).alias("w"))
+    wc = toks.groupBy("w").agg(F.count("*").alias("wcnt"))
+    bigrams = (
+        _spread(documents)
+        .select(F.explode(_word_ngrams(words, 2)).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+    )
+    scored = (
+        bigrams
+        .join(F.broadcast(wc.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("wcnt", "c1")), "w1")
+        .join(F.broadcast(wc.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("wcnt", "c2")), "w2")
+        .select(
+            "bigram", F.col("cnt").cast("int").alias("pair_count"),
+            F.col("c1").cast("int").alias("w1_count"),
+            F.col("c2").cast("int").alias("w2_count"),
+            F.round((F.col("cnt") * F.col("cnt"))
+                    / (F.col("c1") * F.col("c2")).cast("double"), 6)
+            .alias("assoc"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("assoc"), F.asc("bigram")).limit(k)
+        .select("bigram", "pair_count", "w1_count", "w2_count", "assoc")
+    )
+
+
 def split_assign(documents: DataFrame, train_pct: int = 90,
                  val_pct: int = 5, salt: str = "split42") -> DataFrame:
     """Deterministic train/val/test assignment: bucket 0-99 from the

@@ -1971,6 +1971,72 @@ def test_tfidf_top_terms_planted(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
 
 
+def test_dup_passages_planted(spark):
+    """Exact duplicated-passage annotation on hand-computable docs:
+    cross-document n-grams count as duplicated at every position they
+    occupy, within-document repeats do NOT make a gram duplicated by
+    themselves, sub-n-token docs come back as explicit zero rows, and
+    the result is repartition-invariant."""
+    from html_parser_spark.spark.ops import dup_passages
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),          # grams: abc bcd cde
+         (2, "a b c x y"),          # grams: abc bcx cxy
+         (3, "a b c a b c a"),      # abc, bca, cab, abc, bca
+         (4, "x")],                 # sub-n -> zero row
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_passages(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    # "a b c" appears in docs 1, 2, 3 -> the only cross-doc gram
+    assert out[1].n_positions == 3 and out[1].n_dup_positions == 1
+    assert out[1].n_dup_grams == 1
+    assert out[1].dup_frac == round(1 / 3, 6)
+
+    assert out[2].n_positions == 3 and out[2].n_dup_positions == 1
+
+    # doc 3 holds "a b c" at TWO positions (both count) while its
+    # repeated "b c a" stays local (doc_freq 1 -> not duplicated)
+    assert out[3].n_positions == 5 and out[3].n_dup_positions == 2
+    assert out[3].n_dup_grams == 1
+    assert out[3].dup_frac == round(2 / 5, 6)
+
+    assert out[4].n_positions == 0 and out[4].n_dup_positions == 0
+    assert out[4].dup_frac == 0.0
+
+    again = dup_passages(docs.repartition(5), n=3).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        tuple(out[k]) for k in sorted(out))
+
+
+def test_pmi_collocations_planted(spark):
+    """Collocation ranking on a hand-computable corpus: the rational
+    association score c(xy)^2/(c(x)c(y)) orders a perfectly-bound pair
+    above a frequent-but-diluted one, min_count prunes hapax bigrams,
+    and the vocabulary joins ride broadcasts."""
+    from html_parser_spark.spark.ops import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york new york"),
+         (2, "new york city"),
+         (3, "in new york"),
+         (4, "a a a a a a a")],
+        "doc_id long, text string")
+    rows = pmi_collocations(docs, k=3, min_count=2).collect()
+    # counts: new=5 york=5 a=7; "new york"=5 "york new"=2 "a a"=6
+    assert [r.bigram for r in rows] == ["new york", "a a", "york new"]
+    r0, r1, r2 = rows
+    assert (r0.pair_count, r0.w1_count, r0.w2_count) == (5, 5, 5)
+    assert r0.assoc == 1.0
+    assert r1.assoc == round(36 / 49, 6)
+    assert r2.assoc == round(4 / 25, 6)
+
+    plan = pmi_collocations(docs, k=3, min_count=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+
+
 def test_split_assign_deterministic(spark):
     """md5-bucket split: thresholds honored, assignment reproducible
     across repartitionings and exactly equal to a driver-side

@@ -345,6 +345,40 @@ def main():
             "broadcast is the 100 TB shape; the corpus side is one "
             "generate + one keyed aggregate, never joined to itself.")
 
+    audit("dup_passages (exact duplicated-passage annotation)",
+          qs["dup_passages"](spark, SF_DIR), [
+        ("gram hashing + counting stays JVM-side (no Python node)",
+         lambda p: "Python" not in p),
+        ("(gkey, doc) and gram-doc-frequency aggregates apply "
+         "partial aggregation",
+         lambda p: p.count("HashAggregate") >= 6),  # tree + details
+        ("no cartesian/BNL join anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("gram scan prunes to doc_id+text",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ], note="The shuffle key is md5(gram) — constant 32-byte rows "
+            "regardless of n (xxhash64 at 100 TB). Doc-frequency runs "
+            "over one row per (doc, gram), not per position; the only "
+            "joins are the gkey equi-join and the doc_id spine join.")
+
+    audit("pmi_collocations (corpus collocations)",
+          qs["pmi_collocations"](spark, SF_DIR), [
+        ("both vocabulary joins broadcast (word counts are "
+         "vocabulary-scale after aggregation)",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("bigram + word counts aggregate partially",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no Python node",
+         lambda p: "Python" not in p),
+        ("final top-k sorts only the min_count survivors "
+         "(TakeOrdered, not a global Sort of the corpus)",
+         lambda p: "TakeOrderedAndProject" in p),
+    ], note="The ORDER BY ... LIMIT k compiles to "
+            "TakeOrderedAndProject: per-partition top-k then a "
+            "driver merge of k rows per partition — no global sort "
+            "at any scale.")
+
     audit("tfidf_top_terms (characteristic terms)",
           qs["tfidf_top_terms"](spark, SF_DIR), [
         ("term-frequency and document-frequency aggregates are "
