@@ -302,6 +302,58 @@ def _q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(_t(spark, sf_dir, "documents"))
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    # WARC source proof: documents -> distributed .warc.gz sink (one
+    # gzip member per record, Common Crawl layout) -> binaryFile +
+    # streaming member parse -> HTTP envelope split. The oracle
+    # recomputes the envelope + payload md5 straight from the source
+    # table, so the wrap/unwrap plumbing is what's under test
+    # (non-circular). The fixture build is a one-time cached side
+    # effect, not part of the read plan.
+    import os
+
+    from html_parser_spark.spark.warc import (
+        read_warc_records, warc_http_responses, write_warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/spark_graft_warc/{tag}"
+    marker = os.path.join(out_dir, "_BUILT")
+    if not os.path.exists(marker):
+        html = F.concat(
+            F.lit("<!DOCTYPE html><html><head><title>doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><p>"), F.col("text"),
+            F.lit("</p></body></html>"))
+        payload = F.encode(F.concat(
+            F.lit("HTTP/1.1 200 OK\r\n"
+                  "Content-Type: text/html; charset=utf-8\r\n\r\n"),
+            html), "utf-8")
+        src = (
+            docs.select(
+                F.concat(F.lit("https://example.org/doc/"),
+                         F.col("doc_id").cast("string"))
+                .alias("target_uri"),
+                F.concat(F.lit("<urn:doc:"),
+                         F.col("doc_id").cast("string"), F.lit(">"))
+                .alias("record_id"),
+                payload.alias("payload"))
+            .repartition(4, "record_id")
+            .sortWithinPartitions("record_id")
+        )
+        write_warc_records(src, out_dir)
+        open(marker, "w").close()
+    responses = warc_http_responses(
+        read_warc_records(spark, out_dir + "/*.warc.gz"))
+    return responses.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint").alias("doc_id"),
+        "http_status", "http_content_type", "charset_hint",
+        F.md5("body").alias("payload_md5"),
+    )
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     # top-k characteristic terms per doc; rational TF-rarity score
     # (engine-exact, no libm log) — SQL-exact
@@ -766,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "dup_passages": _q_dup_passages,
         "pmi_collocations": _q_pmi_collocations,
+        "warc_roundtrip": _q_warc_roundtrip,
         "chunk_documents": _q_chunk_documents,
         "temperature_sample": _q_temperature_sample,
         "lang_id": _q_lang_id,
@@ -1248,6 +1301,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN wc c1 ON s.w1 = c1.w
             JOIN wc c2 ON s.w2 = c2.w
             ORDER BY assoc DESC, s.bigram ASC LIMIT 50
+        """,
+        "warc_roundtrip": """
+            SELECT doc_id,
+                cast(200 as int) AS http_status,
+                'text/html' AS http_content_type,
+                'utf-8' AS charset_hint,
+                md5('<!DOCTYPE html><html><head><title>doc'
+                    || CAST(doc_id AS VARCHAR)
+                    || '</title></head><body><p>' || text
+                    || '</p></body></html>') AS payload_md5
+            FROM documents ORDER BY doc_id
         """,
         "split_assign": """
             SELECT doc_id, lang,

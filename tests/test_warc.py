@@ -1,0 +1,168 @@
+"""WARC source/sink: record framing, multi-member gzip streaming,
+HTTP envelope split, the distributed Spark roundtrip, and the
+composition with the raw-documents kernel ingest (charset hints from
+HTTP headers driving the encoding sniffer)."""
+
+import gzip
+import zlib
+
+import pytest
+
+from html_parser_spark.spark.warc import (
+    build_warc_record,
+    charset_from_content_type,
+    gzip_member,
+    iter_gzip_members,
+    iter_warc_records,
+    parse_http_response,
+    parse_warc_buffer,
+)
+
+HTTP = (b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=UTF-8\r\n"
+        b"X-Long: a\r\n  b\r\n\r\n"
+        b"<html><body>hi</body></html>")
+
+
+def _three_records():
+    r_info = build_warc_record(
+        "warcinfo", "<urn:uuid:0>", b"software: test\r\n",
+        content_type="application/warc-fields")
+    r_resp = build_warc_record(
+        "response", "<urn:uuid:1>", HTTP,
+        target_uri="https://e.org/doc/1")
+    r_req = build_warc_record(
+        "request", "<urn:uuid:2>", b"GET / HTTP/1.1\r\n\r\n",
+        target_uri="https://e.org/doc/1",
+        content_type="application/http; msgtype=request")
+    return r_info, r_resp, r_req
+
+
+def test_record_framing_roundtrip():
+    r_info, r_resp, r_req = _three_records()
+    # plain concatenation and member-per-record gzip parse identically
+    plain = list(iter_warc_records(r_info + r_resp + r_req))
+    gz = list(iter_warc_records(
+        gzip_member(r_info) + gzip_member(r_resp) + gzip_member(r_req)))
+    assert [h["warc-record-id"] for h, _ in plain] == \
+        ["<urn:uuid:0>", "<urn:uuid:1>", "<urn:uuid:2>"]
+    assert plain == gz
+    assert plain[1][0]["warc-type"] == "response"
+    assert plain[1][1] == HTTP
+    # payload bytes may contain \r\n\r\n and "WARC/" without confusing
+    # the framing (Content-Length framing, not sentinel scanning)
+    tricky = build_warc_record(
+        "resource", "<urn:uuid:3>", b"WARC/1.0\r\n\r\nnot a record")
+    got = list(iter_warc_records(tricky + r_info))
+    assert len(got) == 2 and got[0][1] == b"WARC/1.0\r\n\r\nnot a record"
+
+
+def test_record_straddles_gzip_members():
+    """A record split across gzip members (legal, non-Common-Crawl)
+    still parses: the carry buffer drains on member boundaries."""
+    r_info, r_resp, r_req = _three_records()
+    half = len(r_resp) // 2
+    gz = (gzip_member(r_info) + gzip_member(r_resp[:half])
+          + gzip_member(r_resp[half:] + r_req))
+    got = list(iter_warc_records(gz))
+    assert len(got) == 3 and got[1][1] == HTTP
+
+
+def test_incomplete_and_corrupt_inputs_raise():
+    r_info, r_resp, _ = _three_records()
+    # parse_warc_buffer hands back the incomplete tail
+    recs, rest = parse_warc_buffer((r_info + r_resp)[:len(r_info) + 25])
+    assert len(recs) == 1 and rest.startswith(b"WARC/")
+    # a truncated stream is an error, not silent data loss
+    with pytest.raises(ValueError):
+        list(iter_warc_records(r_info + r_resp[:40]))
+    with pytest.raises(zlib.error):
+        list(iter_warc_records(gzip_member(r_info)[:-4]))
+    with pytest.raises(ValueError):
+        parse_warc_buffer(b"NOT-WARC/1.0\r\n\r\n")
+    # multi-member iteration consumes byte-exact member boundaries
+    members = list(iter_gzip_members(
+        gzip.compress(b"a", mtime=0) + gzip.compress(b"bb", mtime=0)))
+    assert members == [b"a", b"bb"]
+
+
+def test_http_envelope_split():
+    status, headers, body = parse_http_response(HTTP)
+    assert status == 200
+    assert headers["content-type"] == "text/html; charset=UTF-8"
+    assert headers["x-long"] == "a b"          # continuation folded
+    assert body == b"<html><body>hi</body></html>"
+    # truncated capture: keep bytes, null the envelope
+    assert parse_http_response(b"HTTP/1.1 200")[0] is None
+    assert parse_http_response(b"garbage")[2] == b"garbage"
+    assert charset_from_content_type("text/html; charset=UTF-8") == "utf-8"
+    assert charset_from_content_type('a/b; charset="Big5"') == "big5"
+    assert charset_from_content_type("text/plain") is None
+    assert charset_from_content_type(None) is None
+
+
+def test_spark_roundtrip_and_kernel_ingest(spark, tmp_path):
+    """End-to-end: documents -> distributed .warc.gz sink -> record
+    read -> HTTP split -> raw-documents kernel parse, with the
+    transport charset hint coming from the HTTP Content-Type — a
+    shift_jis page decodes through the hint exactly like the
+    reference front-end."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.spark.raw_documents import (
+        extract_raw_documents,
+    )
+    from html_parser_spark.spark.warc import (
+        read_warc_records, warc_http_responses, write_warc_records,
+    )
+
+    sjis_body = "<p>日本語のテスト</p>".encode("shift_jis")
+    rows = [
+        ("https://e.org/doc/0", "<urn:doc:0>",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+         b"charset=utf-8\r\n\r\n<p>hello <b>world</b></p>"),
+        ("https://e.org/doc/1", "<urn:doc:1>",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+         b"charset=shift_jis\r\n\r\n" + sjis_body),
+        ("https://e.org/doc/2", "<urn:doc:2>",
+         b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n"
+         b"\r\nnope"),
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, record_id string, payload binary")
+    out_dir = str(tmp_path / "warc_out")
+    manifest = write_warc_records(
+        df.repartition(2, "record_id")
+        .sortWithinPartitions("record_id"), out_dir)
+    assert sum(m.records for m in manifest) == 3
+
+    records = read_warc_records(spark, out_dir + "/*.warc.gz")
+    resp = warc_http_responses(records).cache()
+    got = {r.record_id: r for r in resp.collect()}
+    assert len(got) == 3
+    assert got["<urn:doc:1>"].charset_hint == "shift_jis"
+    assert got["<urn:doc:2>"].http_status == 404
+    assert bytes(got["<urn:doc:0>"].body) == \
+        b"<p>hello <b>world</b></p>"
+
+    # compose into the kernel ingest: hint drives the sniffer
+    parsed = extract_raw_documents(
+        resp.where(F.col("http_status") == 200).select(
+            F.col("record_id").alias("doc_id"),
+            F.col("body").alias("content"),
+            "charset_hint"))
+    out = {r.doc_id: r for r in parsed.collect()}
+    assert out["<urn:doc:1>"].doc_encoding == "Shift_JIS"
+    assert "日本語のテスト" in out["<urn:doc:1>"].extracted_text
+    assert "hello world" in out["<urn:doc:0>"].extracted_text
+
+    # sink determinism: same input, same bytes (gzip mtime pinned)
+    out_dir2 = str(tmp_path / "warc_out2")
+    write_warc_records(
+        df.repartition(2, "record_id")
+        .sortWithinPartitions("record_id"), out_dir2)
+    import pathlib
+    files1 = sorted(pathlib.Path(out_dir).glob("*.warc.gz"))
+    files2 = sorted(pathlib.Path(out_dir2).glob("*.warc.gz"))
+    assert [f.read_bytes() for f in files1] == \
+        [f.read_bytes() for f in files2]

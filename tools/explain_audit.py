@@ -362,6 +362,22 @@ def main():
             "over one row per (doc, gram), not per position; the only "
             "joins are the gkey equi-join and the doc_id spine join.")
 
+    audit("warc_roundtrip (WARC source -> HTTP envelope)",
+          qs["warc_roundtrip"](spark, SF_DIR), [
+        ("fully narrow pipeline: ZERO exchanges from file scan to "
+         "envelope rows",
+         lambda p: "Exchange" not in p),
+        ("exactly the two archive-format Python stages (record "
+         "framing, HTTP split)",
+         lambda p: p.count("MapInPandas") in (2, 4)),  # tree + details
+        ("no join anywhere",
+         lambda p: "Join" not in p),
+    ], note="binaryFile gives one task per WARC file — Common Crawl "
+            "parallelism IS file count (tens of thousands of ~1 GB "
+            "files), so the 100 TB read is embarrassingly parallel; "
+            "record parsing streams gzip members with an O(record) "
+            "carry buffer, never inflating a whole file.")
+
     audit("pmi_collocations (corpus collocations)",
           qs["pmi_collocations"](spark, SF_DIR), [
         ("both vocabulary joins broadcast (word counts are "
