@@ -109,6 +109,14 @@ def parse_warc_buffer(buf: bytes, strict: bool = True):
             return records, b""
         start = pos
         if not buf.startswith(b"WARC/", pos):
+            # an input chunk boundary can cut the trailer or the next
+            # version line anywhere: a tail that is still a valid
+            # PREFIX of "\r" + CRLF* + "WARC/" is incomplete, not
+            # malformed — hand it back as remainder
+            tail = buf[pos:]
+            if tail == b"\r" or (len(tail) < 5
+                                 and b"WARC/".startswith(tail)):
+                return records, tail
             if strict:
                 raise ValueError(
                     "expected WARC/ version at offset %d" % pos)

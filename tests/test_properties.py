@@ -140,3 +140,38 @@ def test_wav_roundtrip_property(samples, rate):
 
     got = wav_decode(wav_encode(samples, rate))
     assert got == (rate, 1, samples)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=300), min_size=1,
+                max_size=6),
+       st.randoms())
+def test_warc_roundtrip_property(payloads, rng):
+    """Arbitrary payload bytes (including embedded CRLFCRLF and
+    "WARC/" sentinels) frame-roundtrip through the writer and the
+    streaming reader, under BOTH the member-per-record layout and an
+    adversarial re-chunking of the byte stream into random gzip
+    members (Content-Length framing must never scan for sentinels)."""
+    from html_parser_spark.spark.warc import (
+        build_warc_record, gzip_member, iter_warc_records,
+    )
+
+    recs = [build_warc_record("resource", f"<urn:p:{i}>", p)
+            for i, p in enumerate(payloads)]
+    stream = b"".join(recs)
+
+    def check(parsed):
+        assert [pl for _, pl in parsed] == payloads
+        assert [h["warc-record-id"] for h, _ in parsed] == \
+            [f"<urn:p:{i}>" for i in range(len(payloads))]
+
+    check(list(iter_warc_records(stream)))                   # plain
+    check(list(iter_warc_records(                            # CC layout
+        b"".join(gzip_member(r) for r in recs))))
+    # adversarial member boundaries: cut the stream at random points
+    cuts = sorted(rng.sample(range(1, len(stream)),
+                             min(len(stream) - 1, rng.randrange(5))))
+    chunks = [stream[a:b] for a, b in
+              zip([0] + cuts, cuts + [len(stream)])]
+    check(list(iter_warc_records(
+        b"".join(gzip_member(c) for c in chunks))))
