@@ -101,6 +101,98 @@ def test_http_envelope_split():
     assert charset_from_content_type(None) is None
 
 
+def test_warc_to_curated_corpus(spark, tmp_path):
+    """The full web-pipeline composition jobs/warc_ingest_job.py +
+    jobs/curate_job.py run: WARC archives -> HTTP split -> kernel
+    parse (passthrough URI, no join-back) -> documents table ->
+    curation (quality gate, exact dedup, LSH near-dup collapse).
+    Non-200 and non-HTML records drop at the envelope; the exact dup
+    and the near dup collapse to one representative; the junk page
+    fails the quality gate."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.spark.ops import curate_corpus
+    from html_parser_spark.spark.raw_documents import (
+        extract_raw_documents,
+    )
+    from html_parser_spark.spark.warc import (
+        read_warc_records, warc_http_responses, write_warc_records,
+    )
+
+    article = ("the quick brown fox jumps over the lazy dog and then "
+               "the dog chases the fox around the old oak tree while "
+               "birds watch from the high branches above the river") * 2
+    near = article + " extra tail words here"
+    pages = [
+        ("https://site-a.org/a", "<urn:w:0>",
+         f"<html><body><p>{article}</p></body></html>"),
+        ("https://site-a.org/b", "<urn:w:1>",
+         f"<html><body><p>{near}</p></body></html>"),
+        ("https://site-b.org/c", "<urn:w:2>",          # exact dup of /a
+         f"<html><body><p>{article}</p></body></html>"),
+        ("https://site-c.org/junk", "<urn:w:3>",
+         "<html><body><p>000 111 222 333</p></body></html>"),
+    ]
+    rows = [
+        (uri, rid,
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+         b"charset=utf-8\r\n\r\n" + html.encode())
+        for uri, rid, html in pages
+    ] + [
+        ("https://site-d.org/gone", "<urn:w:4>",
+         b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+         b"\r\n<html>gone</html>"),
+        ("https://site-d.org/robots.txt", "<urn:w:5>",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+         b"\r\nUser-agent: *"),
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, record_id string, payload binary")
+    warc_dir = str(tmp_path / "crawl")
+    write_warc_records(df.repartition(2, "record_id")
+                       .sortWithinPartitions("record_id"), warc_dir)
+
+    # == jobs/warc_ingest_job.py body ==
+    responses = warc_http_responses(
+        read_warc_records(spark, warc_dir + "/*.warc.gz"))
+    html = responses.where(
+        (F.col("http_status") == 200)
+        & (F.col("http_content_type") == "text/html"))
+    parsed = extract_raw_documents(
+        html.select(F.col("record_id").alias("doc_id"),
+                    F.col("body").alias("content"),
+                    "charset_hint", "target_uri"),
+        passthrough=("target_uri",))
+    docs = parsed.select(
+        F.xxhash64("doc_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1)
+        .alias("source"),
+        F.lit("und").alias("lang"),
+        F.col("extracted_text").alias("text"),
+        F.length("extracted_text").alias("n_chars"),
+        "parse_errors", "doc_encoding").cache()
+
+    got = {r.url: r for r in docs.collect()}
+    assert set(got) == {u for u, _, _ in pages}      # 404/plain dropped
+    assert got["https://site-a.org/a"].source == "site-a.org"
+    assert got["https://site-a.org/a"].text == article
+    assert got["https://site-b.org/c"].text == article   # exact dup
+
+    # == jobs/curate_job.py body ==
+    kept = curate_corpus(docs).collect()
+    kept_urls = {r.doc_id for r in kept}
+    by_url = {r.url: r.doc_id for r in docs.collect()}
+    # junk fails the quality gate
+    assert by_url["https://site-c.org/junk"] not in kept_urls
+    # {a, c} exact-dedup to one; b near-dups onto it -> ONE survivor
+    cluster = {by_url["https://site-a.org/a"],
+               by_url["https://site-a.org/b"],
+               by_url["https://site-b.org/c"]}
+    assert len(cluster & kept_urls) == 1
+    assert len(kept) == 1
+
+
 def test_spark_roundtrip_and_kernel_ingest(spark, tmp_path):
     """End-to-end: documents -> distributed .warc.gz sink -> record
     read -> HTTP split -> raw-documents kernel parse, with the
