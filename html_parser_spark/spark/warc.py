@@ -223,6 +223,37 @@ def gzip_member(record: bytes) -> bytes:
 # Spark surface
 # ---------------------------------------------------------------------
 
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def _parse_files(batches):
+    """(path, content) batches -> record rows (shared by the batch and
+    streaming readers)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {k: [] for k in ("path", "record_id", "warc_type",
+                                "target_uri", "warc_date",
+                                "content_type", "content_length",
+                                "payload")}
+        for path_, content in zip(pdf["path"], pdf["content"]):
+            for headers, payload in iter_warc_records(
+                    bytes(content)):
+                rows["path"].append(path_)
+                rows["record_id"].append(
+                    headers.get("warc-record-id"))
+                rows["warc_type"].append(headers.get("warc-type"))
+                rows["target_uri"].append(
+                    headers.get("warc-target-uri"))
+                rows["warc_date"].append(headers.get("warc-date"))
+                rows["content_type"].append(
+                    headers.get("content-type"))
+                rows["content_length"].append(len(payload))
+                rows["payload"].append(payload)
+        yield pd.DataFrame(rows)
+
+
 def read_warc_records(spark, path):
     """WARC files -> one row per record.  binaryFile gives one task
     per file (Common Crawl parallelism is file-count, tens of
@@ -230,34 +261,23 @@ def read_warc_records(spark, path):
     per-member streaming.  Selecting only envelope columns still reads
     whole files (binary sources can't prune payload bytes) — at 100 TB
     point envelope-only queries at the crawl's CDX index instead."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
+    return files.mapInPandas(_parse_files, RECORD_SCHEMA)
 
-    def _parse(batches):
-        for pdf in batches:
-            rows = {k: [] for k in ("path", "record_id", "warc_type",
-                                    "target_uri", "warc_date",
-                                    "content_type", "content_length",
-                                    "payload")}
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                for headers, payload in iter_warc_records(
-                        bytes(content)):
-                    rows["path"].append(path_)
-                    rows["record_id"].append(
-                        headers.get("warc-record-id"))
-                    rows["warc_type"].append(headers.get("warc-type"))
-                    rows["target_uri"].append(
-                        headers.get("warc-target-uri"))
-                    rows["warc_date"].append(headers.get("warc-date"))
-                    rows["content_type"].append(
-                        headers.get("content-type"))
-                    rows["content_length"].append(len(payload))
-                    rows["payload"].append(payload)
-            yield pd.DataFrame(rows)
 
-    return files.mapInPandas(_parse, RECORD_SCHEMA)
+def read_warc_records_stream(spark, path):
+    """Structured-streaming WARC ingest: the file source discovers
+    newly-landed archives (a live crawl drops finished WARCs into the
+    segment directory) and the checkpointed file index gives
+    exactly-once PER FILE — the unit of work the format is designed
+    around.  Downstream is the identical record parser; compose with
+    warc_http_responses + the raw-documents kernel exactly like batch.
+    Use trigger(availableNow=True) for catch-up runs."""
+    files = spark.readStream.format("binaryFile") \
+        .schema(_BINARYFILE_SCHEMA).load(path) \
+        .select("path", "content")
+    return files.mapInPandas(_parse_files, RECORD_SCHEMA)
 
 
 def warc_http_responses(records):
