@@ -318,9 +318,23 @@ def _q_warc_roundtrip(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/spark_graft_warc/{tag}"
-    marker = os.path.join(out_dir, "_BUILT")
+    # per-user cache dir (predictable world-writable path would let
+    # another local user pre-plant archives) keyed by a cheap content
+    # fingerprint of the source table, so a regenerated testdata dir
+    # with the same name rebuilds instead of serving stale archives
+    import duckdb
+
+    fp = duckdb.sql(
+        "SELECT count(*) || '_' || coalesce(sum(doc_id), 0) || '_' "
+        "|| coalesce(sum(n_chars), 0) FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'").fetchone()[0]
+    out_dir = f"/tmp/spark_graft_warc_u{os.getuid()}/{tag}"
+    marker = os.path.join(out_dir, f"_BUILT_{fp}")
     if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
         html = F.concat(
             F.lit("<!DOCTYPE html><html><head><title>doc"),
             F.col("doc_id").cast("string"),

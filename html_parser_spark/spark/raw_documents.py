@@ -90,9 +90,6 @@ def _kernel_factory(passthrough: tuple = ()):
     return _kernel
 
 
-_kernel = _kernel_factory()
-
-
 def extract_raw_documents(df, passthrough: tuple = ()):
     """binary documents + charset hints -> extraction columns.
     `passthrough` names extra input columns to carry through the

@@ -58,12 +58,16 @@ RESPONSE_SCHEMA = (
 def iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Yield each gzip member of a multi-member stream, decompressed.
     Raises zlib.error on corrupt input (a truncated final member is
-    surfaced, not silently dropped)."""
+    surfaced, not silently dropped).  The remaining compressed bytes
+    are passed as a memoryview slice — zero-copy, so a 50k-member
+    Common Crawl archive stays decompress-bound instead of going
+    quadratic in memcpy (review finding)."""
+    view = memoryview(data)
     pos = 0
-    n = len(data)
+    n = len(view)
     while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out = d.decompress(data[pos:])
+        out = d.decompress(view[pos:])
         if not d.eof:
             raise zlib.error("truncated gzip member at offset %d" % pos)
         yield out
@@ -140,24 +144,49 @@ def parse_warc_buffer(buf: bytes, strict: bool = True):
         pos = body_start + clen
 
 
-def iter_warc_records(data: bytes):
+def iter_warc_records(data: bytes, errors: str = "strict"):
     """Yield (headers, payload) from raw `.warc` or `.warc.gz` bytes.
     Gzip input is inflated member-by-member with a carry buffer, so a
     record written across members (non-Common-Crawl but legal) still
-    parses and memory stays O(record), not O(file)."""
-    if data[:2] == b"\x1f\x8b":
-        carry = b""
-        for member in iter_gzip_members(data):
-            carry += member
-            records, carry = parse_warc_buffer(carry)
+    parses and memory stays O(record), not O(file).
+
+    errors="strict" raises on truncated/malformed input;
+    errors="skip" yields every record that parsed BEFORE the damage
+    and silently abandons the rest of the file — real crawls contain
+    the occasional truncated archive, and one bad file must not be
+    able to fail a 100 TB ingest (callers count skipped files via
+    the read path's quarantine column)."""
+    if errors not in ("strict", "skip"):
+        raise ValueError("errors must be 'strict' or 'skip'")
+    return _iter_warc_records_gen(data, errors == "strict")
+
+
+def _iter_warc_records_gen(data: bytes, strict: bool):
+    try:
+        if data[:2] == b"\x1f\x8b":
+            carry = b""
+            for member in iter_gzip_members(data):
+                carry += member
+                records, carry = parse_warc_buffer(carry,
+                                                   strict=strict)
+                yield from records
+                if not strict and carry and not (
+                        carry == b"\r"
+                        or b"WARC/".startswith(carry[:5])
+                        or carry.startswith(b"WARC/")):
+                    return  # malformed tail: abandon this file
+                if not strict and len(carry) > (1 << 28):
+                    return  # unparseable giant carry: abandon
+            if carry.strip(b"\r\n") and strict:
+                raise ValueError("trailing incomplete WARC record")
+        else:
+            records, rest = parse_warc_buffer(data, strict=strict)
             yield from records
-        if carry.strip(b"\r\n"):
-            raise ValueError("trailing incomplete WARC record")
-    else:
-        records, rest = parse_warc_buffer(data)
-        if rest.strip(b"\r\n"):
-            raise ValueError("trailing incomplete WARC record")
-        yield from records
+            if rest.strip(b"\r\n") and strict:
+                raise ValueError("trailing incomplete WARC record")
+    except (ValueError, zlib.error):
+        if strict:
+            raise
 
 
 def parse_http_response(payload: bytes):
@@ -194,18 +223,30 @@ def charset_from_content_type(ctype: str | None) -> str | None:
     return None
 
 
+def _hval(name: str, value: str) -> bytes:
+    """Header value with CR/LF rejected: an embedded \\r\\n\\r\\n would
+    terminate the header block early and desynchronize the
+    Content-Length framing of the file we ourselves wrote (review
+    finding) — refuse loudly rather than corrupt the archive."""
+    if "\r" in value or "\n" in value:
+        raise ValueError(f"CR/LF in WARC header {name}: {value!r}")
+    return value.encode()
+
+
 def build_warc_record(warc_type: str, record_id: str, payload: bytes,
                       target_uri: str | None = None,
                       warc_date: str = "2024-01-01T00:00:00Z",
                       content_type: str = "application/http; msgtype=response") -> bytes:
     """Serialize one WARC/1.0 record (uncompressed)."""
     lines = [b"WARC/1.0",
-             b"WARC-Type: " + warc_type.encode(),
-             b"WARC-Record-ID: " + record_id.encode(),
-             b"WARC-Date: " + warc_date.encode()]
+             b"WARC-Type: " + _hval("WARC-Type", warc_type),
+             b"WARC-Record-ID: " + _hval("WARC-Record-ID", record_id),
+             b"WARC-Date: " + _hval("WARC-Date", warc_date)]
     if target_uri is not None:
-        lines.append(b"WARC-Target-URI: " + target_uri.encode())
-    lines.append(b"Content-Type: " + content_type.encode())
+        lines.append(b"WARC-Target-URI: "
+                     + _hval("WARC-Target-URI", target_uri))
+    lines.append(b"Content-Type: "
+                 + _hval("Content-Type", content_type))
     lines.append(b"Content-Length: " + str(len(payload)).encode())
     return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
 
@@ -227,46 +268,57 @@ _BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
                       "length long, content binary")
 
 
-def _parse_files(batches):
-    """(path, content) batches -> record rows (shared by the batch and
-    streaming readers)."""
+def _parse_files_factory(errors: str):
+    """Build the (path, content) -> record-rows stage (shared by the
+    batch and streaming readers)."""
     import pandas as pd
 
-    for pdf in batches:
-        rows = {k: [] for k in ("path", "record_id", "warc_type",
-                                "target_uri", "warc_date",
-                                "content_type", "content_length",
-                                "payload")}
-        for path_, content in zip(pdf["path"], pdf["content"]):
-            for headers, payload in iter_warc_records(
-                    bytes(content)):
-                rows["path"].append(path_)
-                rows["record_id"].append(
-                    headers.get("warc-record-id"))
-                rows["warc_type"].append(headers.get("warc-type"))
-                rows["target_uri"].append(
-                    headers.get("warc-target-uri"))
-                rows["warc_date"].append(headers.get("warc-date"))
-                rows["content_type"].append(
-                    headers.get("content-type"))
-                rows["content_length"].append(len(payload))
-                rows["payload"].append(payload)
-        yield pd.DataFrame(rows)
+    def _parse_files(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("path", "record_id", "warc_type",
+                                    "target_uri", "warc_date",
+                                    "content_type", "content_length",
+                                    "payload")}
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for headers, payload in iter_warc_records(
+                        bytes(content), errors=errors):
+                    rows["path"].append(path_)
+                    rows["record_id"].append(
+                        headers.get("warc-record-id"))
+                    rows["warc_type"].append(headers.get("warc-type"))
+                    rows["target_uri"].append(
+                        headers.get("warc-target-uri"))
+                    rows["warc_date"].append(headers.get("warc-date"))
+                    rows["content_type"].append(
+                        headers.get("content-type"))
+                    rows["content_length"].append(len(payload))
+                    rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return _parse_files
 
 
-def read_warc_records(spark, path):
+def read_warc_records(spark, path, errors: str = "strict"):
     """WARC files -> one row per record.  binaryFile gives one task
     per file (Common Crawl parallelism is file-count, tens of
     thousands); record parsing runs in executors via mapInPandas with
     per-member streaming.  Selecting only envelope columns still reads
     whole files (binary sources can't prune payload bytes) — at 100 TB
-    point envelope-only queries at the crawl's CDX index instead."""
+    point envelope-only queries at the crawl's CDX index instead.
+
+    errors="skip" keeps a damaged archive from failing the job: the
+    file's records before the damage are kept, the rest abandoned
+    (compare per-path record counts against the crawl manifest to
+    quarantine)."""
+    if errors not in ("strict", "skip"):
+        raise ValueError("errors must be 'strict' or 'skip'")
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
-    return files.mapInPandas(_parse_files, RECORD_SCHEMA)
+    return files.mapInPandas(_parse_files_factory(errors),
+                             RECORD_SCHEMA)
 
 
-def read_warc_records_stream(spark, path):
+def read_warc_records_stream(spark, path, errors: str = "strict"):
     """Structured-streaming WARC ingest: the file source discovers
     newly-landed archives (a live crawl drops finished WARCs into the
     segment directory) and the checkpointed file index gives
@@ -274,15 +326,18 @@ def read_warc_records_stream(spark, path):
     around.  Downstream is the identical record parser; compose with
     warc_http_responses + the raw-documents kernel exactly like batch.
     Use trigger(availableNow=True) for catch-up runs."""
+    if errors not in ("strict", "skip"):
+        raise ValueError("errors must be 'strict' or 'skip'")
     files = spark.readStream.format("binaryFile") \
         .schema(_BINARYFILE_SCHEMA).load(path) \
         .select("path", "content")
-    return files.mapInPandas(_parse_files, RECORD_SCHEMA)
+    return files.mapInPandas(_parse_files_factory(errors),
+                             RECORD_SCHEMA)
 
 
 def warc_http_responses(records):
     """response-type records -> HTTP envelope + body.  The
-    charset_hint column feeds raw_documents.parse_raw_documents as the
+    charset_hint column feeds raw_documents.extract_raw_documents as the
     transport hint (BOM < hint < meta precedence in the sniffer)."""
     import pandas as pd
 
@@ -292,14 +347,18 @@ def warc_http_responses(records):
                                    "warc_date", "http_status",
                                    "http_content_type", "charset_hint",
                                    "body")}
-            for _, r in pdf.iterrows():
+            # column-zip, not iterrows: a Series per row would
+            # dominate the cheap per-record split (review finding)
+            for path_, rid, uri, date, payload in zip(
+                    pdf["path"], pdf["record_id"], pdf["target_uri"],
+                    pdf["warc_date"], pdf["payload"]):
                 status, headers, body = parse_http_response(
-                    bytes(r["payload"]))
+                    bytes(payload))
                 ctype = headers.get("content-type")
-                out["path"].append(r["path"])
-                out["record_id"].append(r["record_id"])
-                out["target_uri"].append(r["target_uri"])
-                out["warc_date"].append(r["warc_date"])
+                out["path"].append(path_)
+                out["record_id"].append(rid)
+                out["target_uri"].append(uri)
+                out["warc_date"].append(date)
                 out["http_status"].append(status)
                 out["http_content_type"].append(
                     ctype.split(";")[0].strip().lower()
@@ -324,34 +383,57 @@ def write_warc_records(df, out_dir, *,
     given a deterministic row order per partition — callers that need
     byte-stable files repartition+sortWithinPartitions first.  Returns
     the per-file manifest collected AFTER all tasks finish (the write
-    is the job's side effect; manifest rows are its only output)."""
+    is the job's side effect; manifest rows are its only output).
+
+    Retry-safe (review finding): records stream to a temp file named
+    by the TASK ATTEMPT id, so a speculative/zombie attempt of the
+    same partition can never interleave writes with the winner; the
+    atomic os.replace publishes whichever attempt finishes — both
+    wrote identical content (same partition, same deterministic
+    order).  makedirs runs IN the task: the output directory must
+    exist on the node that writes, not on the driver.  Memory is
+    O(gzip member): rows are written as the batches stream in, never
+    accumulated."""
     import os
 
     import pandas as pd
 
-    os.makedirs(out_dir, exist_ok=True)
-
     def _write(batches):
-        records = []
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                records.append(build_warc_record(
-                    "response", str(r[id_col]), bytes(r[payload_col]),
-                    target_uri=str(r[uri_col]),
-                    warc_date=(str(r[date_col]) if date_col
-                               else "2024-01-01T00:00:00Z")))
-        if not records:
-            return
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            for rec in records:
-                f.write(gzip_member(rec))
-        os.replace(tmp, path)
-        yield pd.DataFrame({"file": [path], "records": [len(records)]})
+        tmp = f"{path}.tmp.{ctx.taskAttemptId()}"
+        n = 0
+        f = None
+        try:
+            for pdf in batches:
+                dates = (pdf[date_col] if date_col
+                         else [None] * len(pdf))
+                for rid, uri, payload, date in zip(
+                        pdf[id_col], pdf[uri_col], pdf[payload_col],
+                        dates):
+                    if f is None:
+                        f = open(tmp, "wb")
+                    f.write(gzip_member(build_warc_record(
+                        "response", str(rid), bytes(payload),
+                        target_uri=(None if uri is None else str(uri)),
+                        warc_date=(str(date) if date is not None
+                                   else "2024-01-01T00:00:00Z"))))
+                    n += 1
+            if f is None:
+                return  # empty partition: no file
+            f.close()
+            f = None
+            os.replace(tmp, path)
+        finally:
+            if f is not None:
+                f.close()
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        yield pd.DataFrame({"file": [path], "records": [n]})
 
     return df.mapInPandas(
         _write, "file string, records long").collect()

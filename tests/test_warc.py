@@ -86,6 +86,54 @@ def test_incomplete_and_corrupt_inputs_raise():
     assert members == [b"a", b"bb"]
 
 
+def test_lenient_skip_mode_quarantines_damage(spark, tmp_path):
+    """errors='skip': a truncated archive yields its records before
+    the damage and abandons the rest; other archives are unaffected;
+    strict mode still raises. Exercised through the real Spark read
+    so the task does not fail the job."""
+    from html_parser_spark.spark.warc import (
+        iter_warc_records, read_warc_records,
+    )
+
+    r_info, r_resp, r_req = _three_records()
+    good = gzip_member(r_info) + gzip_member(r_resp) \
+        + gzip_member(r_req)
+    truncated = gzip_member(r_info) + gzip_member(r_resp)[:-6]
+    garbled = gzip_member(r_info) + gzip_member(
+        b"WARC-ish garbage, not a record") + gzip_member(r_req)
+
+    assert len(list(iter_warc_records(truncated, errors="skip"))) == 1
+    assert len(list(iter_warc_records(garbled, errors="skip"))) == 1
+    with pytest.raises(zlib.error):
+        list(iter_warc_records(truncated))
+    with pytest.raises(ValueError):
+        iter_warc_records(b"", errors="what")
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "good.warc.gz").write_bytes(good)
+    (d / "bad.warc.gz").write_bytes(truncated)
+    got = read_warc_records(spark, str(d) + "/*.warc.gz",
+                            errors="skip").collect()
+    by_file = {}
+    for r in got:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file["good.warc.gz"]) == 3
+    assert len(by_file["bad.warc.gz"]) == 1   # records before damage
+    with pytest.raises(Exception):
+        read_warc_records(spark, str(d) + "/*.warc.gz").collect()
+
+
+def test_header_crlf_rejected():
+    """CR/LF in a header value would desynchronize Content-Length
+    framing of our own output — the writer refuses."""
+    with pytest.raises(ValueError):
+        build_warc_record("response", "<urn:x>", b"",
+                          target_uri="https://e.org/\r\nWARC-Type: x")
+    with pytest.raises(ValueError):
+        build_warc_record("response", "<urn:a>\nb", b"")
+
+
 def test_http_envelope_split():
     status, headers, body = parse_http_response(HTTP)
     assert status == 200
