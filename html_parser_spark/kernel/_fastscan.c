@@ -290,7 +290,11 @@ FastFeed_next(FastFeed *self, PyObject *Py_UNUSED(ignored))
         Py_INCREF(EMPTY_ATTRS);
         Py_XSETREF(t->attrs, EMPTY_ATTRS);
         t->self_closing = 0;
-        self->state = S_DATA;
+        /* state stays at the last record's state_after: the Python
+           machine reports the state it was IN when input ran out —
+           e.g. "<script>" + EOF (empty raw body) stays in the raw
+           state, while a nonempty body's CHARACTER record already
+           carried S_DATA (differential: test_fastscan EOF states). */
     }
     Py_INCREF(t);
     return (PyObject *)t;
@@ -399,6 +403,142 @@ find_char(Scan *sc, Py_UCS4 ch, Py_ssize_t from)
 {
     Py_ssize_t r = PyUnicode_FindChar(sc->text, ch, from, sc->n, 1);
     return r; /* -1 == not found (and -2 on error, checked by caller) */
+}
+
+/* Exact mirror of tokenizer._process_script_data's 18-state DFA for
+ * raw_tag == "script" (kernel/tokenizer.py:393-628): scans the script
+ * body from `start`, returns 0 with *out_lt = position of the '<' of
+ * the terminating "</script[ws|/|>]" (reached only from the DATA or
+ * ESCAPED families — DOUBLE-escaped "</script>" switches back to
+ * ESCAPED and stays body text), or *out_lt = -1 at EOF.  The Python
+ * machine emits NO parse error in any of these states, so parity on
+ * this path is purely positional: the body [start, lt) is one
+ * CHARACTER token in both engines.  Returns -1 only on an internal
+ * Python error from find_char. */
+static int
+script_end_scan(Scan *sc, Py_ssize_t start, Py_ssize_t *out_lt)
+{
+    enum {SD, SD_LT, SD_EO, SD_EN, ES, ES_D, ESC, ESC_D, ESC_DD,
+          ESC_LT, ESC_EO, ESC_EN, DBS, DB, DB_D, DB_DD, DB_LT, DBE};
+    static const char script6[6] = {'s', 'c', 'r', 'i', 'p', 't'};
+    int ss = SD;
+    Py_ssize_t n = sc->n, pos = start, lt = 0, tl = 0;
+    Py_UCS4 tmp[16];
+
+    while (pos < n) {
+        Py_UCS4 c = RD(sc, pos);
+        switch (ss) {
+        case SD:
+            if (c == '<') { lt = pos; ss = SD_LT; pos++; }
+            else {
+                Py_ssize_t nxt = find_char(sc, '<', pos);
+                if (nxt == -2) return -1;
+                pos = nxt < 0 ? n : nxt;
+            }
+            break;
+        case SD_LT:
+            if (c == '/') { ss = SD_EO; tl = 0; pos++; }
+            else if (c == '!') { ss = ES; pos++; }
+            else ss = SD;
+            break;
+        case SD_EO:
+            if (is_alpha(c)) { ss = SD_EN; tl = 0; }
+            else ss = SD;
+            break;
+        case SD_EN:
+        case ESC_EN: {
+            int back = (ss == SD_EN) ? SD : ESC;
+            if (is_ws(c) || c == '/' || c == '>') {
+                int match = (tl == 6);
+                for (Py_ssize_t k = 0; match && k < 6; k++)
+                    if (tmp[k] != (Py_UCS4)script6[k]) match = 0;
+                if (match) { *out_lt = lt; return 0; }
+                ss = back;
+            } else if (is_alpha(c)) {
+                if (tl < 15) {
+                    Py_UCS4 t = c;
+                    if (t >= 'A' && t <= 'Z') t += 32;
+                    tmp[tl++] = t;
+                    pos++;
+                } else ss = back;
+            } else ss = back;
+            break; }
+        case ES:
+            if (c == '-') { ss = ES_D; pos++; }
+            else ss = SD;
+            break;
+        case ES_D:
+            if (c == '-') { ss = ESC_DD; pos++; }
+            else ss = SD;
+            break;
+        case ESC:
+            if (c == '-') { ss = ESC_D; pos++; }
+            else if (c == '<') { lt = pos; ss = ESC_LT; pos++; }
+            else pos++;
+            break;
+        case ESC_D:
+            if (c == '-') { ss = ESC_DD; pos++; }
+            else if (c == '<') { lt = pos; ss = ESC_LT; pos++; }
+            else { ss = ESC; pos++; }
+            break;
+        case ESC_DD:
+            if (c == '-') pos++;
+            else if (c == '<') { lt = pos; ss = ESC_LT; pos++; }
+            else if (c == '>') { ss = SD; pos++; }
+            else { ss = ESC; pos++; }
+            break;
+        case ESC_LT:
+            if (c == '/') { ss = ESC_EO; tl = 0; pos++; }
+            else if (is_alpha(c)) { ss = DBS; tl = 0; }
+            else ss = ESC;
+            break;
+        case ESC_EO:
+            if (is_alpha(c)) { ss = ESC_EN; tl = 0; }
+            else ss = ESC;
+            break;
+        case DBS:
+        case DBE: {
+            int here = ss;
+            if (is_ws(c) || c == '/' || c == '>') {
+                int match = (tl == 6);
+                for (Py_ssize_t k = 0; match && k < 6; k++)
+                    if (tmp[k] != (Py_UCS4)script6[k]) match = 0;
+                if (here == DBS) ss = match ? DB : ESC;
+                else ss = match ? ESC : DB;
+                pos++;
+            } else if (is_alpha(c)) {
+                if (tl < 15) {
+                    Py_UCS4 t = c;
+                    if (t >= 'A' && t <= 'Z') t += 32;
+                    tmp[tl++] = t;
+                    pos++;
+                } else ss = (here == DBS) ? ESC : DB;
+            } else ss = (here == DBS) ? ESC : DB;
+            break; }
+        case DB:
+            if (c == '-') { ss = DB_D; pos++; }
+            else if (c == '<') { ss = DB_LT; pos++; }
+            else pos++;
+            break;
+        case DB_D:
+            if (c == '-') { ss = DB_DD; pos++; }
+            else if (c == '<') { ss = DB_LT; pos++; }
+            else { ss = DB; pos++; }
+            break;
+        case DB_DD:
+            if (c == '-') pos++;
+            else if (c == '<') { ss = DB_LT; pos++; }
+            else if (c == '>') { ss = SD; pos++; }
+            else { ss = DB; pos++; }
+            break;
+        default: /* DB_LT */
+            if (c == '/') { ss = DBE; tl = 0; pos++; }
+            else ss = DB;
+            break;
+        }
+    }
+    *out_lt = -1;  /* EOF inside script data */
+    return 0;
 }
 
 static PyObject *substr(Scan *sc, Py_ssize_t a, Py_ssize_t b);
@@ -808,8 +948,33 @@ done: ;
            loop then parses it as a normal end tag). */
         PyObject *lname = name;  /* borrowed via recs (still alive) */
         Py_ssize_t start = i;
-        int esc_seen = 0;  /* an exact "<!--" occurred in this script
-                              body (S_ESCAPE* family entered) */
+        if (rstate == S_SCRIPT) {
+            /* full escaped/double-escaped DFA (exact mirror of the
+               Python machine, no error states) — "</script>" inside
+               a DOUBLE-escaped region stays body text and the body
+               ends at the DATA/ESCAPED-family terminator only */
+            Py_ssize_t lt;
+            if (script_end_scan(sc, start, &lt) < 0) return -1;
+            if (lt < 0) {
+                /* EOF in script data: emit remainder, back to DATA */
+                if (sc->n > start) {
+                    PyObject *d = substr(sc, start, sc->n);
+                    if (!d) return -1;
+                    if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
+                        return -1;
+                }
+                *io = sc->n;
+                return 0;
+            }
+            if (lt > start) {
+                PyObject *d = substr(sc, start, lt);
+                if (!d) return -1;
+                if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
+                    return -1;
+            }
+            *io = lt;
+            return 0;
+        }
         while (1) {
             Py_ssize_t lt = find_char(sc, '<', i);
             if (lt == -2) return -1;
@@ -817,7 +982,7 @@ done: ;
                 /* EOF in raw state: emit remainder, back to DATA */
                 if (sc->n > start) {
                     /* RCDATA (title/textarea) processes charrefs;
-                       RAWTEXT/script never do, '&' stays literal */
+                       RAWTEXT never does, '&' stays literal */
                     PyObject *d;
                     if (rstate == S_RCDATA) {
                         int rr = region_text(sc, start, sc->n, 0, &d);
@@ -834,30 +999,7 @@ done: ;
             }
             if (lt + 1 >= sc->n) { i = lt + 1; continue; }
             Py_UCS4 c2 = RD(sc, lt + 1);
-            if (rstate == S_SCRIPT && c2 == '!') {
-                /* only an exact "<!--" escapes (S_ESCAPE_START needs
-                   two dashes); anything else returns to the data scan
-                   (after the '!').  Escaped script data keeps the SAME
-                   terminator rule as the plain scan ("</" + name run
-                   == raw_tag + [ws / >], both S_DATA_END_NAME and
-                   S_ESCAPED_END_NAME), and "-->" / a second "<!--"
-                   are terminator-neutral — the ONLY way the machines
-                   diverge is DOUBLE-escape, entered by an inner
-                   ci "<script" while escaped.  So track the escape
-                   and bail just on that inner pattern (below). */
-                if (lt + 3 < sc->n && RD(sc, lt + 2) == '-'
-                    && RD(sc, lt + 3) == '-') {
-                    esc_seen = 1;
-                    i = lt + 4;
-                    continue;
-                }
-                i = lt + 2;
-                continue;
-            }
             if (c2 != '/') {
-                if (rstate == S_SCRIPT && esc_seen
-                    && ci_match(sc, lt + 1, "script", 6))
-                    BAIL(sc, "script-double-escape");
                 i = lt + 1;
                 continue;
             }

@@ -344,10 +344,9 @@ def test_bail_classes():
     _expect_bail("<a x=>")                         # missing value
     _expect_bail("<a x/ y>")                       # '/' not before '>'
     _expect_bail('<a x"y">')                       # bad attr-name char
-    # escaped script data is accepted now; only the double-escape
-    # entry pattern (inner ci "<script" after "<!--") stays out
-    _expect_bail("<script><!--<script>x</script>--></script>")
-    _expect_bail("<script><!--<SCRIPT y</script>")
+    # script data runs the full 18-state DFA mirror now — escaped AND
+    # double-escaped bodies are in-subset (parity tests below); no
+    # script-body shape bails anymore
     _expect_bail("<!-- open")                      # EOF in comment
     # the inner "<!--"'s dashes straddle the terminator (k = e-3):
     # LT_BANG_DASH_DASH's next char is the OTHER terminator dash, not
@@ -398,11 +397,12 @@ def test_doctype_ids_accepted_and_tree_equal():
 
 
 def test_escaped_script_accepted_and_tree_equal():
-    """Script bodies holding an exact "<!--" stay in the subset: the
-    escaped machine's terminator rule equals the plain scan's, so the
-    token stream (incl. the classic early-termination trap where a
-    quoted "</script>" inside the comment ENDS the element) matches.
-    Only the double-escape entry (inner ci "<script") bails."""
+    """Script bodies run the exact 18-state script-data DFA mirror
+    (_fastscan.c script_end_scan): escaped AND double-escaped bodies
+    are in-subset — a "</script>" inside a DOUBLE-escaped region stays
+    body text (the classic "<!--<script>...</script>-->" pattern), and
+    the classic early-termination trap (a quoted "</script>" inside a
+    merely-escaped comment ENDS the element) also matches."""
     docs = [
         "<script><!-- var x = 1; --></script><p>a",
         "<script><!-- if (a<b) { f(); } --></script>b",
@@ -411,6 +411,16 @@ def test_escaped_script_accepted_and_tree_equal():
         "<script><!-- w('</script>') --></script>trap",
         "<script><!-- unterminated",
         "<script><!-x<script>inert</script>h",
+        # double-escape family (inner ci "<script" after "<!--"):
+        # inner </script> flips back to ESCAPED, body continues
+        "<script><!--<script>x</script>--></script>tail",
+        "<script><!--<SCRIPT y</script>",           # EOF double-escaped
+        "<script><!--<script>x</script>y</script>-->z</script>t",
+        "<script><!--<script a>--x</script>rest</script>after",
+        "<script><!--<script></scripty></script></script>",
+        "<script><!--<script>--></script>done",     # --> exits to data
+        "<script><!--<script></script",             # EOF mid end-name
+        "<script>",                                 # EOF, empty raw body
     ]
     for doc in docs:
         feed = fastscan.make_feed(doc, [])
