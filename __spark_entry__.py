@@ -570,6 +570,42 @@ def _q_conversation_stats(spark, sf_dir):
     return conversation_stats(extract_turns(df, ordered=False))
 
 
+def _q_sft_pairs(spark, sf_dir):
+    """SFT training-pair construction: context = previous up-to-3
+    turns rendered "role: text", response = the assistant turn. One
+    conv_id window, bounded frame (no reference counterpart — a
+    training-data op the C parser has no SQL surface for)."""
+    from html_parser_spark.spark.pipeline import extract_turns, sft_pairs
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return sft_pairs(extract_turns(df, ordered=False), context_turns=3)
+
+
+def _q_loss_mask_spans(spark, sf_dir):
+    """Loss-masking layout: per-turn [tok_start, tok_end) offsets in
+    the packed per-conversation token stream + trainable flag."""
+    from html_parser_spark.spark.pipeline import (
+        extract_turns, loss_mask_spans,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return loss_mask_spans(extract_turns(df, ordered=False), sep_tokens=1)
+
+
+def _q_role_alternation(spark, sf_dir):
+    """Dialogue-protocol audit: adjacent same-role turn pairs per
+    conversation (first offending turn_idx, -1 when clean)."""
+    from html_parser_spark.spark.pipeline import (
+        extract_turns, role_alternation,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return role_alternation(extract_turns(df, ordered=False))
+
+
 def _q_extract_boilerplate(spark, sf_dir):
     from html_parser_spark.spark.pipeline import extract_turns
     from html_parser_spark.spark.transcripts import transcripts_df
@@ -852,6 +888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_transcripts": _q_extract_transcripts,
         "extract_boilerplate": _q_extract_boilerplate,
         "conversation_stats": _q_conversation_stats,
+        "sft_pairs": _q_sft_pairs,
+        "loss_mask_spans": _q_loss_mask_spans,
+        "role_alternation": _q_role_alternation,
         "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
         "pdf_extract": _q_pdf_extract,
@@ -1578,6 +1617,60 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(turn_idx) as int) AS max_turn_idx
             FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
             GROUP BY conv_id ORDER BY conv_id
+        """,
+        # sft_pairs / loss_mask_spans / role_alternation: same
+        # materialized-turns pattern — the window arithmetic is
+        # re-derived with real SQL over the committed turns fixture
+        # (extraction itself is golden-gated).
+        "sft_pairs": f"""
+            SELECT conv_id, turn_idx,
+                   cast(count(*) OVER frame3 as int) AS n_context_turns,
+                   coalesce(string_agg(
+                       concat_ws(': ', role, extracted_text), chr(10))
+                       OVER frame3, '') AS context,
+                   extracted_text AS response
+            FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+            WINDOW frame3 AS (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+            QUALIFY role = 'assistant'
+            ORDER BY conv_id, turn_idx
+        """,
+        "loss_mask_spans": f"""
+            WITH sized AS (
+                SELECT conv_id, turn_idx, role,
+                       cast(len(string_split(coalesce(extracted_text, ''),
+                                             ' ')) as bigint) AS n_tokens
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+            )
+            SELECT conv_id, turn_idx, n_tokens,
+                   coalesce(cast(sum(n_tokens + 1) OVER
+                       (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       as bigint), 0) AS tok_start,
+                   coalesce(cast(sum(n_tokens + 1) OVER
+                       (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       as bigint), 0) + n_tokens AS tok_end,
+                   role = 'assistant' AS trainable
+            FROM sized ORDER BY conv_id, turn_idx
+        """,
+        "role_alternation": f"""
+            WITH lagged AS (
+                SELECT conv_id, turn_idx, role,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev_role
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+            )
+            SELECT conv_id,
+                   cast(count(*) as bigint) AS n_turns,
+                   cast(sum(case when prev_role IS NOT NULL
+                                  AND role = prev_role
+                            then 1 else 0 end) as bigint) AS n_violations,
+                   cast(coalesce(min(case when prev_role IS NOT NULL
+                                           AND role = prev_role
+                                     then turn_idx end), -1) as int)
+                       AS first_violation_idx
+            FROM lagged GROUP BY conv_id ORDER BY conv_id
         """,
         # --- pinned-snapshot (regression) oracles --------------------
         # The seeded-hash operators (xxhash64 rehash chains, blake2b

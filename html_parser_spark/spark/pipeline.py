@@ -168,3 +168,89 @@ def partition_metrics(extracted: DataFrame) -> DataFrame:
             F.sum(F.length("extracted_text")).alias("extracted_chars"),
         )
     )
+
+
+def sft_pairs(extracted: DataFrame, context_turns: int = 3,
+              response_role: str = "assistant") -> DataFrame:
+    """(context, response) supervised-fine-tuning pairs from extracted
+    turns: one output row per `response_role` turn, whose context is
+    the previous up-to-`context_turns` turns rendered "role: text" and
+    joined with newlines in stable (conv_id, turn_idx) order.
+
+    Scale shape: ONE hash-partitioned window on conv_id — the shuffle
+    every per-conversation op shares — with a ROWS-bounded frame, so
+    per-row state is O(context_turns) regardless of conversation
+    length (a mega-conversation costs memory proportional to k, not to
+    its turn count). No global sort, no Python stage. Intra-frame
+    order is pinned explicitly (collect structs keyed by turn_idx,
+    sort_array, project) rather than relying on frame iteration order,
+    so the result is repartition-invariant by construction."""
+    w = (Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+         .rowsBetween(-context_turns, -1))
+    line = F.concat_ws(": ", F.col("role"), F.col("extracted_text"))
+    ctx = F.sort_array(
+        F.collect_list(F.struct(F.col("turn_idx"), line.alias("line"))).over(w)
+    )
+    # materialize the frame ONCE (a second reference to `ctx` would
+    # plan a second identical Window node), then derive both outputs
+    return (
+        extracted
+        .select("conv_id", "turn_idx", "role", "extracted_text",
+                ctx.alias("_ctx"))
+        .where(F.col("role") == response_role)
+        .select(
+            "conv_id", "turn_idx",
+            F.size("_ctx").cast("int").alias("n_context_turns"),
+            F.array_join(
+                F.transform("_ctx", lambda s: s["line"]), "\n"
+            ).alias("context"),
+            F.col("extracted_text").alias("response"),
+        )
+    )
+
+
+def loss_mask_spans(extracted: DataFrame, sep_tokens: int = 1,
+                    trainable_role: str = "assistant") -> DataFrame:
+    """Per-turn token spans in the per-conversation packed token
+    stream: [tok_start, tok_end) are cumulative whitespace-token
+    offsets when a conversation's turns are concatenated in turn
+    order with `sep_tokens` separator tokens after each turn, and
+    `trainable` marks the spans that contribute to the loss (the
+    standard SFT loss-masking layout). Token counting is the same
+    split-on-space formula as token_stats, so the arithmetic is
+    exact-integer and SQL-oracled end to end.
+
+    Scale shape: one conv_id window with a running sum — a single
+    shuffle, bounded per-row state, no global sort."""
+    n_tok = F.size(F.split(F.coalesce(F.col("extracted_text"),
+                                      F.lit("")), " ")).cast("bigint")
+    w = (Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(n_tok + sep_tokens).over(w), F.lit(0))
+    return extracted.select(
+        "conv_id", "turn_idx",
+        n_tok.alias("n_tokens"),
+        start.cast("bigint").alias("tok_start"),
+        (start + n_tok).cast("bigint").alias("tok_end"),
+        (F.col("role") == trainable_role).alias("trainable"),
+    )
+
+
+def role_alternation(extracted: DataFrame) -> DataFrame:
+    """Per-conversation dialogue-protocol check: counts adjacent
+    same-role turn pairs (a broken alternation — e.g. two consecutive
+    assistant turns) and reports the first offending turn_idx (-1 when
+    the conversation is clean). One lag window + one aggregation, both
+    keyed on conv_id, so the window's shuffle is reused by the agg."""
+    w = Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+    prev = F.lag("role").over(w)
+    flagged = extracted.withColumn(
+        "viol", prev.isNotNull() & (F.col("role") == prev)
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum(F.col("viol").cast("int")).cast("bigint").alias("n_violations"),
+        F.coalesce(
+            F.min(F.when(F.col("viol"), F.col("turn_idx"))), F.lit(-1)
+        ).cast("int").alias("first_violation_idx"),
+    )

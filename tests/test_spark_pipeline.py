@@ -2170,3 +2170,87 @@ def test_temperature_sample_planted(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sft_pairs_hand_built(spark):
+    """SFT pair construction on a hand-built conversation: context is
+    the previous up-to-k turns as "role: text" joined by newlines, in
+    turn order; only assistant turns produce pairs; the plan is one
+    conv_id hash-partitioned window (no global sort)."""
+    from html_parser_spark.spark.pipeline import sft_pairs
+
+    turns = spark.createDataFrame(
+        [("a", 0, "user", "q1"), ("a", 1, "assistant", "a1"),
+         ("a", 2, "user", "q2"), ("a", 3, "assistant", "a2"),
+         ("a", 4, "tool", "t1"), ("a", 5, "assistant", "a3"),
+         ("b", 0, "assistant", "solo")],
+        "conv_id string, turn_idx int, role string, "
+        "extracted_text string")
+    out = sft_pairs(turns, context_turns=3)
+    got = {(r.conv_id, r.turn_idx): (r.n_context_turns, r.context,
+                                     r.response)
+           for r in out.collect()}
+    assert got == {
+        ("a", 1): (1, "user: q1", "a1"),
+        ("a", 3): (3, "user: q1\nassistant: a1\nuser: q2", "a2"),
+        ("a", 5): (3, "user: q2\nassistant: a2\ntool: t1", "a3"),
+        ("b", 0): (0, "", "solo"),
+    }
+    # repartition invariance (the window pins intra-frame order)
+    got2 = {(r.conv_id, r.turn_idx): (r.n_context_turns, r.context,
+                                      r.response)
+            for r in sft_pairs(turns.repartition(7), 3).collect()}
+    assert got2 == got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(conv_id" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_loss_mask_spans_hand_built(spark):
+    """Loss-mask layout: cumulative token offsets with 1 separator
+    token per turn; [tok_start, tok_end) are contiguous per
+    conversation; assistant spans are trainable."""
+    from html_parser_spark.spark.pipeline import loss_mask_spans
+
+    turns = spark.createDataFrame(
+        [("a", 0, "user", "one two three"),   # 3 tokens
+         ("a", 1, "assistant", "four"),       # 1 token
+         ("a", 2, "user", ""),                # split('',' ') == [''] -> 1
+         ("a", 3, "assistant", "x y")],       # 2 tokens
+        "conv_id string, turn_idx int, role string, "
+        "extracted_text string")
+    out = loss_mask_spans(turns, sep_tokens=1)
+    got = {r.turn_idx: (r.n_tokens, r.tok_start, r.tok_end, r.trainable)
+           for r in out.collect()}
+    assert got == {
+        0: (3, 0, 3, False),
+        1: (1, 4, 5, True),
+        2: (1, 6, 7, False),
+        3: (2, 8, 10, True),
+    }
+    # spans are disjoint and ordered; separator gap is exactly 1
+    spans = sorted((r.tok_start, r.tok_end) for r in out.collect())
+    for (s0, e0), (s1, _) in zip(spans, spans[1:]):
+        assert s1 == e0 + 1
+
+
+def test_role_alternation_hand_built(spark):
+    from html_parser_spark.spark.pipeline import role_alternation
+
+    turns = spark.createDataFrame(
+        [("ok", 0, "user", "x"), ("ok", 1, "assistant", "y"),
+         ("bad", 0, "user", "x"), ("bad", 1, "user", "y"),
+         ("bad", 2, "assistant", "z"), ("bad", 3, "assistant", "w"),
+         ("single", 7, "assistant", "s")],
+        "conv_id string, turn_idx int, role string, "
+        "extracted_text string")
+    got = {r.conv_id: (r.n_turns, r.n_violations, r.first_violation_idx)
+           for r in role_alternation(turns).collect()}
+    assert got == {
+        "ok": (2, 0, -1),
+        "bad": (4, 2, 1),
+        "single": (1, 0, -1),
+    }
+    got2 = {r.conv_id: (r.n_turns, r.n_violations, r.first_violation_idx)
+            for r in role_alternation(turns.repartition(5)).collect()}
+    assert got2 == got

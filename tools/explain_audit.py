@@ -302,6 +302,42 @@ def main():
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ])
 
+    audit("sft_pairs (SFT context/response pairs)",
+          qs["sft_pairs"](spark, SF_DIR), [
+        ("one conv_id hash-partitioned window, no global sort",
+         lambda p: "hashpartitioning(conv_id" in p
+         and "rangepartitioning" not in p.lower()),
+        ("bounded ROWS frame window present",
+         lambda p: "Window" in p),
+        ("exactly one Python stage (the parse kernel), windows JVM-side",
+         lambda p: p.count("+- MapInArrow") + p.count("+- PythonMapInArrow")
+         == 1 and "EvalPython" not in p and "MapInPandas" not in p),
+        ("the frame is collected ONCE (a single Window node)",
+         lambda p: p.count("collect_list") == 1),
+    ])
+
+    audit("loss_mask_spans (loss-mask token offsets)",
+          qs["loss_mask_spans"](spark, SF_DIR), [
+        ("one conv_id hash-partitioned window, no global sort",
+         lambda p: "hashpartitioning(conv_id" in p
+         and "rangepartitioning" not in p.lower()),
+        ("running-sum window present",
+         lambda p: "Window" in p),
+        ("exactly one Python stage (the parse kernel), offsets JVM-side",
+         lambda p: p.count("+- MapInArrow") + p.count("+- PythonMapInArrow")
+         == 1 and "EvalPython" not in p and "MapInPandas" not in p),
+    ])
+
+    audit("role_alternation (dialogue-protocol audit)",
+          qs["role_alternation"](spark, SF_DIR), [
+        ("lag window and agg share the conv_id shuffle",
+         lambda p: "hashpartitioning(conv_id" in p),
+        ("aggregation is partial (two HashAggregate phases)",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no global sort in the plan",
+         lambda p: "rangepartitioning" not in p.lower()),
+    ])
+
     audit("lang_balanced_sample (per-stratum top-N)",
           qs["lang_balanced_sample"](spark, SF_DIR), [
         ("rank filter survives in the plan",
