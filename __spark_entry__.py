@@ -606,6 +606,28 @@ def _q_role_alternation(spark, sf_dir):
     return role_alternation(extract_turns(df, ordered=False))
 
 
+def _q_tool_transitions(spark, sf_dir):
+    """Agent-trace Markov transitions over the tool column (rides the
+    extraction passthrough): corpus-wide (previous tool -> tool)
+    counts, 'START' for a conversation's first tool call."""
+    from html_parser_spark.spark.pipeline import (
+        extract_turns, tool_transitions,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return tool_transitions(extract_turns(df, ordered=False))
+
+
+def _q_cluster_assign(spark, sf_dir):
+    """Deterministic nearest-seed-centroid corpus bucketing over the
+    embeddings table (the k-means E-step as a broadcast join + one
+    partial-aggregating argmax)."""
+    from html_parser_spark.spark.ops import cluster_assign
+
+    return cluster_assign(_t(spark, sf_dir, "embeddings"), n_clusters=4)
+
+
 def _q_extract_boilerplate(spark, sf_dir):
     from html_parser_spark.spark.pipeline import extract_turns
     from html_parser_spark.spark.transcripts import transcripts_df
@@ -891,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _q_sft_pairs,
         "loss_mask_spans": _q_loss_mask_spans,
         "role_alternation": _q_role_alternation,
+        "tool_transitions": _q_tool_transitions,
+        "cluster_assign": _q_cluster_assign,
         "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
         "pdf_extract": _q_pdf_extract,
@@ -1653,6 +1677,72 @@ def oracle_sql() -> dict[str, str]:
                        as bigint), 0) + n_tokens AS tok_end,
                    role = 'assistant' AS trainable
             FROM sized ORDER BY conv_id, turn_idx
+        """,
+        "tool_transitions": f"""
+            WITH tools AS (
+                SELECT conv_id, turn_idx, tool
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+                WHERE tool IS NOT NULL
+            ), pairs AS (
+                SELECT coalesce(lag(tool) OVER (PARTITION BY conv_id
+                                                ORDER BY turn_idx),
+                                'START') AS from_tool,
+                       tool AS to_tool
+                FROM tools
+            )
+            SELECT from_tool, to_tool, cast(count(*) as bigint) AS n
+            FROM pairs GROUP BY from_tool, to_tool
+            ORDER BY from_tool, to_tool
+        """,
+        "cluster_assign": """
+            WITH v AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> cast(x as double))
+                           AS vec
+                FROM embeddings
+            ), seeds AS (
+                SELECT vec_id AS seed_id, vec AS svec FROM v
+                ORDER BY vec_id LIMIT 4
+            ), scored AS (
+                SELECT v.vec_id, v.label, s.seed_id,
+                       round(list_sum(list_transform(
+                                 generate_series(1, len(svec)),
+                                 i -> svec[i] * vec[i]))
+                             / greatest(
+                                 sqrt(list_sum(list_transform(svec,
+                                               x -> x*x)))
+                                 * sqrt(list_sum(list_transform(vec,
+                                                 x -> x*x))),
+                                 1e-300), 6) AS cos
+                FROM v, seeds s
+            ), assigned AS (
+                SELECT vec_id, label, seed_id AS cluster_id FROM (
+                    SELECT vec_id, label, seed_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY cos DESC, seed_id ASC) AS rk
+                    FROM scored
+                ) WHERE rk = 1
+            ), counts AS (
+                SELECT cluster_id, label, count(*) AS n
+                FROM assigned GROUP BY cluster_id, label
+            ), best AS (
+                SELECT cluster_id, label AS majority_label,
+                       cast(n as bigint) AS majority_n FROM (
+                    SELECT cluster_id, label, n,
+                           row_number() OVER (
+                               PARTITION BY cluster_id
+                               ORDER BY n DESC, label ASC) AS rk
+                    FROM counts
+                ) WHERE rk = 1
+            )
+            SELECT t.cluster_id, t.n_members, b.majority_label,
+                   b.majority_n
+            FROM (SELECT cluster_id,
+                         cast(count(*) as bigint) AS n_members
+                  FROM assigned GROUP BY cluster_id) t
+            JOIN best b USING (cluster_id)
+            ORDER BY cluster_id
         """,
         "role_alternation": f"""
             WITH lagged AS (

@@ -2087,3 +2087,61 @@ def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
             F.col("root").alias("cluster_root"))
         return kept_out, clusters
     return kept_out
+
+
+def cluster_assign(embeddings: DataFrame, n_clusters: int = 4) -> DataFrame:
+    """Deterministic corpus bucketing by nearest seed centroid: the
+    `n_clusters` lowest vec_ids are the seeds (the canonical
+    furthest-point-free init — no RNG state, repartition-invariant),
+    every vector goes to its max-cosine seed (ties to the smallest
+    seed id via the same round(cos,6)-then-id ordering the ANN
+    operators use), and the output is one row per cluster with its
+    size and majority label. The assignment is the E-step building
+    block of k-means corpus clustering (curriculum bucketing, per-
+    cluster dedup budgets); the full iterative fit lives in the IVF
+    trainer (ops.ann_ivf).
+
+    Scale shape: the seeds are a broadcast of n_clusters rows against
+    the streaming corpus (same join shape as ann_bruteforce); the
+    argmax is a max(struct) partial aggregation — NO per-vector
+    window, so nothing shuffles the corpus by vec_id; the majority
+    vote aggregates k*|labels| rows."""
+    from pyspark.sql import Window
+
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = _spread(embeddings).select("vec_id", "label",
+                                        vec_d.alias("vec"))
+    seeds = (
+        embeddings.orderBy(F.asc("vec_id")).limit(n_clusters)
+        .select(F.col("vec_id").alias("seed_id"), vec_d.alias("svec"))
+    )
+    cos = _dot(F.col("vec"), F.col("svec")) / F.greatest(
+        _norm(F.col("vec")) * _norm(F.col("svec")), F.lit(1e-300)
+    )
+    scored = corpus.join(F.broadcast(seeds)).select(
+        "vec_id", "label", "seed_id", F.round(cos, 6).alias("cos")
+    )
+    # argmax via one partial-aggregating max(struct): (cos DESC,
+    # seed_id ASC) == max over (cos, -seed_id)
+    assigned = (
+        scored.groupBy("vec_id", "label")
+        .agg(F.max(F.struct(
+            F.col("cos"), (-F.col("seed_id")).alias("neg_seed")
+        )).alias("m"))
+        .select("vec_id", "label",
+                (-F.col("m.neg_seed")).cast("bigint").alias("cluster_id"))
+    )
+    counts = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n"), F.asc("label"))
+    totals = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members"))
+    best = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("label").alias("majority_label"),
+                F.col("n").cast("bigint").alias("majority_n"))
+    )
+    return totals.join(best, "cluster_id").select(
+        "cluster_id", "n_members", "majority_label", "majority_n")

@@ -254,3 +254,26 @@ def role_alternation(extracted: DataFrame) -> DataFrame:
             F.min(F.when(F.col("viol"), F.col("turn_idx"))), F.lit(-1)
         ).cast("int").alias("first_violation_idx"),
     )
+
+
+def tool_transitions(extracted: DataFrame) -> DataFrame:
+    """Agent-trace analytics: Markov transition counts over the tool
+    column — for each conversation's tool-bearing turns in turn order,
+    count (previous tool -> tool) pairs corpus-wide; a conversation's
+    first tool call transitions from 'START'. The tool column rides
+    the extraction passthrough, so this runs over the same frame as
+    every other per-conversation op.
+
+    Scale shape: the null filter prunes to tool turns BEFORE the lag
+    window's conv_id shuffle, and the corpus-wide count is a partial
+    aggregation over (from_tool, to_tool) — bounded by the tool
+    vocabulary squared, not by corpus size."""
+    w = Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+    tools = extracted.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool")
+    pairs = tools.select(
+        F.coalesce(F.lag("tool").over(w), F.lit("START")).alias("from_tool"),
+        F.col("tool").alias("to_tool"),
+    )
+    return pairs.groupBy("from_tool", "to_tool").agg(
+        F.count("*").cast("bigint").alias("n"))

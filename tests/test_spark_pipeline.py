@@ -2254,3 +2254,57 @@ def test_role_alternation_hand_built(spark):
     got2 = {r.conv_id: (r.n_turns, r.n_violations, r.first_violation_idx)
             for r in role_alternation(turns.repartition(5)).collect()}
     assert got2 == got
+
+
+def test_tool_transitions_hand_built(spark):
+    from html_parser_spark.spark.pipeline import tool_transitions
+
+    turns = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, "search"), ("a", 2, None),
+         ("a", 3, "python"), ("a", 4, "python"),
+         ("b", 0, "python"), ("b", 1, "search"),
+         ("c", 5, None)],
+        "conv_id string, turn_idx int, tool string")
+    got = {(r.from_tool, r.to_tool): r.n
+           for r in tool_transitions(turns).collect()}
+    assert got == {
+        ("START", "search"): 1,   # a's first tool
+        ("search", "python"): 1,  # a: 1->3 (null at 2 skipped)
+        ("python", "python"): 1,  # a: 3->4
+        ("START", "python"): 1,   # b's first tool
+        ("python", "search"): 1,  # b: 0->1
+    }
+    got2 = {(r.from_tool, r.to_tool): r.n
+            for r in tool_transitions(turns.repartition(5)).collect()}
+    assert got2 == got
+
+
+def test_cluster_assign_planted(spark):
+    """Three planted directions + the seeds themselves: every member
+    lands with its seed, sizes and majority labels are exact; the
+    assignment is the argmax of round(cos, 6) with ties to the
+    smallest seed id."""
+    from html_parser_spark.spark.ops import cluster_assign
+
+    def noisy(base, eps):
+        return [b + e for b, e in zip(base, eps)]
+
+    dirs = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    rows = [(i, dirs[i], f"lab{i}") for i in range(3)]
+    vid = 3
+    for d in range(3):
+        for j in range(4):
+            rows.append((vid, noisy(dirs[d], [0.01 * j, 0.02, 0.005 * d]),
+                         f"lab{d}" if j < 3 else "labX"))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = {r.cluster_id: (r.n_members, r.majority_label, r.majority_n)
+           for r in cluster_assign(emb, n_clusters=3).collect()}
+    # each cluster: its seed + 4 planted members = 5; majority label
+    # is the planted one (4 of 5 rows carry it: seed + 3 planted)
+    assert out == {
+        0: (5, "lab0", 4),
+        1: (5, "lab1", 4),
+        2: (5, "lab2", 4),
+    }

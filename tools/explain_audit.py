@@ -328,6 +328,30 @@ def main():
          == 1 and "EvalPython" not in p and "MapInPandas" not in p),
     ])
 
+    audit("tool_transitions (agent-trace Markov counts)",
+          qs["tool_transitions"](spark, SF_DIR), [
+        ("lag window keyed on conv_id",
+         lambda p: "hashpartitioning(conv_id" in p),
+        ("final count aggregates partially (map-side combine)",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no global sort",
+         lambda p: "rangepartitioning" not in p.lower()),
+    ])
+
+    audit("cluster_assign (nearest-seed corpus bucketing)",
+          qs["cluster_assign"](spark, SF_DIR), [
+        ("seeds broadcast against the streaming corpus",
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("argmax is a partial aggregation, not a per-vector window",
+         lambda p: p.count("HashAggregate") >= 2
+         and "windowspecdefinition(vec_id" not in p),
+        ("seed pick is TakeOrdered, not a full sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no Python node",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+    ])
+
     audit("role_alternation (dialogue-protocol audit)",
           qs["role_alternation"](spark, SF_DIR), [
         ("lag window and agg share the conv_id shuffle",

@@ -5,7 +5,7 @@ Two kinds of fixture back the oracle rows that ANSI SQL cannot
 re-derive from the base tables:
 
   1. `turns_2000.parquet` — the extracted TURNS of the seeded
-     2,000-turn transcripts table (incl. role). conversation_stats /
+     2,000-turn transcripts table (incl. role and tool). conversation_stats /
      sft_pairs / loss_mask_spans / role_alternation oracles run real
      window/rollup SQL over it, so the arithmetic is checked
      independently; the extraction itself is gated by the golden
@@ -75,7 +75,7 @@ def main() -> int:
     # 1. the turns table conversation_stats aggregates over
     turns = extract_turns(
         transcripts_df(spark, 2000, seed=42, partitions=8), ordered=False
-    ).select("conv_id", "turn_idx", "role", "extracted_text", "parse_errors")
+    ).select("conv_id", "turn_idx", "role", "tool", "extracted_text", "parse_errors")
     dest = os.path.join(FIXTURES, "turns_2000.parquet")
     write_single_parquet(turns, dest)
     print(f"minted {dest}")
