@@ -188,8 +188,9 @@ typedef struct {
                               can't trigger in the subset, but keep the
                               attribute for interface parity) */
     char allow_cdata;      /* builder writes this every token */
-    PyObject *errors;      /* shared list; never appended in subset */
-    PyObject *skipped;     /* list; never appended in subset */
+    PyObject *errors;      /* shared list; tokenizer-side errors ride
+                              the records and append at pull time */
+    PyObject *skipped;     /* raw-scan ranges (complete up front) */
 } FastFeed;
 
 static PyObject *EMPTY_ATTRS;   /* shared [] for attr-less tokens; the
@@ -328,6 +329,8 @@ static PyTypeObject FastFeed_Type = {
 /* scanner                                                             */
 /* ------------------------------------------------------------------ */
 
+typedef struct { Py_ssize_t a, b; } SkipRange;
+
 typedef struct {
     PyObject *text;
     int kind;
@@ -345,6 +348,18 @@ typedef struct {
     int seen_foreign;       /* sticky: a <svg>/<math> start tag was
                                emitted.  From then on any raw-state
                                trigger tag bails (see done: below) */
+    /* positioned-error support (tokenizer._error/_line_col mirror):
+       raw-scan char ranges consumed without advance() — the
+       reference's line/col counters never see them, so reported
+       positions are deliberately stale across raw scans — plus the
+       incremental (pos, line, col, skip_idx) cursor the error path
+       resumes from.  Queries are monotonic during a scan (errors
+       occur in document order), matching the Python cache's
+       cacheable case. */
+    SkipRange *skips;
+    Py_ssize_t n_skips, cap_skips;
+    Py_ssize_t lc_pos, lc_skip;
+    long lc_line, lc_col;
 } Scan;
 
 #define RD(sc, i) PyUnicode_READ((sc)->kind, (sc)->data, (i))
@@ -542,6 +557,86 @@ script_end_scan(Scan *sc, Py_ssize_t start, Py_ssize_t *out_lt)
 }
 
 static PyObject *substr(Scan *sc, Py_ssize_t a, Py_ssize_t b);
+
+/* --- positioned parse errors (tokenizer._error mirror) ------------- */
+
+static int
+push_skip(Scan *sc, Py_ssize_t a, Py_ssize_t b)
+{
+    if (sc->n_skips == sc->cap_skips) {
+        Py_ssize_t nc = sc->cap_skips ? sc->cap_skips * 2 : 8;
+        SkipRange *ns = PyMem_Realloc(sc->skips, nc * sizeof(SkipRange));
+        if (!ns) { PyErr_NoMemory(); return -1; }
+        sc->skips = ns;
+        sc->cap_skips = nc;
+    }
+    sc->skips[sc->n_skips].a = a;
+    sc->skips[sc->n_skips].b = b;
+    sc->n_skips++;
+    return 0;
+}
+
+/* advance (line, col) over [from, to): +1 col per UTF-8 BYTE, '\n'
+   resets col to 1 (tokenizer._bump_line_col / reference advance()).
+   Surrogates cannot appear (scan_all prechecks bail on them). */
+static void
+lc_bump(Scan *sc, Py_ssize_t from, Py_ssize_t to, long *line, long *col)
+{
+    for (Py_ssize_t k = from; k < to; k++) {
+        Py_UCS4 c = RD(sc, k);
+        if (c == '\n') { (*line)++; *col = 1; }
+        else *col += (c < 0x80) ? 1 : (c < 0x800) ? 2
+                     : (c < 0x10000) ? 3 : 4;
+    }
+}
+
+/* tokenizer._line_col: line/col of `pos` counting only bytes outside
+   the skipped ranges, resuming from the incremental cursor. */
+static void
+line_col(Scan *sc, Py_ssize_t pos, long *lp, long *cp)
+{
+    Py_ssize_t cur = sc->lc_pos, si = sc->lc_skip;
+    long line = sc->lc_line, col = sc->lc_col;
+    if (pos < cur) { cur = 0; line = 1; col = 1; si = 0; }
+    while (si < sc->n_skips) {
+        Py_ssize_t a = sc->skips[si].a, b = sc->skips[si].b;
+        if (a >= pos) break;
+        Py_ssize_t stop = a > cur ? a : cur;
+        lc_bump(sc, cur, stop < pos ? stop : pos, &line, &col);
+        Py_ssize_t nb = b < pos ? b : pos;
+        if (nb > cur) cur = nb;
+        if (b > pos) break;
+        si++;
+    }
+    lc_bump(sc, cur, pos, &line, &col);
+    sc->lc_pos = pos;
+    sc->lc_line = line;
+    sc->lc_col = col;
+    sc->lc_skip = si;
+    *lp = line;
+    *cp = col;
+}
+
+/* "line=N col=M: msg" onto pending_errs — surfaces when the record
+   being assembled is PULLED, i.e. at the same point in the combined
+   error stream where the Python machine appends it (production time,
+   before the builder processes the token). */
+static int
+scan_error(Scan *sc, const char *msg, Py_ssize_t pos)
+{
+    long line, col;
+    line_col(sc, pos, &line, &col);
+    PyObject *s = PyUnicode_FromFormat("line=%ld col=%ld: %s",
+                                       line, col, msg);
+    if (!s) return -1;
+    if (sc->pending_errs == NULL) {
+        sc->pending_errs = PyList_New(0);
+        if (!sc->pending_errs) { Py_DECREF(s); return -1; }
+    }
+    int rc = PyList_Append(sc->pending_errs, s);
+    Py_DECREF(s);
+    return rc;
+}
 
 /* Text of a charref-PROCESSING region [a,e) (data run, RCDATA body,
  * attribute value).  Ampersand-free or literal-only regions return the
@@ -958,6 +1053,9 @@ done: ;
             if (lt < 0) {
                 /* EOF in script data: emit remainder, back to DATA */
                 if (sc->n > start) {
+                    /* raw tz->pos++ scan, no advance() (positions of
+                       later errors are stale over it, tokenizer:620) */
+                    if (push_skip(sc, start, sc->n) < 0) return -1;
                     PyObject *d = substr(sc, start, sc->n);
                     if (!d) return -1;
                     if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
@@ -967,6 +1065,7 @@ done: ;
                 return 0;
             }
             if (lt > start) {
+                if (push_skip(sc, start, lt) < 0) return -1;
                 PyObject *d = substr(sc, start, lt);
                 if (!d) return -1;
                 if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
@@ -981,6 +1080,8 @@ done: ;
             if (lt < 0) {
                 /* EOF in raw state: emit remainder, back to DATA */
                 if (sc->n > start) {
+                    /* raw tz->pos++ scan, no advance() (tokenizer:380) */
+                    if (push_skip(sc, start, sc->n) < 0) return -1;
                     /* RCDATA (title/textarea) processes charrefs;
                        RAWTEXT never does, '&' stays literal */
                     PyObject *d;
@@ -1030,6 +1131,8 @@ done: ;
             }
             if (!match) { i = p; continue; }
             if (lt > start) {
+                /* raw tz->pos++ scan, no advance() (tokenizer:356) */
+                if (push_skip(sc, start, lt) < 0) return -1;
                 PyObject *d;
                 if (rstate == S_RCDATA) {
                     int rr = region_text(sc, start, lt, 0, &d);
@@ -1098,19 +1201,52 @@ scan_all(Scan *sc)
         }
         Py_UCS4 c1 = RD(sc, i + 1);
         if (c1 == '/') {
-            if (i + 2 >= n || !is_alpha(RD(sc, i + 2)))
-                BAIL(sc, "invalid-end-tag");
-            /* name run [^ WS > /]* then '>' IMMEDIATELY */
+            if (i + 2 >= n || !is_alpha(RD(sc, i + 2))) {
+                /* reference deviation (tokenizer next(), 1181-1190):
+                   "invalid end tag" error at the '<', then a literal
+                   '<' CHARACTER token; the '/' and what follows are
+                   re-scanned as ordinary data */
+                if (scan_error(sc, "invalid end tag", i) < 0) return -1;
+                PyObject *d = PyUnicode_FromStringAndSize("<", 1);
+                if (!d) return -1;
+                if (emit(sc, T_CHAR, NULL, d, NULL, 0, S_DATA) < 0)
+                    return -1;
+                i++;
+                continue;
+            }
+            /* name run [^ WS > /]* (_END_NAME_RUN), then:
+               '>' -> clean close; EOF -> token, pos=n, NO error;
+               anything else -> "end tag has trailing garbage/
+               attributes" at the first garbage char, silent skip to
+               after the next '>' (tokenizer._parse_end_tag) */
             Py_ssize_t a = i + 2, p = a;
             while (p < n) {
                 Py_UCS4 ec = RD(sc, p);
                 if (is_ws(ec) || ec == '>' || ec == '/') break;
                 p++;
             }
-            if (p >= n || RD(sc, p) != '>')
-                BAIL(sc, "end-tag-garbage");
             PyObject *nm = intern_name(sc, lower_substr(sc, a, p));
             if (!nm) return -1;
+            if (p >= n) {
+                if (emit(sc, T_END, nm, NULL, NULL, 0, S_DATA) < 0)
+                    return -1;
+                i = n;
+                continue;
+            }
+            if (RD(sc, p) != '>') {
+                if (scan_error(sc,
+                        "end tag has trailing garbage/attributes",
+                        p) < 0) {
+                    Py_DECREF(nm);
+                    return -1;
+                }
+                Py_ssize_t gt = find_char(sc, '>', p);
+                if (gt == -2) { Py_DECREF(nm); return -1; }
+                if (emit(sc, T_END, nm, NULL, NULL, 0, S_DATA) < 0)
+                    return -1;
+                i = (gt < 0) ? n : gt + 1;
+                continue;
+            }
             if (emit(sc, T_END, nm, NULL, NULL, 0, S_DATA) < 0) return -1;
             i = p + 1;
             continue;
@@ -1249,8 +1385,33 @@ scan_all(Scan *sc)
                 i = (gt < 0) ? n : gt + 1;
                 continue;
             }
-            /* bogus comment / CDATA: error or feedback-coupled */
-            BAIL(sc, "bogus-markup");
+            /* "<!" not comment/doctype: the CDATA branch is gated on
+               allow_cdata (builder feedback), which can only be true
+               after foreign content — seen_foreign covers the
+               document path; fragment contexts are gated in the
+               Python wrapper (make_feed bails on "<![CDATA[" when a
+               context is given).  The EXACT-case "[CDATA[" probe is
+               what the Python machine tests (tokenizer next()). */
+            if (sc->seen_foreign && i + 8 < n
+                && RD(sc, i + 2) == '[' && RD(sc, i + 3) == 'C'
+                && RD(sc, i + 4) == 'D' && RD(sc, i + 5) == 'A'
+                && RD(sc, i + 6) == 'T' && RD(sc, i + 7) == 'A'
+                && RD(sc, i + 8) == '[')
+                BAIL(sc, "cdata-after-foreign");
+            /* bogus comment (tokenizer next(), src/tokenizer.c:
+               1581-1593): error at the '<', comment data = chars
+               after "<!" up to (not incl.) the next '>' or EOF */
+            if (scan_error(sc, "bogus markup declaration", i) < 0)
+                return -1;
+            Py_ssize_t b = i + 2;
+            Py_ssize_t gt = find_char(sc, '>', b);
+            if (gt == -2) return -1;
+            PyObject *d = substr(sc, b, gt < 0 ? n : gt);
+            if (!d) return -1;
+            if (emit(sc, T_COMMENT, NULL, d, NULL, 0, S_DATA) < 0)
+                return -1;
+            i = (gt < 0) ? n : gt + 1;
+            continue;
         }
         if (is_alpha(c1)) {
             int rc = parse_start_tag(sc, &i);
@@ -1292,20 +1453,46 @@ make_feed(PyObject *Py_UNUSED(mod), PyObject *args)
                                                        : NULL;
     sc.interns = PyDict_New();
     if (!sc.interns) return NULL;
+    sc.lc_line = 1;
+    sc.lc_col = 1;
 
     int rc = scan_all(&sc);
     Py_DECREF(sc.interns);
     Py_CLEAR(sc.pending_errs);  /* set-then-bail leaves a remnant */
     if (rc != 0) {
         recbuf_clear(&sc.rb);
+        PyMem_Free(sc.skips);
         if (rc < 0) return NULL;
         last_bail = sc.bail;
         Py_RETURN_NONE;
     }
     last_bail = NULL;
 
+    /* the skipped list the Python tokenizer exposes (appended there
+       per raw-scan invocation; the feed is pre-tokenized, so it is
+       complete up front — nothing reads it mid-stream) */
+    PyObject *skipped = PyList_New(sc.n_skips);
+    if (!skipped) {
+        recbuf_clear(&sc.rb);
+        PyMem_Free(sc.skips);
+        return NULL;
+    }
+    for (Py_ssize_t k = 0; k < sc.n_skips; k++) {
+        PyObject *pair = Py_BuildValue("(nn)", sc.skips[k].a,
+                                       sc.skips[k].b);
+        if (!pair) {
+            Py_DECREF(skipped);
+            recbuf_clear(&sc.rb);
+            PyMem_Free(sc.skips);
+            return NULL;
+        }
+        PyList_SET_ITEM(skipped, k, pair);
+    }
+    PyMem_Free(sc.skips);
+    sc.skips = NULL;
+
     FastFeed *f = PyObject_New(FastFeed, &FastFeed_Type);
-    if (!f) { recbuf_clear(&sc.rb); return NULL; }
+    if (!f) { recbuf_clear(&sc.rb); Py_DECREF(skipped); return NULL; }
     /* null every pointer first so dealloc is safe on partial init */
     f->text = NULL; f->raw_tag = NULL; f->errors = NULL;
     f->skipped = NULL; f->scratch = NULL;
@@ -1319,9 +1506,9 @@ make_feed(PyObject *Py_UNUSED(mod), PyObject *args)
     f->raw_tag = PyUnicode_FromStringAndSize("", 0);
     Py_INCREF(errors);
     f->errors = errors;
-    f->skipped = PyList_New(0);
+    f->skipped = skipped;       /* ownership moves */
     f->scratch = PyObject_New(FastToken, &FastToken_Type);
-    if (!f->raw_tag || !f->skipped || !f->scratch) {
+    if (!f->raw_tag || !f->scratch) {
         Py_DECREF(f);
         return NULL;
     }

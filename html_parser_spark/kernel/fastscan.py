@@ -134,6 +134,13 @@ def make_feed(input_text: str, errors: list, context_tag: str | None = None):
         return None
     if context_tag and context_tag[:31].lower() in _NON_DATA_CONTEXTS:
         return None
+    if context_tag and "<![CDATA[" in input_text:
+        # allow_cdata (builder feedback) can be true from the first
+        # token in a foreign-namespace fragment context; the scanner's
+        # seen_foreign gate only covers the document path, so any
+        # context + a case-exact CDATA opener stays on the Python
+        # tokenizer
+        return None
     try:
         # the scanner delegates charref-bearing regions to the SAME
         # decode function the Python tokenizer uses (charref.py), so

@@ -95,10 +95,12 @@ def test_token_differential_fixtures():
         errs_py: list = []
         tz = Tokenizer(text, errors=errs_py)
         assert _drain(feed) == _drain(tz), fp
-        # the accepted subset allows only UNPOSITIONED charref-decode
-        # errors, and they must match the Python machine exactly
+        # errors — unpositioned charref-decode AND positioned
+        # tokenizer errors (bogus comment, invalid/garbage end tags) —
+        # must match the Python machine exactly, including the stale
+        # raw-scan position semantics (skipped-range parity below)
         assert errs_fast == errs_py, fp
-        assert all("line=" not in e for e in errs_fast), fp
+        assert list(feed.skipped) == list(tz.skipped), fp
     # the corpus contains plenty of well-formed documents
     assert accepted >= 40, f"only {accepted} fixtures accepted"
 
@@ -325,8 +327,8 @@ def test_comment_dash_acceptance():
 
 def test_bail_classes():
     # CR is accepted as data/whitespace (preserved verbatim, like the
-    # kernel); only the CR shapes that ERROR in the Python machine bail
-    _expect_bail("</p\r>")                         # ws before end '>'
+    # kernel); "</p\r>" is now in-subset via the positioned
+    # end-tag-garbage error path, but '/' not before '>' still bails
     _expect_bail("<p/\r>")                         # '/' not before '>'
     # foreign content is accepted UNTIL a raw-trigger tag appears after
     # the first <svg>/<math> (sticky — even after </svg> closes)
@@ -335,11 +337,12 @@ def test_bail_classes():
     _expect_bail("<math><ms/></math><style>a{}</style>")
     _expect_bail("<svg><foreignObject><script>x</script></foreignObject>")
     _expect_bail("<plaintext>rest")
-    _expect_bail("<![CDATA[x]]>")                  # bogus/CDATA
-    _expect_bail("<!x>")
-    _expect_bail("</3>")                           # invalid end tag
-    _expect_bail("</div >")                        # end-tag garbage
-    _expect_bail("<div")                           # EOF in tag
+    # <![CDATA[ / <!x / </3 / "</div >" are now ACCEPTED with exact
+    # positioned errors (test_positioned_error_classes below); CDATA
+    # stays out only where allow_cdata could be live:
+    _expect_bail("<svg><![CDATA[x]]></svg>")       # feedback-coupled
+    _expect_bail("x<![CDATA[y]]>", context="div")  # any fragment ctx
+    _expect_bail("<div")                           # EOF in START tag
     _expect_bail("<a =x>")                         # '=' before name
     _expect_bail("<a x=>")                         # missing value
     _expect_bail("<a x/ y>")                       # '/' not before '>'
@@ -362,6 +365,56 @@ def test_bail_classes():
     _expect_bail('<!DOCTYPE html PUBLIC "a" "unclosed2>')
     _expect_bail("x", context="title")             # raw fragment context
     _expect_bail("x", context="SCRIPT")
+
+
+def test_positioned_error_classes():
+    """Round-7 widening: the scanner now ACCEPTS three error-emitting
+    classes — bogus markup declarations ("<!x", "<?", "<![CDATA[" with
+    allow_cdata provably false), the literal-'<' invalid end tag
+    ("</" + non-alpha), and end tags with trailing garbage/attributes
+    — emitting the exact positioned "line=N col=M: msg" strings at
+    pull time.  Positions count UTF-8 BYTES with '\\n' resetting col,
+    and bytes inside raw-scan ranges are excluded (the reference's
+    deliberately stale semantics; skipped-range parity asserted)."""
+    docs = [
+        "<?php echo 1; ?><p>x</p>",
+        "<!x y><b>q</b>",
+        "<![CDATA[q]]>tail",            # allow_cdata false -> bogus
+        "</><p>a",
+        "</3>text",
+        "</ x>more",
+        "</",                            # EOF right after "</"
+        "</div >after",
+        '</div foo="1">b',
+        "</div",                         # EOF in end-tag name: silent
+        "<p>a</p\r>t",                  # CR is garbage in an end tag
+        "line1\ntext</3>after",          # col resets at newline
+        "<p>héllo</3>x",            # 2-byte char widens col
+        "<title>x</title></3>z",         # stale across RCDATA scan
+        "<script>a</script></3>z",       # stale across script scan
+        "<!doctype html><p>x<!bogus>y<?pi?></q>",
+    ]
+    for doc in docs:
+        errs_fast: list = []
+        feed = fastscan.make_feed(doc, errs_fast)
+        assert feed is not None, (doc, fastscan.bail_reason())
+        errs_py: list = []
+        tz = Tokenizer(doc, errors=errs_py)
+        assert _drain(feed) == _drain(tz), doc
+        assert errs_fast == errs_py, doc
+        # where the Python machine positions an error, the C string is
+        # byte-identical ("<?" is the error-FREE literal-'<' deviation
+        # and "</div" at EOF is silent — those legitimately emit none)
+        if errs_py:
+            assert errs_fast == errs_py and all(
+                e == p for e, p in zip(errs_fast, errs_py)), doc
+        assert list(feed.skipped) == list(tz.skipped), doc
+        raw = doc.encode("utf-8")
+        for frag in (False, True):
+            on = _tree_snapshot(raw, frag)
+            off = _with_fastscan_disabled(
+                lambda: _tree_snapshot(raw, frag))
+            assert on == off, (doc, frag)
 
 
 def test_doctype_ids_accepted_and_tree_equal():
