@@ -638,6 +638,169 @@ scan_error(Scan *sc, const char *msg, Py_ssize_t pos)
     return rc;
 }
 
+static int emit(Scan *sc, unsigned char type, PyObject *name,
+                PyObject *data, PyObject *attrs, unsigned char self_closing,
+                unsigned char state_after);
+
+/* growable UCS4 accumulation buffer (comment-machine data assembly) */
+typedef struct { Py_UCS4 *p; Py_ssize_t n, cap; } U4Buf;
+
+static int
+u4_put(U4Buf *b, Py_UCS4 c)
+{
+    if (b->n == b->cap) {
+        Py_ssize_t nc = b->cap ? b->cap * 2 : 64;
+        Py_UCS4 *np = PyMem_Realloc(b->p, nc * sizeof(Py_UCS4));
+        if (!np) { PyErr_NoMemory(); return -1; }
+        b->p = np;
+        b->cap = nc;
+    }
+    b->p[b->n++] = c;
+    return 0;
+}
+
+static int
+u4_put_range(U4Buf *b, Scan *sc, Py_ssize_t a, Py_ssize_t e)
+{
+    for (Py_ssize_t k = a; k < e; k++)
+        if (u4_put(b, RD(sc, k)) < 0) return -1;
+    return 0;
+}
+
+static int
+u4_put_ascii(U4Buf *b, const char *s)
+{
+    for (; *s; s++)
+        if (u4_put(b, (Py_UCS4)*s) < 0) return -1;
+    return 0;
+}
+
+/* Exact mirror of tokenizer._parse_comment's 10-state machine
+ * (src/tokenizer.c:810-1018) INCLUDING its error emissions — the
+ * error-free comment shape stays on the zero-copy first-"-->" fast
+ * path in scan_all; this runs only when that path detects an error
+ * shape (abrupt close, EOF, "--!>", nested "<!--").  Returns 0 ok
+ * (comment record emitted, *io past the close), -1 python error. */
+static int
+parse_comment_full(Scan *sc, Py_ssize_t *io)
+{
+    enum {CS_START, CS_START_DASH, CS_COMMENT, CS_LT, CS_LT_BANG,
+          CS_LT_BANG_DASH, CS_LT_BANG_DASH_DASH, CS_END_DASH, CS_END,
+          CS_END_BANG};
+    Py_ssize_t pos = *io + 4, n = sc->n;   /* past "<!--" */
+    int state = CS_START;
+    U4Buf d = {0};
+#define CERR(m) do { if (scan_error(sc, (m), pos) < 0) goto fail; } \
+                while (0)
+#define CPUT(ch) do { if (u4_put(&d, (ch)) < 0) goto fail; } while (0)
+#define CPUTS(s) do { if (u4_put_ascii(&d, (s)) < 0) goto fail; } while (0)
+
+    while (pos <= n) {
+        Py_UCS4 c = (pos < n) ? RD(sc, pos) : 0;   /* _peek -> "\0" */
+        switch (state) {
+        case CS_START:
+            if (c == '-') { state = CS_START_DASH; pos++; }
+            else if (c == '>') {
+                CERR("abrupt-closing-of-empty-comment");
+                pos++;
+                goto close;
+            } else if (c == 0) { CERR("eof-in-comment"); goto close; }
+            else state = CS_COMMENT;
+            break;
+        case CS_START_DASH:
+            if (c == '-') { state = CS_END; pos++; }
+            else if (c == '>') {
+                CERR("abrupt-closing-of-empty-comment");
+                pos++;
+                goto close;
+            } else if (c == 0) {
+                CERR("eof-in-comment");
+                CPUT('-');
+                goto close;
+            } else { CPUT('-'); state = CS_COMMENT; }
+            break;
+        case CS_COMMENT:
+            if (c == '<') { CPUT(c); state = CS_LT; pos++; }
+            else if (c == '-') { state = CS_END_DASH; pos++; }
+            else if (c == 0) { CERR("eof-in-comment"); goto close; }
+            else {
+                /* bulk-consume plain chars (fast path parity) */
+                Py_ssize_t q = pos;
+                while (q < n) {
+                    Py_UCS4 qc = RD(sc, q);
+                    if (qc == '<' || qc == '-') break;
+                    q++;
+                }
+                if (u4_put_range(&d, sc, pos, q) < 0) goto fail;
+                pos = q;
+            }
+            break;
+        case CS_LT:
+            if (c == '!') { CPUT(c); state = CS_LT_BANG; pos++; }
+            else if (c == '<') { CPUT(c); pos++; }
+            else state = CS_COMMENT;
+            break;
+        case CS_LT_BANG:
+            if (c == '-') { state = CS_LT_BANG_DASH; pos++; }
+            else state = CS_COMMENT;
+            break;
+        case CS_LT_BANG_DASH:
+            if (c == '-') { state = CS_LT_BANG_DASH_DASH; pos++; }
+            else state = CS_END_DASH;
+            break;
+        case CS_LT_BANG_DASH_DASH:
+            if (c == '>' || c == 0) state = CS_END;
+            else { CERR("nested-comment"); state = CS_END; }
+            break;
+        case CS_END_DASH:
+            if (c == '-') { state = CS_END; pos++; }
+            else if (c == 0) {
+                CERR("eof-in-comment");
+                CPUT('-');
+                goto close;
+            } else { CPUT('-'); state = CS_COMMENT; }
+            break;
+        case CS_END:
+            if (c == '>') { pos++; goto close; }
+            else if (c == '!') { state = CS_END_BANG; pos++; }
+            else if (c == '-') { CPUT('-'); pos++; }
+            else if (c == 0) {
+                CERR("eof-in-comment");
+                CPUTS("--");
+                goto close;
+            } else { CPUTS("--"); state = CS_COMMENT; }
+            break;
+        default:  /* CS_END_BANG */
+            if (c == '-') { CPUTS("--!"); state = CS_END_DASH; pos++; }
+            else if (c == '>') {
+                CERR("incorrectly-closed-comment");
+                pos++;
+                goto close;
+            } else if (c == 0) {
+                CERR("eof-in-comment");
+                CPUTS("--!");
+                goto close;
+            } else { CPUTS("--!"); state = CS_COMMENT; }
+            break;
+        }
+    }
+close: ;
+    PyObject *data = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND,
+                                               d.p ? (void *)d.p : (void *)&d,
+                                               d.n);
+    PyMem_Free(d.p);
+    if (!data) return -1;
+    if (emit(sc, T_COMMENT, NULL, data, NULL, 0, S_DATA) < 0) return -1;
+    *io = pos;
+    return 0;
+fail:
+    PyMem_Free(d.p);
+    return -1;
+#undef CERR
+#undef CPUT
+#undef CPUTS
+}
+
 /* Text of a charref-PROCESSING region [a,e) (data run, RCDATA body,
  * attribute value).  Ampersand-free or literal-only regions return the
  * plain substring (the common case, no Python call).  A region with a
@@ -1266,7 +1429,8 @@ scan_all(Scan *sc)
                    can only CLOSE at a literal "-->" (COMMENT_END '>')
                    or at an ERROR shape, so on the error-free subset
                    the close point IS the first "-->".  Error shapes
-                   (all -> bail):
+                   (all -> parse_comment_full, the exact 10-state
+                   mirror with positioned errors):
                      - abrupt close: <!--> / <!---> (START/START_DASH)
                      - no terminator: eof-in-comment
                      - "--!>" before e: incorrectly-closed-comment
@@ -1282,24 +1446,35 @@ scan_all(Scan *sc)
                        other dash).  k = e-2 — both dashes ARE the
                        terminator's — closes silently, accepted. */
                 Py_ssize_t b = i + 4, e = -1;
+                int hard = 0;   /* error shape -> full 10-state machine */
                 if (b < n && RD(sc, b) == '>')
-                    BAIL(sc, "abrupt-comment");
+                    hard = 1;
                 if (b + 1 < n && RD(sc, b) == '-' && RD(sc, b + 1) == '>')
-                    BAIL(sc, "abrupt-comment");
-                for (Py_ssize_t k = b; k + 2 < n; k++) {
-                    if (RD(sc, k) == '-' && RD(sc, k + 1) == '-'
-                        && RD(sc, k + 2) == '>') { e = k; break; }
+                    hard = 1;
+                if (!hard) {
+                    for (Py_ssize_t k = b; k + 2 < n; k++) {
+                        if (RD(sc, k) == '-' && RD(sc, k + 1) == '-'
+                            && RD(sc, k + 2) == '>') { e = k; break; }
+                    }
+                    if (e < 0) hard = 1;
                 }
-                if (e < 0) BAIL(sc, "eof-in-comment");
-                for (Py_ssize_t k = b; k + 3 < e; k++) {
-                    if (RD(sc, k) == '-' && RD(sc, k + 1) == '-'
-                        && RD(sc, k + 2) == '!' && RD(sc, k + 3) == '>')
-                        BAIL(sc, "comment-bang-close");
+                if (!hard) {
+                    for (Py_ssize_t k = b; k + 3 < e; k++) {
+                        if (RD(sc, k) == '-' && RD(sc, k + 1) == '-'
+                            && RD(sc, k + 2) == '!' && RD(sc, k + 3) == '>')
+                            { hard = 1; break; }
+                    }
+                    for (Py_ssize_t k = b; !hard && k + 3 <= e; k++) {
+                        if (RD(sc, k) == '<' && RD(sc, k + 1) == '!'
+                            && RD(sc, k + 2) == '-' && RD(sc, k + 3) == '-')
+                            { hard = 1; break; }
+                    }
                 }
-                for (Py_ssize_t k = b; k + 3 <= e; k++) {
-                    if (RD(sc, k) == '<' && RD(sc, k + 1) == '!'
-                        && RD(sc, k + 2) == '-' && RD(sc, k + 3) == '-')
-                        BAIL(sc, "nested-comment");
+                if (hard) {
+                    /* exact machine: positioned errors + reassembled
+                       data (abrupt close, EOF, "--!>", nested) */
+                    if (parse_comment_full(sc, &i) < 0) return -1;
+                    continue;
                 }
                 PyObject *d = substr(sc, b, e);
                 if (!d) return -1;
