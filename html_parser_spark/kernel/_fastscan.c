@@ -127,6 +127,7 @@ typedef struct {
     unsigned char type;
     unsigned char self_closing;
     unsigned char state_after;  /* state the builder reads after this token */
+    unsigned char force_quirks; /* DOCTYPE error shapes only */
     PyObject *name;             /* owned | NULL */
     PyObject *data;             /* owned | NULL */
     PyObject *attrs;            /* owned list | NULL (=> shared empty) */
@@ -273,6 +274,7 @@ FastFeed_next(FastFeed *self, PyObject *Py_UNUSED(ignored))
             Py_XSETREF(t->attrs, r->attrs ? r->attrs : EMPTY_ATTRS);
         }
         t->self_closing = r->self_closing;
+        t->force_quirks = r->force_quirks;
         self->state = r->state_after;
     } else {
         t->type = T_EOF;
@@ -291,6 +293,7 @@ FastFeed_next(FastFeed *self, PyObject *Py_UNUSED(ignored))
         Py_INCREF(EMPTY_ATTRS);
         Py_XSETREF(t->attrs, EMPTY_ATTRS);
         t->self_closing = 0;
+        t->force_quirks = 0;
         /* state stays at the last record's state_after: the Python
            machine reports the state it was IN when input ran out —
            e.g. "<script>" + EOF (empty raw body) stays in the raw
@@ -641,6 +644,10 @@ scan_error(Scan *sc, const char *msg, Py_ssize_t pos)
 static int emit(Scan *sc, unsigned char type, PyObject *name,
                 PyObject *data, PyObject *attrs, unsigned char self_closing,
                 unsigned char state_after);
+static int emit_fq(Scan *sc, unsigned char type, PyObject *name,
+                   PyObject *data, PyObject *attrs,
+                   unsigned char self_closing, unsigned char state_after,
+                   unsigned char force_quirks);
 
 /* growable UCS4 accumulation buffer (comment-machine data assembly) */
 typedef struct { Py_UCS4 *p; Py_ssize_t n, cap; } U4Buf;
@@ -896,11 +903,12 @@ intern_name(Scan *sc, PyObject *s)
 }
 
 static int
-emit(Scan *sc, unsigned char type, PyObject *name, PyObject *data,
-     PyObject *attrs, unsigned char self_closing, unsigned char state_after)
+emit_fq(Scan *sc, unsigned char type, PyObject *name, PyObject *data,
+        PyObject *attrs, unsigned char self_closing,
+        unsigned char state_after, unsigned char force_quirks)
 {
-    TokRec r = {type, self_closing, state_after, name, data, attrs,
-                sc->pending_errs};
+    TokRec r = {type, self_closing, state_after, force_quirks,
+                name, data, attrs, sc->pending_errs};
     sc->pending_errs = NULL;        /* stolen into the record */
     if (recbuf_push(&sc->rb, r) < 0) {
         Py_XDECREF(name); Py_XDECREF(data); Py_XDECREF(attrs);
@@ -908,6 +916,14 @@ emit(Scan *sc, unsigned char type, PyObject *name, PyObject *data,
         return -1;
     }
     return 0;
+}
+
+static int
+emit(Scan *sc, unsigned char type, PyObject *name, PyObject *data,
+     PyObject *attrs, unsigned char self_closing, unsigned char state_after)
+{
+    return emit_fq(sc, type, name, data, attrs, self_closing,
+                   state_after, 0);
 }
 
 #define BAIL(sc, why) do { (sc)->bail = (why); return 1; } while (0)
@@ -996,6 +1012,34 @@ nb_to_str(NameBuf *nb)
     return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, nb->buf, nb->len);
 }
 
+/* per-BYTE "unexpected character in attribute name" errors with a
+   FROZEN (line, col) per char: the C reference validates byte by
+   byte, advance() running once per byte between reports
+   (tokenizer.py ST_ATTR_NAME, src/tokenizer.c:1236-1238) */
+static int
+bad_name_char_errors(Scan *sc, Py_ssize_t pos, Py_UCS4 c)
+{
+    long line, col;
+    line_col(sc, pos, &line, &col);
+    int nby = (c < 0x80) ? 1 : (c < 0x800) ? 2 : (c < 0x10000) ? 3 : 4;
+    for (int k = 0; k < nby; k++) {
+        PyObject *es = PyUnicode_FromFormat(
+            "line=%ld col=%ld: unexpected character in attribute name",
+            line, col + k);
+        if (!es) return -1;
+        if (sc->pending_errs == NULL) {
+            sc->pending_errs = PyList_New(0);
+            if (!sc->pending_errs) { Py_DECREF(es); return -1; }
+        }
+        if (PyList_Append(sc->pending_errs, es) < 0) {
+            Py_DECREF(es);
+            return -1;
+        }
+        Py_DECREF(es);
+    }
+    return 0;
+}
+
 /* --- start tag parser ---------------------------------------------- */
 /* returns 0 ok, 1 bail, -1 error.  *out_i advanced past '>'.          */
 
@@ -1016,12 +1060,14 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
         if (is_ws(c) || c == '/' || c == '>') break;
         i++;
     }
-    if (i >= n) BAIL(sc, "eof-in-tag");
     PyObject *name = intern_name(sc, lower_substr(sc, a, i));
     if (!name) return -1;
 
     PyObject *attrs = NULL;
     unsigned char self_closing = 0;
+    if (i >= n)         /* "<div" + EOF: token emitted, NO error
+                           (ST_TAG_NAME breaks on "\0") */
+        goto done;
     NameBuf nb;
     nb_reset(&nb);
     int state = ST_BEFORE_ATTR;     /* entered on WS; '/' and '>' handled */
@@ -1046,20 +1092,29 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
 #define SERR() do { Py_DECREF(name); Py_XDECREF(attrs); return -1; } while (0)
 
     while (1) {
-        if (i >= n) SBAIL("eof-in-tag");
-        c = RD(sc, i);
+        c = (i < n) ? RD(sc, i) : 0;   /* _peek: "\0" at EOF */
         switch (state) {
         case ST_BEFORE_ATTR:
-            if (is_ws(c)) { i++; }
+            if (c == 0) { nb_reset(&nb); state = ST_ATTR_NAME; }
+            else if (is_ws(c)) { i++; }
             else if (c == '/') { state = ST_SELF; i++; }
             else if (c == '>') { i++; goto done; }
-            else if (c == '=') SBAIL("attr-name-missing");
+            else if (c == '=') {
+                /* recoverable: error, consume, stay (tokenizer
+                   ST_BEFORE_ATTR_NAME '=') */
+                if (scan_error(sc,
+                        "attribute name missing before '='", i) < 0)
+                    SERR();
+                i++;
+            }
             else { nb_reset(&nb); state = ST_ATTR_NAME; }
             break;
         case ST_ATTR_NAME: {
-            if (is_ws(c)) { state = ST_AFTER_ATTR_NAME; i++; break; }
-            if (c == '=') { state = ST_BEFORE_VALUE; i++; break; }
-            if (c == '/' || c == '>') {
+            if (c != 0) {
+                if (is_ws(c)) { state = ST_AFTER_ATTR_NAME; i++; break; }
+                if (c == '=') { state = ST_BEFORE_VALUE; i++; break; }
+            }
+            if (c == '/' || c == '>' || c == 0) {
                 PyObject *an = nb_to_str(&nb);
                 if (!an) SERR();
                 an = intern_name(sc, an);
@@ -1068,16 +1123,21 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
                 if (!ev) { Py_DECREF(an); SERR(); }
                 if (attrs_append(attrs, an, ev) < 0) SERR();
                 if (c == '/') { state = ST_SELF; i++; }
-                else { i++; goto done; }
+                else if (c == '>') { i++; goto done; }
+                else goto done;           /* EOF: token still emitted */
                 break;
             }
-            /* name run: stop set { WS, '=', '/', '>' } */
+            /* name run: stop set { WS, '=', '/', '>' }; bad chars
+               ([^0-9A-Za-z\-_:]) are kept in the (lowered) name and
+               error once per UTF-8 byte */
             Py_ssize_t ra = i;
             while (i < n) {
                 Py_UCS4 rc_ = RD(sc, i);
                 if (is_ws(rc_) || rc_ == '=' || rc_ == '/' || rc_ == '>')
                     break;
-                if (!attr_name_ok(rc_)) SBAIL("bad-attr-name-char");
+                if (!attr_name_ok(rc_)
+                    && bad_name_char_errors(sc, i, rc_) < 0)
+                    SERR();
                 i++;
             }
             nb_append_lower(sc, &nb, ra, i);
@@ -1085,9 +1145,9 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
             break;
         }
         case ST_AFTER_ATTR_NAME:
-            if (is_ws(c)) { i++; }
+            if (c != 0 && is_ws(c)) { i++; }
             else if (c == '=') { state = ST_BEFORE_VALUE; i++; }
-            else if (c == '>' || c == '/') {
+            else if (c == '>' || c == '/' || c == 0) {
                 PyObject *an = nb_to_str(&nb);
                 if (!an) SERR();
                 an = intern_name(sc, an);
@@ -1096,7 +1156,10 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
                 if (!ev) { Py_DECREF(an); SERR(); }
                 if (attrs_append(attrs, an, ev) < 0) SERR();
                 if (c == '/') { state = ST_SELF; i++; }
-                else { i++; goto done; }
+                else if (c == '>') { i++; goto done; }
+                else goto done;   /* EOF: Python re-enters ATTR_NAME,
+                                     re-appends (duplicate-dropped),
+                                     then breaks — net effect equal */
             } else {
                 /* no-reset quirk: emit current name valueless, keep
                    accumulating into the SAME buffer */
@@ -1111,17 +1174,35 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
             }
             break;
         case ST_BEFORE_VALUE:
-            if (is_ws(c)) { i++; }
+            if (c == 0) goto done;   /* -> UQ -> "\0" break, NO attr */
+            else if (is_ws(c)) { i++; }
             else if (c == '"') { state = ST_DQ; i++; }
             else if (c == '\'') { state = ST_SQ; i++; }
-            else if (c == '>') SBAIL("attr-value-missing");
+            else if (c == '>') {
+                if (scan_error(sc, "attribute value missing", i) < 0)
+                    SERR();
+                PyObject *an = nb_to_str(&nb);
+                if (!an) SERR();
+                an = intern_name(sc, an);
+                if (!an) SERR();
+                PyObject *ev = PyUnicode_FromStringAndSize("", 0);
+                if (!ev) { Py_DECREF(an); SERR(); }
+                if (attrs_append(attrs, an, ev) < 0) SERR();
+                i++;
+                goto done;
+            }
             else state = ST_UQ;
             break;
         case ST_DQ: case ST_SQ: {
             Py_UCS4 q = (state == ST_DQ) ? '"' : '\'';
             Py_ssize_t e = find_char(sc, q, i);
             if (e == -2) SERR();
-            if (e < 0) SBAIL("eof-in-attr-value");
+            if (e < 0) {            /* unclosed: bulk-consume to EOF,
+                                       then "\0" breaks — attr dropped,
+                                       value NEVER decoded */
+                i = n;
+                goto done;
+            }
             PyObject *v;
             int rr = region_text(sc, i, e, 1, &v);
             if (rr < 0) SERR();
@@ -1142,7 +1223,7 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
                 if (is_ws(uc) || uc == '>') break;
                 i++;
             }
-            if (i >= n) SBAIL("eof-in-attr-value");
+            if (i >= n) goto done;  /* "\0" breaks, attr dropped */
             PyObject *v;
             int rr = region_text(sc, va, i, 1, &v);
             if (rr < 0) SERR();
@@ -1160,7 +1241,13 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
         }
         case ST_SELF:
             if (c == '>') { self_closing = 1; i++; goto done; }
-            SBAIL("slash-not-before-gt");
+            /* "unexpected '/' in start tag" at the char AFTER the
+               slash (or EOF); the tag ends HERE without consuming it
+               — the rest re-scans as data (tokenizer ST_SELF_CLOSING
+               else-branch: error + break) */
+            if (scan_error(sc, "unexpected '/' in start tag", i) < 0)
+                SERR();
+            goto done;
         }
     }
 
@@ -1484,25 +1571,28 @@ scan_all(Scan *sc)
                 continue;
             }
             if (ci_match(sc, i, "<!doctype", 9)) {
+                /* full _parse_doctype mirror INCLUDING its error
+                   shapes: name missing, id quote missing, id closing
+                   quote missing — each sets force_quirks and emits
+                   the positioned error (pos = the machine's pos at
+                   the _error call); an unclosed quote still captures
+                   the partial id to EOF, lowered, like the Python
+                   while-loop.  The PUBLIC second id's ABSENCE stays
+                   silent.  Ids ride the DOCTYPE record's (data,
+                   attrs) slots, which doctypes never use otherwise. */
+                unsigned char fq = 0;
                 Py_ssize_t p = i + 9;
                 while (p < n && is_ws(RD(sc, p))) p++;
                 Py_ssize_t a = p;
                 while (p < n && !is_ws(RD(sc, p)) && RD(sc, p) != '>') p++;
-                if (p == a) BAIL(sc, "doctype-name-missing");
+                if (p == a) {
+                    fq = 1;
+                    if (scan_error(sc, "doctype name missing", p) < 0)
+                        return -1;
+                }
                 PyObject *nm = intern_name(sc, lower_substr(sc, a, p));
                 if (!nm) return -1;
                 while (p < n && is_ws(RD(sc, p))) p++;
-                /* PUBLIC/SYSTEM ids, mirroring _parse_doctype: the
-                   error-free shapes are keyword + ws* + 'id' (must
-                   CLOSE its quote) [+ ws* + 'id2' for PUBLIC, the
-                   second quote optional — its ABSENCE is silent].
-                   A keyword whose next non-ws char is not a quote,
-                   or any unclosed quote, errors in the Python
-                   machine -> bail.  Ids are ASCII-lowered; whatever
-                   follows them is silently skipped to '>' exactly
-                   like the no-id form.  Emitted through the DOCTYPE
-                   record's (data, attrs) slots, which doctypes never
-                   use otherwise. */
                 PyObject *pub = NULL, *sysid = NULL;
                 int kw_public = ci_match(sc, p, "public", 6);
                 if (kw_public || ci_match(sc, p, "system", 6)) {
@@ -1510,43 +1600,68 @@ scan_all(Scan *sc)
                     while (p < n && is_ws(RD(sc, p))) p++;
                     Py_UCS4 q = (p < n) ? RD(sc, p) : 0;
                     if (q != '"' && q != '\'') {
-                        Py_DECREF(nm);
-                        BAIL(sc, "doctype-id-missing");
-                    }
-                    p++;
-                    Py_ssize_t e1 = find_char(sc, q, p);
-                    if (e1 == -2) { Py_DECREF(nm); return -1; }
-                    if (e1 < 0) {
-                        Py_DECREF(nm);
-                        BAIL(sc, "doctype-id-unclosed");
-                    }
-                    PyObject *id1 = lower_substr(sc, p, e1);
-                    if (!id1) { Py_DECREF(nm); return -1; }
-                    p = e1 + 1;
-                    if (kw_public) {
-                        pub = id1;
-                        while (p < n && is_ws(RD(sc, p))) p++;
-                        Py_UCS4 q2 = (p < n) ? RD(sc, p) : 0;
-                        if (q2 == '"' || q2 == '\'') {
-                            p++;
-                            Py_ssize_t e2 = find_char(sc, q2, p);
-                            if (e2 == -2) {
-                                Py_DECREF(nm); Py_DECREF(pub);
-                                return -1;
-                            }
-                            if (e2 < 0) {
-                                Py_DECREF(nm); Py_DECREF(pub);
-                                BAIL(sc, "doctype-id-unclosed");
-                            }
-                            sysid = lower_substr(sc, p, e2);
-                            if (!sysid) {
-                                Py_DECREF(nm); Py_DECREF(pub);
-                                return -1;
-                            }
-                            p = e2 + 1;
+                        fq = 1;
+                        if (scan_error(sc, kw_public
+                                ? "doctype public id missing"
+                                : "doctype system id missing", p) < 0) {
+                            Py_DECREF(nm);
+                            return -1;
                         }
                     } else {
-                        sysid = id1;
+                        p++;
+                        Py_ssize_t e1 = find_char(sc, q, p);
+                        if (e1 == -2) { Py_DECREF(nm); return -1; }
+                        Py_ssize_t stop = (e1 < 0) ? n : e1;
+                        PyObject *id1 = lower_substr(sc, p, stop);
+                        if (!id1) { Py_DECREF(nm); return -1; }
+                        if (e1 < 0) {
+                            fq = 1;
+                            if (scan_error(sc, kw_public
+                                    ? "doctype public id missing "
+                                      "closing quote"
+                                    : "doctype system id missing "
+                                      "closing quote", n) < 0) {
+                                Py_DECREF(nm); Py_DECREF(id1);
+                                return -1;
+                            }
+                            p = n;
+                        } else {
+                            p = e1 + 1;
+                        }
+                        if (kw_public) {
+                            pub = id1;
+                            while (p < n && is_ws(RD(sc, p))) p++;
+                            Py_UCS4 q2 = (p < n) ? RD(sc, p) : 0;
+                            if (q2 == '"' || q2 == '\'') {
+                                p++;
+                                Py_ssize_t e2 = find_char(sc, q2, p);
+                                if (e2 == -2) {
+                                    Py_DECREF(nm); Py_DECREF(pub);
+                                    return -1;
+                                }
+                                Py_ssize_t st2 = (e2 < 0) ? n : e2;
+                                sysid = lower_substr(sc, p, st2);
+                                if (!sysid) {
+                                    Py_DECREF(nm); Py_DECREF(pub);
+                                    return -1;
+                                }
+                                if (e2 < 0) {
+                                    fq = 1;
+                                    if (scan_error(sc,
+                                            "doctype system id missing "
+                                            "closing quote", n) < 0) {
+                                        Py_DECREF(nm); Py_DECREF(pub);
+                                        Py_DECREF(sysid);
+                                        return -1;
+                                    }
+                                    p = n;
+                                } else {
+                                    p = e2 + 1;
+                                }
+                            }
+                        } else {
+                            sysid = id1;
+                        }
                     }
                 }
                 /* silent skip to '>' (no error even over garbage) */
@@ -1555,7 +1670,8 @@ scan_all(Scan *sc)
                     Py_DECREF(nm); Py_XDECREF(pub); Py_XDECREF(sysid);
                     return -1;
                 }
-                if (emit(sc, T_DOCTYPE, nm, pub, sysid, 0, S_DATA) < 0)
+                if (emit_fq(sc, T_DOCTYPE, nm, pub, sysid, 0, S_DATA,
+                            fq) < 0)
                     return -1;
                 i = (gt < 0) ? n : gt + 1;
                 continue;

@@ -326,10 +326,8 @@ def test_comment_dash_acceptance():
 
 
 def test_bail_classes():
-    # CR is accepted as data/whitespace (preserved verbatim, like the
-    # kernel); "</p\r>" is now in-subset via the positioned
-    # end-tag-garbage error path, but '/' not before '>' still bails
-    _expect_bail("<p/\r>")                         # '/' not before '>'
+    # every CR tag shape is now in-subset (data/ws verbatim like the
+    # kernel; the ERROR shapes ride the positioned-error mirrors)
     # foreign content is accepted UNTIL a raw-trigger tag appears after
     # the first <svg>/<math> (sticky — even after </svg> closes)
     _expect_bail("<svg><title>t</title></svg>")    # svg-title undo path
@@ -342,11 +340,12 @@ def test_bail_classes():
     # stays out only where allow_cdata could be live:
     _expect_bail("<svg><![CDATA[x]]></svg>")       # feedback-coupled
     _expect_bail("x<![CDATA[y]]>", context="div")  # any fragment ctx
-    _expect_bail("<div")                           # EOF in START tag
-    _expect_bail("<a =x>")                         # '=' before name
-    _expect_bail("<a x=>")                         # missing value
-    _expect_bail("<a x/ y>")                       # '/' not before '>'
-    _expect_bail('<a x"y">')                       # bad attr-name char
+    # the attribute machine now runs the exact error mirror: '=' before
+    # name, missing value, '/' not before '>', bad name chars
+    # (per-BYTE errors), EOF inside a tag — all ACCEPTED
+    # (test_attr_error_shapes below); remaining bails are feedback
+    # coupling, NULs/surrogates, and charref shapes the decode
+    # delegation refuses
     # script data runs the full 18-state DFA mirror now — escaped AND
     # double-escaped bodies are in-subset (parity tests below); no
     # script-body shape bails anymore
@@ -355,14 +354,71 @@ def test_bail_classes():
     # (parse_comment_full) with positioned errors — exhaustively
     # differentially tested (101k ≤7-char bodies over {-,!,>,<,a}, 0
     # mismatches); no comment shape bails anymore
-    # well-formed PUBLIC/SYSTEM ids are ACCEPTED now; only the
-    # error-emitting shapes stay out of subset
-    _expect_bail("<!DOCTYPE html PUBLIC>")          # keyword, no quote
-    _expect_bail('<!DOCTYPE html PUBLIC "unclosed>')
-    _expect_bail("<!DOCTYPE html SYSTEM >")
-    _expect_bail('<!DOCTYPE html PUBLIC "a" "unclosed2>')
+    # DOCTYPE error shapes (missing name / missing id quote / missing
+    # closing quote) are now ACCEPTED with positioned errors and
+    # force_quirks parity (test_doctype_error_shapes below)
     _expect_bail("x", context="title")             # raw fragment context
     _expect_bail("x", context="SCRIPT")
+
+
+def test_attr_error_shapes():
+    """The start-tag attribute machine's error paths are mirrored
+    exactly: '=' before a name (recoverable, repeats), missing value
+    at '>', per-BYTE bad-name-char errors with a frozen (line, col),
+    "unexpected '/' in start tag" ending the tag UNconsumed, silent
+    EOF recoveries (token still emitted; unclosed quoted values drop
+    the attr and never decode)."""
+    docs = [
+        "<a =x>t", "<a ==x>t", "<a x=>u", "<a x/ y>v", '<a x"y">w',
+        '<a "q"=v>', "<div", "<div ", "<div x", "<a x=",
+        '<a x="unclosed', "<a x='u", "<a x=u", "<a x/ >", "<a /b>c",
+        "<a b=c d=>", "<a =>", "<a = =>", "<a é=1>x", '<a Ø"µ">y',
+        "<a x/", '<a x="v"y=2>z', '<p class="a" "b">t</p>',
+        "<a x=y z", '<a x="1" y/ z>tail', "<script x=</script>q",
+    ]
+    for doc in docs:
+        errs_fast: list = []
+        feed = fastscan.make_feed(doc, errs_fast)
+        assert feed is not None, (doc, fastscan.bail_reason())
+        errs_py: list = []
+        tz = Tokenizer(doc, errors=errs_py)
+        assert _drain(feed) == _drain(tz), doc
+        assert errs_fast == errs_py, doc
+        raw = doc.encode("utf-8")
+        for frag in (False, True):
+            on = _tree_snapshot(raw, frag)
+            off = _with_fastscan_disabled(
+                lambda: _tree_snapshot(raw, frag))
+            assert on == off, (doc, frag)
+
+
+def test_doctype_error_shapes():
+    """DOCTYPE error shapes emit the exact positioned error, set
+    force_quirks on the token (quirks-mode trees downstream), and
+    capture partial ids to EOF lowered, like _parse_doctype."""
+    docs = [
+        "<!DOCTYPE><p>x",
+        "<!DOCTYPE >t",
+        "<!DOCTYPE html PUBLIC><table><td>q",   # quirks: no p-in-table
+        "<!DOCTYPE html PUBLIC 'unclosed",
+        "<!DOCTYPE html SYSTEM >x",
+        '<!DOCTYPE html PUBLIC "a" "unclosed2>rest',
+        "<!DOCTYPE html PUBLIC foo>y",
+        "<!DOCTYPE",
+        "<!DOCTYPE\nhtml\nSYSTEM>q",            # position after newlines
+    ]
+    for doc in docs:
+        errs_fast: list = []
+        feed = fastscan.make_feed(doc, errs_fast)
+        assert feed is not None, (doc, fastscan.bail_reason())
+        errs_py: list = []
+        tz = Tokenizer(doc, errors=errs_py)
+        assert _drain(feed) == _drain(tz), doc
+        assert errs_fast == errs_py and errs_py, doc
+        raw = doc.encode("utf-8")
+        on = _tree_snapshot(raw, False)
+        off = _with_fastscan_disabled(lambda: _tree_snapshot(raw, False))
+        assert on == off, doc
 
 
 def test_positioned_error_classes():
