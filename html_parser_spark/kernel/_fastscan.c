@@ -1252,11 +1252,22 @@ parse_start_tag(Scan *sc, Py_ssize_t *io)
     }
 
 done: ;
-    /* PLAINTEXT changes tokenizer<->builder coupling irrecoverably:
-       out of subset */
+    /* PLAINTEXT is a tokenizer-LEVEL switch (_enter_raw_for, no
+       builder feedback): the rest of the input is ONE character token
+       — no charrefs, no errors, no tags — and the only builder write
+       to tz.state (the SVG-<title> undo) needs a later title START
+       token, which cannot exist after plaintext.  state 6 == the
+       Python machine's PLAINTEXT. */
     if (name_equals(name, "plaintext")) {
-        Py_DECREF(name); Py_XDECREF(attrs);
-        BAIL(sc, "plaintext");
+        if (emit(sc, T_START, name, NULL, attrs, self_closing, 6) < 0)
+            return -1;
+        if (sc->n > i) {
+            PyObject *d = substr(sc, i, sc->n);
+            if (!d) return -1;
+            if (emit(sc, T_CHAR, NULL, d, NULL, 0, 6) < 0) return -1;
+        }
+        *io = sc->n;
+        return 0;
     }
     /* Foreign content (<svg>/<math>) is builder-side EXCEPT for two
        feedback channels, both gated on specific later input: the

@@ -334,7 +334,8 @@ def test_bail_classes():
     _expect_bail("<svg></svg><title>t</title>")    # sticky after close
     _expect_bail("<math><ms/></math><style>a{}</style>")
     _expect_bail("<svg><foreignObject><script>x</script></foreignObject>")
-    _expect_bail("<plaintext>rest")
+    # <plaintext> is now ACCEPTED (tokenizer-level switch, remainder =
+    # one CHARACTER token; differential + tree tests below)
     # <![CDATA[ / <!x / </3 / "</div >" are now ACCEPTED with exact
     # positioned errors (test_positioned_error_classes below); CDATA
     # stays out only where allow_cdata could be live:
