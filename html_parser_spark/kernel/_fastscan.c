@@ -5,20 +5,25 @@
  * the tree builder can drive exactly like kernel.tokenizer.Tokenizer
  * (next() -> scratch token; .state / .allow_cdata / .errors / .skipped
  * attributes).  The scanner accepts only the subset of inputs on which
- * it is PROVABLY token-identical to the Python state machine — the
- * subset is "every path of kernel/tokenizer.py that cannot call
- * _error() and cannot depend on tree-builder feedback".  Anything else
- * ('&' followed by [0-9A-Za-z#] in a charref-processing region — a
- * literal ampersand before any OTHER char is accepted — foreign
- * content, CDATA, bogus comments,
- * malformed tags, <plaintext>, script escape sequences, doctypes with
- * ids, lone '\r', NULs, surrogate escapes, EOF inside a construct)
- * returns None and the caller falls back to the Python tokenizer for
- * the WHOLE document, so parity holds by construction: on accepted
- * inputs no parse error can occur and every token (type, name, data,
- * attrs, self_closing, and the raw-state the builder observes after
- * start tags) matches the state machine, which the differential tests
- * in tests/test_fastscan.py verify token-by-token.
+ * it is PROVABLY token-identical AND error-identical to the Python
+ * state machine.  Since round 7's widening that subset includes the
+ * ERROR-EMITTING constructs whose recovery is context-free — bogus
+ * markup declarations, literal-'<' invalid end tags, end-tag
+ * trailing garbage, every comment-machine error shape (exact 10-state
+ * mirror), DOCTYPE error shapes (with force_quirks), the full
+ * attribute-machine error mirror (per-BYTE bad-name-char errors,
+ * recoverable '=' / missing-value / self-closing-slash errors, silent
+ * EOF recoveries), and <plaintext> — with positioned "line=N col=M"
+ * error strings built by a _line_col mirror that reproduces the
+ * reference's stale positions across raw-scan skipped ranges.  What
+ * still bails is the genuinely context-coupled rest: tree-builder
+ * FEEDBACK (raw/CDATA entry after foreign content, fragment contexts
+ * whose builder could flip allow_cdata), preprocessing (NULs,
+ * surrogate escapes, the meta re-encode handshake), and charref
+ * attempts the decode delegation cannot guarantee.  On a bail the
+ * caller falls back to the Python tokenizer for the WHOLE document,
+ * so parity holds by construction; the differential tests in
+ * tests/test_fastscan.py verify token-by-token and error-by-error.
  *
  * This file is written against the *Python* kernel in this repository
  * (kernel/tokenizer.py), which itself documents behavioral citations
@@ -35,19 +40,19 @@
  *  - after a quoted value the machine returns to BEFORE_ATTR_NAME
  *    directly: <a x="1"y="2"> is error-free
  *  - bare '<' before a non-special char is a literal '<' CHARACTER
- *    token with NO error; '</' + non-alpha errors (-> bail)
- *  - </name> requires '>' IMMEDIATELY after the name run
+ *    token with NO error; '</' + non-alpha errors AND emits the
+ *    literal '<' (both mirrored)
+ *  - </name ...> errors at the first garbage char and skips to '>'
  *  - <!DOCTYPE: optional ws, name run, then optionally PUBLIC/SYSTEM
- *    with properly-quoted ids (ids ASCII-lowered; a missing SECOND
- *    public id is silent, a missing/unclosed quote errors -> bail),
- *    then silent skip to '>'
+ *    ids (ids ASCII-lowered; a missing SECOND public id is silent;
+ *    missing name / missing quote / unclosed quote error and set
+ *    force_quirks, partial ids captured to EOF), silent skip to '>'
  *  - raw elements (title textarea style xmp iframe noembed noframes
  *    script) emit their body as ONE character token ending just
  *    before the matching "</name[ws / >]" terminator; entering the
  *    raw state does NOT depend on self_closing
- *  - <script> content: an exact "<!--" enters the escaped family,
- *    whose terminator rule equals the plain scan's — accepted; an
- *    inner ci "<script" after it could enter DOUBLE-escape -> bail
+ *  - <script> content runs an exact 18-state script-data DFA mirror
+ *    (escaped AND double-escaped bodies in-subset)
  */
 
 #define PY_SSIZE_T_CLEAN

@@ -56,6 +56,14 @@ SNIPPETS = [
     "<table><tr><td>", "</table>", "</td>", "</p>", "</li>", "</body>",
     "</html>", "<p>", "<li>", "<dd>", "<dt>", "<hr>", "\r\n", "\r", "\t",
     "<script><!--<script>x</script>--></script>", "</script >", "</style/>",
+    # r7 positioned-error acceptance: keep every newly-in-subset error
+    # shape in rotation (bogus markup, invalid/garbage end tags,
+    # attr-machine recoveries, doctype error shapes, plaintext)
+    "<?pi data?>", "<!x y>", "<![CDATA[q]]>", "</>", "</3>", "</ w>",
+    "</div >", '</div foo="1">', "<a =x>", "<a ==y>", "<a x=>",
+    "<a x/ y>", '<a x"y">', "<a \u00e9=1>", '<a x="unclosed',
+    "<!DOCTYPE>", "<!DOCTYPE html PUBLIC>", '<!DOCTYPE html SYSTEM "u>',
+    "<plaintext>tail<b>",
     "<select><option>a<option>b", "<template><tr><td>x",
     "<svg><title>x</title></svg>", "<math><mi>y</mi></math>",
     "<svg><foreignObject><p>z</p></foreignObject></svg>",
