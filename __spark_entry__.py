@@ -628,6 +628,28 @@ def _q_cluster_assign(spark, sf_dir):
     return cluster_assign(_t(spark, sf_dir, "embeddings"), n_clusters=4)
 
 
+def _q_extract_links(spark, sf_dir):
+    """Anchor/link extraction (link-graph raw material): one row per
+    <a href> per turn, document order, through the kernel's DOM walk.
+    Oracle = the committed links fixture (extraction is golden-gated;
+    minted by tools/mint_oracle_snapshots.py)."""
+    from html_parser_spark.spark.pipeline import extract_links
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return extract_links(df)
+
+
+def _q_link_stats(spark, sf_dir):
+    """Link-graph rollup by URI scheme — real GROUP BY SQL re-derived
+    over the materialized links fixture."""
+    from html_parser_spark.spark.pipeline import extract_links, link_stats
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return link_stats(extract_links(df))
+
+
 def _q_extract_boilerplate(spark, sf_dir):
     from html_parser_spark.spark.pipeline import extract_turns
     from html_parser_spark.spark.transcripts import transcripts_df
@@ -915,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_alternation": _q_role_alternation,
         "tool_transitions": _q_tool_transitions,
         "cluster_assign": _q_cluster_assign,
+        "extract_links": _q_extract_links,
+        "link_stats": _q_link_stats,
         "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
         "pdf_extract": _q_pdf_extract,
@@ -1743,6 +1767,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM assigned GROUP BY cluster_id) t
             JOIN best b USING (cluster_id)
             ORDER BY cluster_id
+        """,
+        # extract_links: kernel DOM-walk surface — fixture pin (same
+        # honesty class as the snapshot oracles; extraction golden-
+        # gated); link_stats: REAL SQL re-derivation over the fixture.
+        "extract_links": f"""
+            SELECT conv_id, turn_idx, link_idx, href, anchor_text
+            FROM read_parquet('{_FIXTURES}/links_2000.parquet')
+            ORDER BY conv_id, turn_idx, link_idx
+        """,
+        "link_stats": f"""
+            SELECT href,
+                   coalesce(regexp_extract(href,
+                       '^([a-z][a-z0-9+.-]*):', 1), '') AS scheme,
+                   cast(count(*) as bigint) AS n_links,
+                   cast(count(DISTINCT concat_ws('#', conv_id,
+                                                 cast(turn_idx as varchar)))
+                        as bigint) AS n_source_turns
+            FROM read_parquet('{_FIXTURES}/links_2000.parquet')
+            GROUP BY href ORDER BY href
         """,
         "role_alternation": f"""
             WITH lagged AS (

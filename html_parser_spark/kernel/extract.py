@@ -60,3 +60,39 @@ def count_nodes(root: Node) -> int:
         n += 1
         stack.extend(node.children)
     return n
+
+
+def collect_links(root: Node) -> list:
+    """Anchor extraction for link-graph construction (web-pipeline op,
+    no reference counterpart — a derived operator over the same DOM
+    traversal order as extract_text_with_spans): document-order list of
+    (href, anchor_text) for every HTML-namespace <a> element carrying
+    an href attribute.  anchor_text is the concatenation of the TEXT
+    nodes in the element's subtree in document order (same data the
+    span walk yields, scoped to the anchor).  Elements without href
+    (named anchors) are skipped; the parser's duplicate-attribute drop
+    means at most one href per element."""
+    from .tree import NS_HTML
+
+    out: list = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.type == ELEMENT and node.name == "a" and node.ns == NS_HTML:
+            href = None
+            for an, av in node.attrs:
+                if an == "href":
+                    href = av
+                    break
+            if href is not None:
+                parts: list = []
+                sub = list(reversed(node.children))
+                while sub:
+                    sn = sub.pop()
+                    if sn.type == TEXT and sn.data:
+                        parts.append(sn.data)
+                    sub.extend(reversed(sn.children))
+                out.append((href, "".join(parts)))
+        for child in reversed(node.children):
+            stack.append(child)
+    return out

@@ -277,3 +277,43 @@ def tool_transitions(extracted: DataFrame) -> DataFrame:
     )
     return pairs.groupBy("from_tool", "to_tool").agg(
         F.count("*").cast("bigint").alias("n"))
+
+
+def extract_links(df: DataFrame, mode: str = "fragment",
+                  context: str = "div") -> DataFrame:
+    """Anchor/link extraction over the transcripts frame: one row per
+    <a href> in each turn — (conv_id, turn_idx, link_idx, href,
+    anchor_text), link_idx in document order.  The raw material of a
+    link graph (host-level quality signals, PageRank-style scoring,
+    crawl frontier mining).
+
+    Scale shape: one narrow Arrow stage over the same single scan the
+    extraction kernel uses (variable fan-out inside the batch, no
+    explode/join), keys ride through the kernel — nothing re-reads the
+    source."""
+    from .udfs import make_links_map_in_arrow
+
+    fn = make_links_map_in_arrow(["conv_id", "turn_idx"], mode, context)
+    schema = ("conv_id string, turn_idx int, link_idx int, "
+              "href string, anchor_text string")
+    return df.select("conv_id", "turn_idx", "text").mapInArrow(fn, schema)
+
+
+def link_stats(links: DataFrame) -> DataFrame:
+    """Per-target link popularity (inbound-degree signal — the crawl-
+    frontier / quality side of a link graph): for every distinct href,
+    its URI scheme ('' = relative), total references, and distinct
+    source turns.  One partial-aggregating shuffle keyed by href; the
+    scheme regex is shared verbatim with the DuckDB oracle (Java and
+    RE2 compatible)."""
+    scheme = F.regexp_extract(F.col("href"),
+                              "^([a-z][a-z0-9+.-]*):", 1)
+    return (
+        links.groupBy("href").agg(
+            F.min(scheme).alias("scheme"),  # constant per group
+            F.count("*").cast("bigint").alias("n_links"),
+            F.countDistinct(
+                F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+            ).cast("bigint").alias("n_source_turns"),
+        )
+    )

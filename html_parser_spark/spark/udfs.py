@@ -311,3 +311,50 @@ def make_dump_map_in_arrow(passthrough: list[str], mode: str = "fragment",
             yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
     return _fn
+
+
+def make_links_map_in_arrow(passthrough: list[str], mode: str = "fragment",
+                            context: str = "div"):
+    """Anchor/link extraction kernel: one OUTPUT row per <a href>
+    found in each turn (variable fan-out — a mapInArrow batch may grow
+    or shrink), passthrough keys repeated per link, link_idx = document
+    order within the turn.  Same single-Python-stage shape as the
+    extraction kernel."""
+    from html_parser_spark.kernel.extract import collect_links
+
+    def _fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            pt_cols = [batch.column(c).to_pylist() for c in passthrough]
+            out_pt = [[] for _ in passthrough]
+            idxs, hrefs, anchors = [], [], []
+            for row, text in enumerate(texts):
+                text = text or ""
+                if mode == "document":
+                    res = parse_document(text)
+                else:
+                    res = parse_fragment(text, context)
+                for k, (href, anchor) in enumerate(
+                        collect_links(res.doc)):
+                    for c, col in enumerate(pt_cols):
+                        out_pt[c].append(col[row])
+                    idxs.append(k)
+                    hrefs.append(href)
+                    anchors.append(anchor)
+            fields = [batch.schema.field(c) for c in passthrough]
+            arrays = [pa.array(vals, f.type)
+                      for vals, f in zip(out_pt, fields)]
+            arrays += [
+                pa.array(idxs, pa.int32()),
+                pa.array(hrefs, pa.string()),
+                pa.array(anchors, pa.string()),
+            ]
+            fields += [
+                pa.field("link_idx", pa.int32()),
+                pa.field("href", pa.string()),
+                pa.field("anchor_text", pa.string()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays,
+                                             schema=pa.schema(fields))
+
+    return _fn

@@ -2308,3 +2308,48 @@ def test_cluster_assign_planted(spark):
         1: (5, "lab1", 4),
         2: (5, "lab2", 4),
     }
+
+
+def test_extract_links_hand_built(spark):
+    """Kernel DOM-walk link extraction: document-order link_idx,
+    anchor text spans child elements, href-less anchors skipped,
+    foreign-content <a> breaks out to HTML (collected); one Arrow
+    stage, variable fan-out, no explode/join."""
+    from html_parser_spark.spark.pipeline import extract_links
+
+    turns = spark.createDataFrame(
+        [("c", 0, '<p><a href="http://e/1">one <b>bo</b>ld</a>'
+                  ' <a name="x">skip</a> <a href="/r">two</a></p>'),
+         ("c", 1, "no links here"),
+         ("c", 2, '<svg><a href="s">breakout</a></svg>'),
+         ("d", 0, '<a href="">empty</a>')],
+        "conv_id string, turn_idx int, text string")
+    got = sorted((r.conv_id, r.turn_idx, r.link_idx, r.href,
+                  r.anchor_text) for r in extract_links(turns).collect())
+    assert got == [
+        ("c", 0, 0, "http://e/1", "one bold"),
+        ("c", 0, 1, "/r", "two"),
+        ("c", 2, 0, "s", "breakout"),
+        ("d", 0, 0, "", "empty"),
+    ]
+    plan = extract_links(turns)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1
+    assert "Generate" not in plan    # no explode — fan-out is in-batch
+
+
+def test_link_stats_hand_built(spark):
+    from html_parser_spark.spark.pipeline import link_stats
+
+    links = spark.createDataFrame(
+        [("a", 0, 0, "http://e/1", "x"), ("a", 1, 0, "http://e/1", "y"),
+         ("a", 1, 1, "/r", "z"), ("b", 0, 0, "http://e/1", "w"),
+         ("b", 0, 1, "mailto:q@e", "m")],
+        "conv_id string, turn_idx int, link_idx int, href string, "
+        "anchor_text string")
+    got = {r.href: (r.scheme, r.n_links, r.n_source_turns)
+           for r in link_stats(links).collect()}
+    assert got == {
+        "http://e/1": ("http", 3, 3),
+        "/r": ("", 1, 1),
+        "mailto:q@e": ("mailto", 1, 1),
+    }

@@ -328,6 +328,25 @@ def main():
          == 1 and "EvalPython" not in p and "MapInPandas" not in p),
     ])
 
+    audit("extract_links (anchor extraction, link-graph raw material)",
+          qs["extract_links"](spark, SF_DIR), [
+        ("exactly one Python stage, fan-out in-batch (no Generate)",
+         lambda p: p.count("+- MapInArrow") + p.count("+- PythonMapInArrow")
+         == 1 and "Generate" not in p),
+        ("no shuffle at all (narrow kernel stage)",
+         lambda p: "ENSURE_REQUIREMENTS" not in p),
+    ])
+
+    audit("link_stats (per-target popularity)",
+          qs["link_stats"](spark, SF_DIR), [
+        ("aggregation is partial (map-side phase before the exchange)",
+         lambda p: p.count("HashAggregate") + p.count("SortAggregate")
+         >= 2),
+        ("keyed by href, no global sort",
+         lambda p: "hashpartitioning(href" in p
+         and "rangepartitioning" not in p.lower()),
+    ])
+
     audit("tool_transitions (agent-trace Markov counts)",
           qs["tool_transitions"](spark, SF_DIR), [
         ("lag window keyed on conv_id",

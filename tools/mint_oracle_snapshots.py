@@ -80,6 +80,15 @@ def main() -> int:
     write_single_parquet(turns, dest)
     print(f"minted {dest}")
 
+    # 1b. the links table link_stats aggregates over (same pattern:
+    # extraction is golden-gated, the rollup SQL re-derives)
+    from html_parser_spark.spark.pipeline import extract_links
+    links = extract_links(
+        transcripts_df(spark, 2000, seed=42, partitions=8))
+    dest = os.path.join(FIXTURES, "links_2000.parquet")
+    write_single_parquet(links, dest)
+    print(f"minted {dest}")
+
     # 2. full-output regression pins
     qs = se.queries()
     for name in SNAPSHOT_QUERIES:
