@@ -650,6 +650,25 @@ def _q_link_stats(spark, sf_dir):
     return link_stats(extract_links(df))
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (5 iterations) over a deterministic
+    synthetic citation graph derived from the documents table:
+    src=doc_id, dst=(doc_id*31+17k) mod 1000 for k in 1..3.  The
+    iterative loop is the Spark side; the oracle unrolls the same
+    integer recurrence as chained CTEs."""
+    from html_parser_spark.spark.ops import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    edges = (
+        d.select(F.col("doc_id").cast("bigint").alias("src"))
+        .withColumn("k", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .select("src",
+                ((F.col("src") * 31 + 17 * F.col("k")) % 1000)
+                .cast("bigint").alias("dst"))
+    )
+    return pagerank(edges, n_iter=5)
+
+
 def _q_extract_boilerplate(spark, sf_dir):
     from html_parser_spark.spark.pipeline import extract_turns
     from html_parser_spark.spark.transcripts import transcripts_df
@@ -939,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assign": _q_cluster_assign,
         "extract_links": _q_extract_links,
         "link_stats": _q_link_stats,
+        "pagerank": _q_pagerank,
         "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
         "pdf_extract": _q_pdf_extract,
@@ -1786,6 +1806,106 @@ def oracle_sql() -> dict[str, str]:
                         as bigint) AS n_source_turns
             FROM read_parquet('{_FIXTURES}/links_2000.parquet')
             GROUP BY href ORDER BY href
+        """,
+        # pagerank: the iterative integer recurrence UNROLLED as
+        # chained CTEs — engine-exact because every step is bigint
+        # floor arithmetic (order-independent sums).
+        "pagerank": """
+            WITH ks AS (SELECT unnest([1,2,3]) AS k),
+            e AS (
+                SELECT cast(doc_id as bigint) AS src,
+                       cast((doc_id*31 + 17*k) % 1000 as bigint) AS dst
+                FROM documents, ks
+            ),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e
+                    UNION ALL SELECT dst FROM e)
+            ),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            r0 AS (
+                SELECT node,
+                       cast((SELECT 1000000000000 // n FROM nn)
+                            as bigint) AS rank
+                FROM nodes
+            ),
+            r1 AS (
+                SELECT n.node,
+                       cast((15 * (SELECT 1000000000000 // n FROM nn))
+                            // 100
+                            + (85 * coalesce(c.contrib, 0)) // 100
+                            as bigint) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           sum(r.rank // od.outdeg) AS contrib
+                    FROM e
+                    JOIN r0 r ON r.node = e.src
+                    JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) c USING (node)
+            ),
+            r2 AS (
+                SELECT n.node,
+                       cast((15 * (SELECT 1000000000000 // n FROM nn))
+                            // 100
+                            + (85 * coalesce(c.contrib, 0)) // 100
+                            as bigint) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           sum(r.rank // od.outdeg) AS contrib
+                    FROM e
+                    JOIN r1 r ON r.node = e.src
+                    JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) c USING (node)
+            ),
+            r3 AS (
+                SELECT n.node,
+                       cast((15 * (SELECT 1000000000000 // n FROM nn))
+                            // 100
+                            + (85 * coalesce(c.contrib, 0)) // 100
+                            as bigint) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           sum(r.rank // od.outdeg) AS contrib
+                    FROM e
+                    JOIN r2 r ON r.node = e.src
+                    JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) c USING (node)
+            ),
+            r4 AS (
+                SELECT n.node,
+                       cast((15 * (SELECT 1000000000000 // n FROM nn))
+                            // 100
+                            + (85 * coalesce(c.contrib, 0)) // 100
+                            as bigint) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           sum(r.rank // od.outdeg) AS contrib
+                    FROM e
+                    JOIN r3 r ON r.node = e.src
+                    JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) c USING (node)
+            ),
+            r5 AS (
+                SELECT n.node,
+                       cast((15 * (SELECT 1000000000000 // n FROM nn))
+                            // 100
+                            + (85 * coalesce(c.contrib, 0)) // 100
+                            as bigint) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           sum(r.rank // od.outdeg) AS contrib
+                    FROM e
+                    JOIN r4 r ON r.node = e.src
+                    JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) c USING (node)
+            )
+            SELECT node, rank FROM r5 ORDER BY node
         """,
         "role_alternation": f"""
             WITH lagged AS (

@@ -2145,3 +2145,59 @@ def cluster_assign(embeddings: DataFrame, n_clusters: int = 4) -> DataFrame:
     )
     return totals.join(best, "cluster_id").select(
         "cluster_id", "n_members", "majority_label", "majority_n")
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             scale: int = 10 ** 12,
+             checkpoint_every: int = 4) -> DataFrame:
+    """Integer-arithmetic PageRank over an edge list (src, dst) — the
+    link-graph quality score of a web curation pipeline.  All
+    arithmetic is bigint (rank/out_degree and the damping factor via
+    floor division), so per-iteration sums are ORDER-INDEPENDENT and
+    the result is engine-exact — no float summation drift — which is
+    what makes a SQL oracle possible for an iterative algorithm:
+
+        rank_0(v)   = scale // N
+        contrib_i(v)= sum over edges (u -> v) of rank_i(u) // outdeg(u)
+        rank_{i+1}(v) = (15 * (scale // N)) // 100
+                        + (85 * contrib_i(v)) // 100
+
+    Dangling-node mass is dropped (not redistributed) — documented
+    deviation from the textbook formulation, shared by the oracle.
+
+    Scale shape: per iteration ONE src-keyed join (rank × out-degree
+    ride together), one dst-keyed partial aggregation, one left join
+    back to the static node set; lineage is truncated with
+    localCheckpoint every `checkpoint_every` iterations (same pattern
+    as the distributed connected-components loop), so the plan stays
+    constant-size at any iteration count.  The only driver action is
+    the node count (a scalar)."""
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.union(dst_nodes).distinct()
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("outdeg"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("bigint"))
+    r0 = scale // n
+    base = (15 * r0) // 100
+    ranks = nodes.withColumn("rank", F.lit(r0).cast("bigint"))
+    for it in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("rank div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base)
+             + F.expr("85 * coalesce(contrib, 0L) div 100"))
+            .cast("bigint").alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -2353,3 +2353,36 @@ def test_link_stats_hand_built(spark):
         "/r": ("", 1, 1),
         "mailto:q@e": ("mailto", 1, 1),
     }
+
+
+def test_pagerank_integer_exact(spark):
+    """Integer PageRank equals an independent driver-side
+    reimplementation of the same recurrence on a hand graph, is
+    repartition-invariant, and ranks a popular sink above a leaf."""
+    from html_parser_spark.spark.ops import pagerank
+
+    E = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    out = {r.node: r.rank for r in pagerank(edges, n_iter=7).collect()}
+
+    # independent recurrence (plain dicts, no Spark)
+    nodes = sorted({u for e in E for u in e})
+    scale = 10 ** 12
+    n = len(nodes)
+    r0 = scale // n
+    base = (15 * r0) // 100
+    ranks = {v: r0 for v in nodes}
+    outdeg = {}
+    for u, _ in E:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    for _ in range(7):
+        contrib = {v: 0 for v in nodes}
+        for u, v in E:
+            contrib[v] += ranks[u] // outdeg[u]
+        ranks = {v: base + (85 * contrib[v]) // 100 for v in nodes}
+    assert out == ranks
+    # node 3 has 3 inbound links; node 4 has none
+    assert out[3] > out[4]
+    out2 = {r.node: r.rank
+            for r in pagerank(edges.repartition(7), n_iter=7).collect()}
+    assert out2 == out

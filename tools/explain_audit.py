@@ -328,6 +328,19 @@ def main():
          == 1 and "EvalPython" not in p and "MapInPandas" not in p),
     ])
 
+    audit("pagerank (integer link-graph scoring, 5 iterations)",
+          qs["pagerank"](spark, SF_DIR), [
+        ("no cartesian/broadcast-nested-loop join anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("contrib aggregation is partial (map-side combine)",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no global sort",
+         lambda p: "rangepartitioning" not in p.lower()),
+        ("lineage truncated (constant-size plan per iteration)",
+         lambda p: "Scan ExistingRDD" in p or "LogicalRDD" in p),
+    ])
+
     audit("extract_links (anchor extraction, link-graph raw material)",
           qs["extract_links"](spark, SF_DIR), [
         ("exactly one Python stage, fan-out in-batch (no Generate)",
