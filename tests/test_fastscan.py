@@ -717,3 +717,30 @@ def test_charref_full_parse_golden_shapes():
         off = _with_fastscan_disabled(lambda: _tree_snapshot(doc, False))
         assert on == off, doc
         assert fastscan.make_feed(doc, []) is not None, doc
+
+
+def test_interleaved_positioned_errors_stay_per_feed():
+    """Two live feeds over different error-bearing documents, advanced
+    alternately: each shared errors list receives exactly its own
+    document's positioned errors, in its own order (pending errors are
+    per-scan state, surfaced at pull time on the owning feed)."""
+    d1 = "<!x one><p>a</p></3>t"
+    d2 = '<a =q><a b=>done</div >'
+    e1: list = []
+    e2: list = []
+    f1 = fastscan.make_feed(d1, e1)
+    f2 = fastscan.make_feed(d2, e2)
+    assert f1 is not None and f2 is not None
+    t1 = t2 = None
+    while not (t1 is not None and t1.type == TOKEN_EOF
+               and t2 is not None and t2.type == TOKEN_EOF):
+        if t1 is None or t1.type != TOKEN_EOF:
+            t1 = f1.next()
+        if t2 is None or t2.type != TOKEN_EOF:
+            t2 = f2.next()
+    p1: list = []
+    p2: list = []
+    _drain(Tokenizer(d1, errors=p1))
+    _drain(Tokenizer(d2, errors=p2))
+    assert e1 == p1 and e2 == p2
+    assert p1 and p2  # both documents genuinely error
