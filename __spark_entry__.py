@@ -669,6 +669,33 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=5)
 
 
+def _q_interval_events(spark, sf_dir):
+    """Range join via bin-bucketed equi-join (no nested loop): every
+    third calendar day carries an 08:00-16:00 maintenance window;
+    count the events and distinct users landing inside each."""
+    from html_parser_spark.spark.ops import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d")).distinct()
+    windows = (
+        days.where(F.dayofmonth("d") % 3 == 0)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("window_id"),
+            (F.col("d") + F.expr("INTERVAL 8 HOURS")).alias("w_start"),
+            (F.col("d") + F.expr("INTERVAL 16 HOURS")).alias("w_end"),
+        )
+    )
+    return (
+        interval_join(ev, windows)
+        .groupBy("window_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
 def _q_extract_boilerplate(spark, sf_dir):
     from html_parser_spark.spark.pipeline import extract_turns
     from html_parser_spark.spark.transcripts import transcripts_df
@@ -959,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _q_extract_links,
         "link_stats": _q_link_stats,
         "pagerank": _q_pagerank,
+        "interval_events": _q_interval_events,
         "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
         "pdf_extract": _q_pdf_extract,
@@ -1906,6 +1934,25 @@ def oracle_sql() -> dict[str, str]:
                 ) c USING (node)
             )
             SELECT node, rank FROM r5 ORDER BY node
+        """,
+        # interval_events: the oracle is the PLAIN range join — DuckDB
+        # evaluates BETWEEN joins directly; result equality proves the
+        # bin-bucketed rewrite is lossless.
+        "interval_events": """
+            WITH days AS (
+                SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+            ), windows AS (
+                SELECT strftime(d, '%Y-%m-%d') AS window_id,
+                       d + INTERVAL 8 HOUR AS w_start,
+                       d + INTERVAL 16 HOUR AS w_end
+                FROM days WHERE day(d) % 3 = 0
+            )
+            SELECT w.window_id,
+                   cast(count(*) as bigint) AS n_events,
+                   cast(count(DISTINCT e.user_id) as bigint) AS n_users
+            FROM events e JOIN windows w
+              ON e.ts >= w.w_start AND e.ts <= w.w_end
+            GROUP BY w.window_id ORDER BY w.window_id
         """,
         "role_alternation": f"""
             WITH lagged AS (

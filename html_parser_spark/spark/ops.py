@@ -2201,3 +2201,37 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def interval_join(events: DataFrame, windows: DataFrame,
+                  bin_seconds: int = 86400) -> DataFrame:
+    """Range/interval join without the nested-loop trap: match events
+    (ts) into windows [w_start, w_end] by exploding each window into
+    the time BINS it overlaps, equi-joining on the bin, and applying
+    the exact BETWEEN predicate after.  A naive ts-BETWEEN join plans
+    BroadcastNestedLoop/Cartesian (every event against every window);
+    the bin key turns it into an ordinary hash/sort-merge equi-join
+    whose fan-out is bounded by window_length/bin_seconds + 1 — the
+    standard scale shape for interval joins (plan-audited: no BNLJ).
+
+    windows: (window_id string, w_start timestamp, w_end timestamp),
+    end inclusive.  Returns the matched (window_id, event) pairs."""
+    w = windows.withColumn(
+        "bin",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp("w_start") / bin_seconds)
+             .cast("bigint"),
+            F.floor(F.unix_timestamp("w_end") / bin_seconds)
+             .cast("bigint"),
+        )),
+    )
+    e = events.withColumn(
+        "bin",
+        F.floor(F.unix_timestamp("ts") / bin_seconds).cast("bigint"),
+    )
+    return (
+        e.join(w, "bin")
+        .where((F.col("ts") >= F.col("w_start"))
+               & (F.col("ts") <= F.col("w_end")))
+        .drop("bin")
+    )

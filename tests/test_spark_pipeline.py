@@ -2386,3 +2386,31 @@ def test_pagerank_integer_exact(spark):
     out2 = {r.node: r.rank
             for r in pagerank(edges.repartition(7), n_iter=7).collect()}
     assert out2 == out
+
+
+def test_interval_join_hand_built(spark):
+    """Bin-bucketed range join is lossless vs a driver-side check:
+    boundary-inclusive, multi-bin windows match across bin edges, no
+    nested-loop/cartesian node in the plan."""
+    import datetime as dt
+
+    from html_parser_spark.spark.ops import interval_join
+
+    T = dt.datetime
+    events = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 7, 59)), (2, T(2024, 1, 1, 8, 0)),
+         (3, T(2024, 1, 1, 23, 59)), (4, T(2024, 1, 2, 0, 1)),
+         (5, T(2024, 1, 2, 16, 0)), (6, T(2024, 1, 2, 16, 1)),
+         (7, T(2024, 1, 5, 12, 0))],
+        "event_id long, ts timestamp")
+    windows = spark.createDataFrame(
+        [("w1", T(2024, 1, 1, 8, 0), T(2024, 1, 2, 16, 0)),  # spans 2 bins
+         ("w2", T(2024, 1, 5, 0, 0), T(2024, 1, 5, 23, 0))],
+        "window_id string, w_start timestamp, w_end timestamp")
+    out = interval_join(events, windows)
+    got = sorted((r.window_id, r.event_id) for r in out.collect())
+    assert got == [("w1", 2), ("w1", 3), ("w1", 4), ("w1", 5),
+                   ("w2", 7)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -328,6 +328,19 @@ def main():
          == 1 and "EvalPython" not in p and "MapInPandas" not in p),
     ])
 
+    audit("interval_events (bin-bucketed range join)",
+          qs["interval_events"](spark, SF_DIR), [
+        ("NO nested-loop/cartesian join (the naive range-join plan)",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("bin equi-join (hash/sort-merge/broadcast)",
+         lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("final aggregation is partial",
+         lambda p: p.count("HashAggregate") + p.count("SortAggregate")
+         >= 2),
+    ])
+
     audit("pagerank (integer link-graph scoring, 5 iterations)",
           qs["pagerank"](spark, SF_DIR), [
         ("no cartesian/broadcast-nested-loop join anywhere",
