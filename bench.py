@@ -287,6 +287,39 @@ def main() -> int:
     extra["cc_distributed_100k_edges"] = round(time.time() - t0, 3)
     cc_stats["chain_len"] = chain_len
 
+    # ---- fast-scan coverage: fraction of kernel-path BYTES the C
+    # scanner accepts (the rest falls back to the Python tokenizer).
+    # Measured on the reference fixture corpus (== the dense lane's
+    # material) through the production preprocessing (replace_nulls
+    # first), single-threaded and cheap (~200 small docs). ------------
+    fastscan_cov: dict = {}
+    try:
+        import glob as _glob
+
+        from html_parser_spark.kernel import encoding as _enc
+        from html_parser_spark.kernel import fastscan as _fs
+        from html_parser_spark.kernel.tokenizer import (
+            replace_nulls as _rn,
+        )
+
+        if _fs._load() is not None:
+            acc_b = tot_b = acc_n = tot_n = 0
+            for fp in sorted(_glob.glob("/root/reference/tests/*.html")):
+                raw = open(fp, "rb").read()
+                res = _enc.sniff_and_convert(raw, None)
+                text = _rn(res.text, [])
+                tot_b += len(raw)
+                tot_n += 1
+                if _fs.make_feed(text, []) is not None:
+                    acc_b += len(raw)
+                    acc_n += 1
+            fastscan_cov = {
+                "docs_accepted": acc_n, "docs_total": tot_n,
+                "bytes_pct": round(100.0 * acc_b / max(tot_b, 1), 1),
+            }
+    except Exception:  # noqa: BLE001 — coverage stat must never fail a run
+        fastscan_cov = {"error": "unavailable"}
+
     # ---- derived metrics ---------------------------------------------------
     t_extract = queries["extract_transcripts"]
     t_dense = queries["extract_html_dense"]
@@ -318,6 +351,7 @@ def main() -> int:
         "spread_gate_pct": _SPREAD_GATE_PCT,
         "extra_queries_not_in_value": extra,
         "cc_distributed_info": cc_stats,
+        "fastscan_coverage": fastscan_cov,
         "sf": sf,
         "turns": n_extracted,
         "turns_per_sec": turns_per_sec,
