@@ -696,6 +696,15 @@ def _q_interval_events(spark, sf_dir):
     )
 
 
+def _q_strip_dup_passages(spark, sf_dir):
+    """Lee-et-al ExactSubstr DELETION: rebuild each document with the
+    word positions covered by cross-document duplicate n-grams
+    removed (the action half of dup_passages)."""
+    from html_parser_spark.spark.ops import strip_dup_passages
+
+    return strip_dup_passages(_t(spark, sf_dir, "documents"), n=8)
+
+
 def _q_extract_boilerplate(spark, sf_dir):
     from html_parser_spark.spark.pipeline import extract_turns
     from html_parser_spark.spark.transcripts import transcripts_df
@@ -987,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_stats": _q_link_stats,
         "pagerank": _q_pagerank,
         "interval_events": _q_interval_events,
+        "strip_dup_passages": _q_strip_dup_passages,
         "dump_serialize": _q_dump_serialize,
         "media_features": _q_media_features,
         "pdf_extract": _q_pdf_extract,
@@ -1953,6 +1963,54 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN windows w
               ON e.ts >= w.w_start AND e.ts <= w.w_end
             GROUP BY w.window_id ORDER BY w.window_id
+        """,
+        "strip_dup_passages": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ), startpos AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(0, len(ws) - 8)) AS start
+                FROM w WHERE len(ws) >= 8
+            ), starts AS (
+                SELECT doc_id, start,
+                       md5(array_to_string(ws[start + 1 : start + 8],
+                                           ' ')) AS gkey
+                FROM startpos
+            ), dup AS (
+                SELECT gkey FROM (
+                    SELECT gkey, count(DISTINCT doc_id) AS df
+                    FROM starts GROUP BY gkey
+                ) WHERE df >= 2
+            ), coverraw AS (
+                SELECT st.doc_id, st.start,
+                       unnest(generate_series(0, 7)) AS o
+                FROM starts st JOIN dup USING (gkey)
+            ), covered AS (
+                SELECT DISTINCT doc_id, start + o AS idx FROM coverraw
+            ), tokpos AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws))) AS i
+                FROM w
+            ), toks AS (
+                SELECT doc_id, ws[i] AS word, i - 1 AS idx FROM tokpos
+            ), kept AS (
+                SELECT t.doc_id, t.idx, t.word
+                FROM toks t ANTI JOIN covered c
+                  ON t.doc_id = c.doc_id AND t.idx = c.idx
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(word, ' ' ORDER BY idx) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   cast(len(string_split(d.text, ' ')) as int) AS n_words,
+                   cast(len(string_split(d.text, ' '))
+                        - coalesce(r.n_kept, 0) as int) AS n_removed
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "role_alternation": f"""
             WITH lagged AS (

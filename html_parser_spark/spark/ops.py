@@ -2235,3 +2235,63 @@ def interval_join(events: DataFrame, windows: DataFrame,
                & (F.col("ts") <= F.col("w_end")))
         .drop("bin")
     )
+
+
+def strip_dup_passages(documents: DataFrame, n: int = 8) -> DataFrame:
+    """The ACTION half of the Lee et al. 2021 ExactSubstr pair
+    (dup_passages annotates; this deletes): remove every word position
+    covered by an n-gram that also occurs in at least one OTHER
+    document, and rebuild the document from the surviving words.
+    Word-level granularity (the public method deletes the duplicated
+    character span; words are the tokenization this corpus' oracles
+    share), total: sub-n-token documents pass through unchanged.
+
+    Scale shape: gram starts explode once (md5 keys, constant shuffle
+    width), doc-frequency is a partial aggregate, covered positions
+    fan out by at most n per duplicated start, and the rebuild is one
+    doc_id aggregate (collect+sort of the SURVIVING words only — no
+    window over the corpus, no driver participation)."""
+    words = F.split(F.col("text"), " ")
+    spine = _spread(documents).select("doc_id", words.alias("w"))
+    starts = spine.select(
+        "doc_id",
+        F.posexplode(_word_ngrams(F.col("w"), n)).alias("start", "gram"),
+    ).select("doc_id", "start", F.md5("gram").alias("gkey"))
+    dup_keys = (
+        starts.select("gkey", "doc_id").distinct()
+        .groupBy("gkey").agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") >= 2)
+        .select("gkey")
+    )
+    covered = (
+        starts.join(dup_keys, "gkey")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"),
+                                 F.col("start") + (n - 1))).alias("idx"),
+        )
+        .distinct()
+    )
+    toks = spine.select(
+        "doc_id", F.posexplode("w").alias("idx", "word"))
+    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "word"))),
+                lambda s: s["word"],
+            ), " ").alias("clean_text"),
+             F.count("*").cast("int").alias("n_kept"))
+    )
+    return (
+        documents.select("doc_id", F.size(words).alias("n_words"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_words").cast("int").alias("n_words"),
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int").alias("n_removed"),
+        )
+    )

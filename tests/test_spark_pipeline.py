@@ -2414,3 +2414,32 @@ def test_interval_join_hand_built(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_strip_dup_passages_hand_built(spark):
+    """ExactSubstr deletion on a planted corpus: the shared 8-gram's
+    covered word positions vanish from BOTH carriers, unique text
+    survives, short docs pass through, and the op is total (every
+    doc_id present)."""
+    from html_parser_spark.spark.ops import strip_dup_passages
+
+    shared = "a b c d e f g h"            # the duplicated 8-gram
+    docs = spark.createDataFrame(
+        [(0, f"intro {shared} outro"),
+         (1, f"other {shared} tail words"),
+         (2, "completely unique text here"),
+         (3, "short")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_words, r.n_removed)
+           for r in strip_dup_passages(docs, n=8).collect()}
+    assert got[0] == ("intro outro", 10, 8)
+    assert got[1] == ("other tail words", 11, 8)
+    assert got[2] == ("completely unique text here", 4, 0)
+    assert got[3] == ("short", 1, 0)
+    # overlapping duplicated grams: every covered position removed once
+    d2 = spark.createDataFrame(
+        [(0, f"{shared} i"), (1, f"{shared} i")],  # 2 dup grams, 9 words
+        "doc_id long, text string")
+    got2 = {r.doc_id: (r.clean_text, r.n_removed)
+            for r in strip_dup_passages(d2, n=8).collect()}
+    assert got2[0] == ("", 9) and got2[1] == ("", 9)

@@ -328,6 +328,19 @@ def main():
          == 1 and "EvalPython" not in p and "MapInPandas" not in p),
     ])
 
+    audit("strip_dup_passages (ExactSubstr deletion)",
+          qs["strip_dup_passages"](spark, SF_DIR), [
+        ("all shuffles keyed — no cartesian/BNLJ",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("survivor rebuild has no corpus window / global sort",
+         lambda p: "rangepartitioning" not in p.lower()),
+        ("kept-token filter is an anti join (left_anti), not a NOT IN",
+         lambda p: "LeftAnti" in p),
+        ("doc-frequency aggregation is partial",
+         lambda p: p.count("HashAggregate") >= 2),
+    ])
+
     audit("interval_events (bin-bucketed range join)",
           qs["interval_events"](spark, SF_DIR), [
         ("NO nested-loop/cartesian join (the naive range-join plan)",
