@@ -542,6 +542,24 @@ def _q_ngram_jaccard(spark, sf_dir):
     ).select("doc_a", "doc_b")
 
 
+def _q_edit_distance_verify(spark, sf_dir):
+    """Char-level Levenshtein refinement of the SAME near-dup pair set
+    the jaccard query verifies (LSH candidates -> exact jaccard ->
+    edit distance). ASCII-gated for engine exactness: Spark counts
+    codepoint edits, DuckDB counts byte edits; they provably agree on
+    ASCII, so non-ASCII pairs report ascii_only=false with NULL
+    distance (a documented, deterministic contract, not a guess)."""
+    from html_parser_spark.spark.ops import (
+        edit_distance_pairs, minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs, threshold=_NEARDUP_THRESHOLD,
+        candidates=minhash_lsh_candidates(docs, **_NEARDUP_LSH),
+    )
+
+
 def _q_simhash(spark, sf_dir):
     from html_parser_spark.spark.ops import simhash
 
@@ -983,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_lsh": _q_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
+        "edit_distance_verify": _q_edit_distance_verify,
         "simhash": _q_simhash,
         "extract_transcripts": _q_extract_transcripts,
         "extract_boilerplate": _q_extract_boilerplate,
@@ -1690,6 +1709,33 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH {_SH_CTE}, {_PAIRS_CTE}
             SELECT pa AS doc_a, pb AS doc_b FROM pairs
+            ORDER BY doc_a, doc_b
+        """,
+        # edit_distance_verify: same exact pair set; DuckDB levenshtein
+        # is BYTE-based vs Spark's codepoint-based, so both sides gate
+        # the distance on ASCII-ness (octet_length == char length),
+        # where the two definitions provably coincide.
+        "edit_distance_verify": f"""
+            WITH {_SH_CTE}, {_PAIRS_CTE}
+            SELECT p.pa AS doc_a, p.pb AS doc_b,
+                   (strlen(a.text) = length(a.text)
+                    AND strlen(b.text) = length(b.text))
+                       AS ascii_only,
+                   CASE WHEN strlen(a.text) = length(a.text)
+                         AND strlen(b.text) = length(b.text)
+                        THEN cast(levenshtein(a.text, b.text) as int)
+                   END AS edit_distance,
+                   CASE WHEN strlen(a.text) = length(a.text)
+                         AND strlen(b.text) = length(b.text)
+                        THEN round(1.0
+                            - cast(levenshtein(a.text, b.text) as double)
+                            / cast(greatest(length(a.text),
+                                            length(b.text), 1) as double),
+                            6)
+                   END AS edit_similarity
+            FROM pairs p
+            JOIN documents a ON a.doc_id = p.pa
+            JOIN documents b ON b.doc_id = p.pb
             ORDER BY doc_a, doc_b
         """,
         "embedding_near_dup": """

@@ -2295,3 +2295,53 @@ def strip_dup_passages(documents: DataFrame, n: int = 8) -> DataFrame:
             .cast("int").alias("n_removed"),
         )
     )
+
+
+def edit_distance_pairs(documents: DataFrame, shingle_n: int = 3,
+                        threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Character-level edit-distance verification of the near-dup pair
+    set — the refinement stage AFTER shingle-Jaccard: two documents can
+    share most word shingles yet differ char-wise (inline edits,
+    rewrites inside words), and Levenshtein similarity quantifies that
+    residual difference per pair.
+
+    Engine-exactness note (why `ascii_only` exists): Spark's built-in
+    `levenshtein` counts CODEPOINT edits while DuckDB's (the oracle)
+    counts BYTE edits — they agree exactly on pure-ASCII strings and
+    are allowed to disagree elsewhere. So the distance is computed only
+    for pairs where BOTH texts are ASCII (detected identically in both
+    engines: octet_length == char length); non-ASCII pairs surface
+    `ascii_only=false` with NULL distance/similarity rather than an
+    engine-dependent number.
+
+    Scale shape: pairs come from the LSH candidate path (never
+    all-pairs), texts join back by doc_id (two equi-joins; AQE
+    broadcasts the small pair side), and the distance itself is a
+    per-row JVM expression — no Python stage, no shuffle beyond the
+    joins. Levenshtein is O(len_a * len_b) per pair, so the op belongs
+    strictly AFTER candidate pruning, never before it.
+    """
+    pairs = ngram_jaccard_pairs(
+        documents, shingle_n=shingle_n, threshold=threshold,
+        candidates=candidates,
+    ).select("doc_a", "doc_b")
+    ta = documents.select(F.col("doc_id").alias("doc_a"),
+                          F.col("text").alias("_ta"))
+    tb = documents.select(F.col("doc_id").alias("doc_b"),
+                          F.col("text").alias("_tb"))
+    j = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    ascii_both = (
+        (F.octet_length("_ta") == F.length("_ta"))
+        & (F.octet_length("_tb") == F.length("_tb"))
+    )
+    dist = F.when(ascii_both, F.levenshtein("_ta", "_tb"))
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
+    return j.select(
+        "doc_a", "doc_b",
+        ascii_both.alias("ascii_only"),
+        dist.cast("int").alias("edit_distance"),
+        F.round(
+            F.lit(1.0) - dist.cast("double") / max_len.cast("double"), 6
+        ).alias("edit_similarity"),
+    )

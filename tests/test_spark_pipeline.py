@@ -2443,3 +2443,30 @@ def test_strip_dup_passages_hand_built(spark):
     got2 = {r.doc_id: (r.clean_text, r.n_removed)
             for r in strip_dup_passages(d2, n=8).collect()}
     assert got2[0] == ("", 9) and got2[1] == ("", 9)
+
+
+def test_edit_distance_pairs_hand_built(spark):
+    """Levenshtein verify on the near-dup pair set: exact distance on
+    an ASCII pair, NULL + ascii_only=false on a CJK pair (where Spark
+    codepoint edits and DuckDB byte edits legitimately diverge), and
+    no rows for docs without a near-dup partner."""
+    from html_parser_spark.spark.ops import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"),
+         (1, "a b c d e f g h i k"),      # 1 char edit, jaccard 7/9
+         (2, "中 文 一 二 三 四"),
+         (3, "中 文 一 二 三 五"),          # jaccard 3/5, non-ASCII
+         (4, "totally unrelated words here")],
+        "doc_id long, text string")
+    rows = {(r.doc_a, r.doc_b): r
+            for r in edit_distance_pairs(docs, threshold=0.5).collect()}
+    assert set(rows) == {(0, 1), (2, 3)}
+    ascii_pair = rows[(0, 1)]
+    assert ascii_pair.ascii_only is True
+    assert ascii_pair.edit_distance == 1
+    assert ascii_pair.edit_similarity == round(1 - 1 / 19, 6)
+    cjk_pair = rows[(2, 3)]
+    assert cjk_pair.ascii_only is False
+    assert cjk_pair.edit_distance is None
+    assert cjk_pair.edit_similarity is None

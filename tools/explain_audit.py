@@ -341,6 +341,18 @@ def main():
          lambda p: p.count("HashAggregate") >= 2),
     ])
 
+    audit("edit_distance_verify (Levenshtein refinement of LSH pairs)",
+          qs["edit_distance_verify"](spark, SF_DIR), [
+        ("candidate path only — no cartesian/BNLJ all-pairs",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("distance is a per-row JVM expression (levenshtein in plan)",
+         lambda p: "levenshtein" in p.lower()),
+        ("no Python stage anywhere",
+         lambda p: "EvalPython" not in p and "MapInArrow" not in p
+         and "MapInPandas" not in p),
+    ])
+
     audit("interval_events (bin-bucketed range join)",
           qs["interval_events"](spark, SF_DIR), [
         ("NO nested-loop/cartesian join (the naive range-join plan)",
