@@ -542,6 +542,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     ).select("doc_a", "doc_b")
 
 
+def _q_bm25_search(spark, sf_dir):
+    """BM25 top-10 for the fixed query terms (spark, window, merge).
+    Log-free rational IDF for engine exactness (see ops.bm25_search
+    docstring); the oracle mirrors the score expression's
+    parenthesization token-for-token, so both engines compute
+    bit-identical doubles."""
+    from html_parser_spark.spark.ops import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"),
+                       terms=("spark", "window", "merge"), k=10)
+
+
 def _q_edit_distance_verify(spark, sf_dir):
     """Char-level Levenshtein refinement of the SAME near-dup pair set
     the jaccard query verifies (LSH candidates -> exact jaccard ->
@@ -1002,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
         "edit_distance_verify": _q_edit_distance_verify,
+        "bm25_search": _q_bm25_search,
         "simhash": _q_simhash,
         "extract_transcripts": _q_extract_transcripts,
         "extract_boilerplate": _q_extract_boilerplate,
@@ -1710,6 +1723,61 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SH_CTE}, {_PAIRS_CTE}
             SELECT pa AS doc_a, pb AS doc_b FROM pairs
             ORDER BY doc_a, doc_b
+        """,
+        # bm25_search: the score expression below is a token-for-token
+        # mirror of ops.bm25_search's Column arithmetic (same literals,
+        # same parenthesization, left-assoc sum over the three terms)
+        # so both engines compute bit-identical IEEE doubles. IDF is
+        # the log-free rational (N - df + 0.5)/(df + 0.5) -- documented
+        # deviation; libm log is not cross-engine exact, +,*,/ are.
+        "bm25_search": """
+            WITH stats AS (
+                SELECT cast(count(*) as double) AS n_docs,
+                       cast(sum(len(string_split(text, ' '))) as double)
+                           AS sum_dl,
+                       cast(sum(CASE WHEN list_contains(
+                           string_split(text, ' '), 'spark')
+                           THEN 1 ELSE 0 END) as double) AS df_0,
+                       cast(sum(CASE WHEN list_contains(
+                           string_split(text, ' '), 'window')
+                           THEN 1 ELSE 0 END) as double) AS df_1,
+                       cast(sum(CASE WHEN list_contains(
+                           string_split(text, ' '), 'merge')
+                           THEN 1 ELSE 0 END) as double) AS df_2
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       round(
+                         ((n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                           * ((tf_0 * 2.2) / (tf_0 + 1.2 * (0.25
+                              + (0.75 * dl) / (sum_dl / n_docs))))
+                         + ((n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                           * ((tf_1 * 2.2) / (tf_1 + 1.2 * (0.25
+                              + (0.75 * dl) / (sum_dl / n_docs))))
+                         + ((n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                           * ((tf_2 * 2.2) / (tf_2 + 1.2 * (0.25
+                              + (0.75 * dl) / (sum_dl / n_docs)))),
+                         6) AS score
+                FROM (
+                    SELECT doc_id,
+                           cast(len(string_split(text, ' ')) as double)
+                               AS dl,
+                           cast(len(list_filter(string_split(text, ' '),
+                                x -> x = 'spark')) as double) AS tf_0,
+                           cast(len(list_filter(string_split(text, ' '),
+                                x -> x = 'window')) as double) AS tf_1,
+                           cast(len(list_filter(string_split(text, ' '),
+                                x -> x = 'merge')) as double) AS tf_2
+                    FROM documents
+                ), stats
+            ), top AS (
+                SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id LIMIT 10
+            )
+            SELECT doc_id, score,
+                   cast(row_number() OVER (ORDER BY score DESC, doc_id)
+                        as int) AS rank
+            FROM top ORDER BY rank
         """,
         # edit_distance_verify: same exact pair set; DuckDB levenshtein
         # is BYTE-based vs Spark's codepoint-based, so both sides gate

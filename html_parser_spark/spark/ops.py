@@ -2345,3 +2345,61 @@ def edit_distance_pairs(documents: DataFrame, shingle_n: int = 3,
             F.lit(1.0) - dist.cast("double") / max_len.cast("double"), 6
         ).alias("edit_similarity"),
     )
+
+
+def bm25_search(documents: DataFrame,
+                terms: tuple = ("spark", "window", "merge"),
+                k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck Jones Okapi family)
+    over the corpus for a FIXED literal term list, returning the top-k
+    documents. One deliberate, documented deviation from textbook
+    BM25 for engine exactness: the IDF factor is the log-FREE rational
+    (N - df + 0.5) / (df + 0.5) — the argument of the classic ln() —
+    because IEEE +,*,/ are exactly reproducible across engines while
+    libm's log is not. Monotone per term, so single-term rankings are
+    identical to classic BM25; multi-term blends weight rare terms
+    more steeply. The whole score is a per-row double expression with
+    a FIXED parenthesization mirrored token-for-token in the DuckDB
+    oracle, so the two engines produce bit-identical doubles.
+
+    Scale shape: corpus stats (N, sum_dl, per-term df) are ONE
+    partial-aggregating pass reduced to a single broadcast row; the
+    score is whole-stage-codegen arithmetic (no UDF, no shuffle); the
+    top-k is TakeOrderedAndProject (never a global sort); the rank
+    window runs on k rows. At 100 TB this is one scan + one broadcast.
+    """
+    words = F.split(F.col("text"), " ")
+    aggs = [
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size(words)).cast("double").alias("sum_dl"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.array_contains(words, t).cast("int"))
+            .cast("double").alias(f"df_{i}"))
+    stats = documents.agg(*aggs)
+    dl = F.size(words).cast("double")
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = None
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(words, lambda x: x == F.lit(t))).cast("double")
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / avgdl)
+        si = idf * ((tf * F.lit(k1 + 1.0)) / denom)
+        score = si if score is None else score + si
+    top = (
+        documents.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.select(
+        "doc_id", "score",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

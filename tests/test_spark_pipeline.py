@@ -2470,3 +2470,43 @@ def test_edit_distance_pairs_hand_built(spark):
     assert cjk_pair.ascii_only is False
     assert cjk_pair.edit_distance is None
     assert cjk_pair.edit_similarity is None
+
+
+def test_bm25_search_hand_computed(spark):
+    """BM25 score on a planted 3-doc corpus equals the same formula
+    evaluated with Python floats (identical IEEE ops, same fold
+    order), and ranking puts the term-dense short doc first."""
+    from html_parser_spark.spark.ops import bm25_search
+
+    texts = {
+        0: "spark spark window",           # dense in 2 query terms
+        1: "merge line table window row",  # 2 terms, longer
+        2: "line table row key agg",       # no query terms
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {r.doc_id: (r.score, r.rank)
+           for r in bm25_search(
+               docs, terms=("spark", "window", "merge"), k=3).collect()}
+
+    n_docs = 3.0
+    sum_dl = float(sum(len(t.split()) for t in texts.values()))
+    dfs = [sum(1.0 for t in texts.values() if term in t.split())
+           for term in ("spark", "window", "merge")]
+
+    def score(text):
+        ws = text.split()
+        dl = float(len(ws))
+        s = None
+        for term, df in zip(("spark", "window", "merge"), dfs):
+            tf = float(sum(1 for w in ws if w == term))
+            idf = (n_docs - df + 0.5) / (df + 0.5)
+            denom = tf + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n_docs))
+            si = idf * ((tf * 2.2) / denom)
+            s = si if s is None else s + si
+        return round(s, 6)
+
+    assert got[0] == (score(texts[0]), 1)
+    assert got[1] == (score(texts[1]), 2)
+    assert got[2] == (score(texts[2]), 3)
+    assert got[2][0] == 0.0

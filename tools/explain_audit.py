@@ -353,6 +353,18 @@ def main():
          and "MapInPandas" not in p),
     ])
 
+    audit("bm25_search (one-pass stats + broadcast + top-k)",
+          qs["bm25_search"](spark, SF_DIR), [
+        ("corpus stats aggregation is partial",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("top-k is TakeOrderedAndProject, not a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("score is whole-stage-codegen arithmetic (no Python)",
+         lambda p: "EvalPython" not in p and "MapInArrow" not in p
+         and "MapInPandas" not in p),
+    ], note="the 1-row stats frame joins via broadcast; the final "
+            "rank window runs on k rows only (post-limit)")
+
     audit("interval_events (bin-bucketed range join)",
           qs["interval_events"](spark, SF_DIR), [
         ("NO nested-loop/cartesian join (the naive range-join plan)",
