@@ -542,6 +542,15 @@ def _q_ngram_jaccard(spark, sf_dir):
     ).select("doc_a", "doc_b")
 
 
+def _q_ccnet_split(spark, sf_dir):
+    """CCNet head/middle/tail corpus split per language by integer
+    bit-count unigram surprisal (engine-exact: no libm log; see
+    ops.ccnet_split docstring)."""
+    from html_parser_spark.spark.ops import ccnet_split
+
+    return ccnet_split(_t(spark, sf_dir, "documents"))
+
+
 def _q_bm25_search(spark, sf_dir):
     """BM25 top-10 for the fixed query terms (spark, window, merge).
     Log-free rational IDF for engine exactness (see ops.bm25_search
@@ -1015,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "edit_distance_verify": _q_edit_distance_verify,
         "bm25_search": _q_bm25_search,
+        "ccnet_split": _q_ccnet_split,
         "simhash": _q_simhash,
         "extract_transcripts": _q_extract_transcripts,
         "extract_boilerplate": _q_extract_boilerplate,
@@ -1723,6 +1733,49 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SH_CTE}, {_PAIRS_CTE}
             SELECT pa AS doc_a, pb AS doc_b FROM pairs
             ORDER BY doc_a, doc_b
+        """,
+        # ccnet_split: integer bit-count surprisal (length(bin(x)) ==
+        # bit_length in BOTH engines), one exact division, ANSI ntile
+        # with a fully deterministic (mean, doc_id) order -- engine-
+        # exact by construction, no libm log anywhere.
+        "ccnet_split": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, lang, word, count(*) AS tf
+                FROM toks GROUP BY doc_id, lang, word
+            ), vocab AS (
+                SELECT lang, word, sum(tf) AS c
+                FROM tf GROUP BY lang, word
+            ), lang_tot AS (
+                SELECT lang, sum(c) AS n_lang FROM vocab GROUP BY lang
+            ), per_doc AS (
+                SELECT t.doc_id, t.lang,
+                       sum(t.tf * (length(bin(lt.n_lang))
+                                   - length(bin(v.c))))
+                           AS surprisal_sum,
+                       sum(t.tf) AS n_words
+                FROM tf t
+                JOIN vocab v ON v.lang = t.lang AND v.word = t.word
+                JOIN lang_tot lt ON lt.lang = t.lang
+                GROUP BY t.doc_id, t.lang
+            ), scored AS (
+                SELECT doc_id, lang,
+                       cast(n_words as int) AS n_words,
+                       cast(surprisal_sum as bigint) AS surprisal_sum,
+                       round(cast(surprisal_sum as double)
+                             / cast(n_words as double), 6)
+                           AS surprisal_mean
+                FROM per_doc
+            )
+            SELECT doc_id, lang, n_words, surprisal_sum, surprisal_mean,
+                   CASE ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY surprisal_mean, doc_id)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored ORDER BY doc_id
         """,
         # bm25_search: the score expression below is a token-for-token
         # mirror of ops.bm25_search's Column arithmetic (same literals,

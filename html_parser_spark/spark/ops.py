@@ -2403,3 +2403,59 @@ def bm25_search(documents: DataFrame,
         "doc_id", "score",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def ccnet_split(documents: DataFrame) -> DataFrame:
+    """CCNet-style corpus split (Wenzek et al. 2019: head/middle/tail
+    by language-model perplexity, per language). Engine-exact variant:
+    instead of a float LM, each word's surprisal is the INTEGER bit
+    count  bit_length(N_lang) - bit_length(c(lang, word))  — i.e.
+    floor-log2 of (corpus tokens / word count), within 1 bit of the
+    true unigram -log2 p(w). Per-doc mean surprisal then terciles WITHIN
+    each language (ntile(3), deterministic (mean, doc_id) order):
+    1=head (most predictable), 2=middle, 3=tail. All arithmetic is
+    integer + one final division, so both engines agree bit-for-bit —
+    no libm log anywhere (bit_length == length(bin(x)) in both).
+
+    Scale shape: token explode -> per-(doc, word) tf collapse (partial
+    agg) -> vocab equi-join keyed by (lang, word) -> one doc_id agg.
+    The tercile is a per-language window; at 100 TB you would pin the
+    two band thresholds from approx quantiles on a sample instead of
+    sorting every language partition (the CCNet paper itself uses
+    fixed thresholds computed once) — documented trade: this form is
+    exact for the correctness gate, the threshold form is the
+    cheap-scale deployment with identical semantics at fixed cuts.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col("text"), " ")
+    toks = _spread(documents).select(
+        "doc_id", "lang", F.explode(words).alias("word"))
+    tf = toks.groupBy("doc_id", "lang", "word").agg(
+        F.count("*").alias("tf"))
+    vocab = tf.groupBy("lang", "word").agg(F.sum("tf").alias("c"))
+    lang_tot = vocab.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    band = (F.length(F.bin(F.col("n_lang")))
+            - F.length(F.bin(F.col("c"))))
+    per_doc = (
+        tf.join(vocab, ["lang", "word"]).join(lang_tot, "lang")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * band).alias("surprisal_sum"),
+             F.sum("tf").alias("n_words"))
+    )
+    scored = per_doc.select(
+        "doc_id", "lang",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("surprisal_sum").cast("bigint").alias("surprisal_sum"),
+        F.round(
+            F.col("surprisal_sum").cast("double")
+            / F.col("n_words").cast("double"), 6).alias("surprisal_mean"),
+    )
+    w = Window.partitionBy("lang").orderBy("surprisal_mean", "doc_id")
+    tercile = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "lang", "n_words", "surprisal_sum", "surprisal_mean",
+        F.when(tercile == 1, F.lit("head"))
+        .when(tercile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )

@@ -2510,3 +2510,28 @@ def test_bm25_search_hand_computed(spark):
     assert got[1] == (score(texts[1]), 2)
     assert got[2] == (score(texts[2]), 3)
     assert got[2][0] == 0.0
+
+
+def test_ccnet_split_hand_computed(spark):
+    """Integer surprisal bands on a planted corpus: band(word) =
+    bit_length(N_lang) - bit_length(c(word)), per-doc means, and the
+    per-language tercile assignment."""
+    from html_parser_spark.spark.ops import ccnet_split
+
+    docs = spark.createDataFrame(
+        [(0, "the the the the", "en"),
+         (1, "the rare", "en"),
+         (2, "the odd word", "en"),
+         (3, "un un", "fr")],
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in ccnet_split(docs).collect()}
+    # en: N=9 (bits 4), c(the)=6 (bits 3) -> band 1; singletons band 3
+    assert (got[0].surprisal_sum, got[0].n_words,
+            got[0].surprisal_mean) == (4, 4, 1.0)
+    assert (got[1].surprisal_sum, got[1].surprisal_mean) == (4, 2.0)
+    assert (got[2].surprisal_sum, got[2].surprisal_mean) == (7, 2.333333)
+    assert [got[i].bucket for i in (0, 1, 2)] == [
+        "head", "middle", "tail"]
+    # fr: every token is the only word -> band 0, sole doc lands head
+    assert (got[3].surprisal_sum, got[3].surprisal_mean,
+            got[3].bucket) == (0, 0.0, "head")

@@ -365,6 +365,22 @@ def main():
     ], note="the 1-row stats frame joins via broadcast; the final "
             "rank window runs on k rows only (post-limit)")
 
+    audit("ccnet_split (per-language surprisal terciles)",
+          qs["ccnet_split"](spark, SF_DIR), [
+        ("tf/vocab aggregations are partial",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("vocab join is keyed (no cartesian/BNLJ)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("tercile window partitions by lang (no single global sort)",
+         lambda p: "hashpartitioning(lang" in p),
+        ("no Python stage",
+         lambda p: "EvalPython" not in p and "MapInArrow" not in p
+         and "MapInPandas" not in p),
+    ], note="at 100 TB the tercile cut points would be pinned from "
+            "approx quantiles on a sample instead of per-language "
+            "ntile sorts; this form is exact for the gate")
+
     audit("interval_events (bin-bucketed range join)",
           qs["interval_events"](spark, SF_DIR), [
         ("NO nested-loop/cartesian join (the naive range-join plan)",
