@@ -542,6 +542,14 @@ def _q_ngram_jaccard(spark, sf_dir):
     ).select("doc_a", "doc_b")
 
 
+def _q_ngram_diversity(spark, sf_dir):
+    """Distinct-2 corpus diversity per language + singleton fraction
+    (Li et al. 2016 distinct-n; mode-collapse / template detector)."""
+    from html_parser_spark.spark.ops import ngram_diversity
+
+    return ngram_diversity(_t(spark, sf_dir, "documents"), n=2)
+
+
 def _q_ccnet_split(spark, sf_dir):
     """CCNet head/middle/tail corpus split per language by integer
     bit-count unigram surprisal (engine-exact: no libm log; see
@@ -1025,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_verify": _q_edit_distance_verify,
         "bm25_search": _q_bm25_search,
         "ccnet_split": _q_ccnet_split,
+        "ngram_diversity": _q_ngram_diversity,
         "simhash": _q_simhash,
         "extract_transcripts": _q_extract_transcripts,
         "extract_boilerplate": _q_extract_boilerplate,
@@ -1733,6 +1742,37 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SH_CTE}, {_PAIRS_CTE}
             SELECT pa AS doc_a, pb AS doc_b FROM pairs
             ORDER BY doc_a, doc_b
+        """,
+        # ngram_diversity: same n-gram definition as the repetition
+        # oracle (docs under n words contribute the whole text as no
+        # 2-grams -> empty list), exact integer counting + round(x,6).
+        "ngram_diversity": """
+            WITH grams AS (
+                SELECT lang,
+                       unnest(CASE
+                         WHEN len(string_split(text, ' ')) >= 2 THEN
+                           list_transform(
+                             generate_series(0,
+                                 len(string_split(text, ' ')) - 2),
+                             i -> array_to_string(
+                                 string_split(text, ' ')[i+1:i+2], ' '))
+                         ELSE [] END) AS gram
+                FROM documents
+            ), per_gram AS (
+                SELECT lang, gram, count(*) AS c
+                FROM grams GROUP BY lang, gram
+            )
+            SELECT lang,
+                   cast(sum(c) as bigint) AS n_grams_total,
+                   cast(count(*) as bigint) AS n_grams_distinct,
+                   cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint)
+                       AS n_singletons,
+                   round(cast(count(*) as double)
+                         / cast(sum(c) as double), 6) AS distinct_ratio,
+                   round(cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              as double)
+                         / cast(sum(c) as double), 6) AS singleton_ratio
+            FROM per_gram GROUP BY lang ORDER BY lang
         """,
         # ccnet_split: integer bit-count surprisal (length(bin(x)) ==
         # bit_length in BOTH engines), one exact division, ANSI ntile

@@ -2459,3 +2459,43 @@ def ccnet_split(documents: DataFrame) -> DataFrame:
         .when(tercile == 2, F.lit("middle"))
         .otherwise(F.lit("tail")).alias("bucket"),
     )
+
+
+def ngram_diversity(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Distinct-n corpus diversity (Li et al. 2016, "A Diversity-
+    Promoting Objective Function": distinct n-grams / total n-grams),
+    per language, plus the singleton fraction (grams seen exactly
+    once). Low distinct-n flags mode collapse / templated spans in
+    generated or scraped corpora; the singleton mass is the tail the
+    dedup stages cannot compress.
+
+    Scale shape: one n-gram explode, then exact two-stage counting —
+    a (lang, gram) pre-aggregate (partial, map-side combine) feeding a
+    per-lang rollup, so the big shuffle carries one row per DISTINCT
+    gram, not per occurrence. No window, no driver participation.
+    """
+    words = F.split(F.col("text"), " ")
+    grams = _spread(documents).select(
+        "lang", F.explode(_word_ngrams(words, n)).alias("gram"))
+    per_gram = grams.groupBy("lang", "gram").agg(
+        F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams_total"),
+            F.count("*").cast("bigint").alias("n_grams_distinct"),
+            F.sum((F.col("c") == 1).cast("int")).cast("bigint")
+            .alias("n_singletons"),
+        )
+        .select(
+            "lang", "n_grams_total", "n_grams_distinct", "n_singletons",
+            F.round(
+                F.col("n_grams_distinct").cast("double")
+                / F.col("n_grams_total").cast("double"), 6)
+            .alias("distinct_ratio"),
+            F.round(
+                F.col("n_singletons").cast("double")
+                / F.col("n_grams_total").cast("double"), 6)
+            .alias("singleton_ratio"),
+        )
+    )

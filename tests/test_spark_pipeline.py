@@ -2535,3 +2535,22 @@ def test_ccnet_split_hand_computed(spark):
     # fr: every token is the only word -> band 0, sole doc lands head
     assert (got[3].surprisal_sum, got[3].surprisal_mean,
             got[3].bucket) == (0, 0.0, "head")
+
+
+def test_ngram_diversity_hand_computed(spark):
+    """Distinct-2 diversity on a planted corpus: totals, distincts,
+    singleton mass, per language; sub-n docs contribute nothing."""
+    from html_parser_spark.spark.ops import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b", "en"),       # grams: ab, ba, ab
+         (1, "a b c", "en"),         # grams: ab, bc
+         (2, "x", "fr")],            # no 2-grams
+        "doc_id long, text string, lang string")
+    got = {r.lang: r for r in ngram_diversity(docs, n=2).collect()}
+    en = got["en"]
+    # en grams: "a b" x3, "b a" x1, "b c" x1 -> total 5, distinct 3
+    assert (en.n_grams_total, en.n_grams_distinct,
+            en.n_singletons) == (5, 3, 2)
+    assert en.distinct_ratio == 0.6 and en.singleton_ratio == 0.4
+    assert "fr" not in got

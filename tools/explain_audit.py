@@ -381,6 +381,18 @@ def main():
             "approx quantiles on a sample instead of per-language "
             "ntile sorts; this form is exact for the gate")
 
+    audit("ngram_diversity (distinct-n via two-stage counting)",
+          qs["ngram_diversity"](spark, SF_DIR), [
+        ("exact-distinct via (lang, gram) pre-aggregate, both partial",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no expand/multi-distinct plan (single count-distinct path)",
+         lambda p: "Expand" not in p),
+        ("no Python stage, no window",
+         lambda p: "EvalPython" not in p and "Window" not in p),
+    ], note="the big shuffle carries one row per DISTINCT gram, not "
+            "per occurrence — the pre-aggregate collapses repeats "
+            "map-side")
+
     audit("interval_events (bin-bucketed range join)",
           qs["interval_events"](spark, SF_DIR), [
         ("NO nested-loop/cartesian join (the naive range-join plan)",
