@@ -641,6 +641,33 @@ def _q_loss_mask_spans(spark, sf_dir):
     return loss_mask_spans(extract_turns(df, ordered=False), sep_tokens=1)
 
 
+def _q_context_window_trim(spark, sf_dir):
+    """Context-window truncation layout: maximal suffix of each
+    conversation fitting a 64-token budget (reverse running sum, one
+    conv_id window); total op — every turn emitted with a kept flag."""
+    from html_parser_spark.spark.pipeline import (
+        context_window_trim, extract_turns,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return context_window_trim(extract_turns(df, ordered=False),
+                               budget_tokens=64)
+
+
+def _q_preference_pairs(spark, sf_dir):
+    """DPO preference-pair mining: prompts answered by >=2 distinct
+    responses across the corpus yield (chosen, rejected) by the
+    deterministic length-preference scorer."""
+    from html_parser_spark.spark.pipeline import (
+        extract_turns, preference_pairs,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return preference_pairs(extract_turns(df, ordered=False))
+
+
 def _q_role_alternation(spark, sf_dir):
     """Dialogue-protocol audit: adjacent same-role turn pairs per
     conversation (first offending turn_idx, -1 when clean)."""
@@ -1041,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _q_sft_pairs,
         "loss_mask_spans": _q_loss_mask_spans,
         "role_alternation": _q_role_alternation,
+        "context_window_trim": _q_context_window_trim,
+        "preference_pairs": _q_preference_pairs,
         "tool_transitions": _q_tool_transitions,
         "cluster_assign": _q_cluster_assign,
         "extract_links": _q_extract_links,
@@ -1966,6 +1995,60 @@ def oracle_sql() -> dict[str, str]:
                        as bigint), 0) + n_tokens AS tok_end,
                    role = 'assistant' AS trainable
             FROM sized ORDER BY conv_id, turn_idx
+        """,
+        "context_window_trim": f"""
+            SELECT conv_id, turn_idx,
+                   cast(len(string_split(coalesce(extracted_text, ''),
+                                         ' ')) as bigint) AS n_tokens,
+                   cast(sum(len(string_split(coalesce(extracted_text, ''),
+                                             ' ')))
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) as bigint)
+                       AS tail_cum_tokens,
+                   sum(len(string_split(coalesce(extracted_text, ''),
+                                        ' ')))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) <= 64 AS kept
+            FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+            ORDER BY conv_id, turn_idx
+        """,
+        # preference_pairs: distinct (prompt -> next assistant
+        # response) pairs, argmax/argmin by (length, text) — the same
+        # lexicographic (l, r) struct order as the Spark min/max; both
+        # engines compare strings by UTF-8 binary order, which equals
+        # codepoint order by UTF-8 construction.
+        "preference_pairs": f"""
+            WITH stitched AS (
+                SELECT extracted_text AS prompt, role,
+                       lead(role) OVER w AS nr,
+                       lead(extracted_text) OVER w AS response
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), pairs AS (
+                SELECT DISTINCT prompt, response FROM stitched
+                WHERE role = 'user' AND nr = 'assistant'
+            ), ranked AS (
+                SELECT prompt, response,
+                       count(*) OVER (PARTITION BY prompt) AS n_candidates,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY length(response) DESC, response DESC)
+                           AS rn_best,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY length(response) ASC, response ASC)
+                           AS rn_worst
+                FROM pairs
+            )
+            SELECT md5(b.prompt) AS prompt_fp, b.prompt,
+                   cast(b.n_candidates as bigint) AS n_candidates,
+                   b.response AS chosen,
+                   w.response AS rejected
+            FROM (SELECT * FROM ranked WHERE rn_best = 1) b
+            JOIN (SELECT * FROM ranked WHERE rn_worst = 1) w
+              USING (prompt)
+            WHERE b.n_candidates >= 2
+            ORDER BY prompt
         """,
         "tool_transitions": f"""
             WITH tools AS (

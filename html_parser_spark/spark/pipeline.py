@@ -279,6 +279,82 @@ def tool_transitions(extracted: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n"))
 
 
+def context_window_trim(extracted: DataFrame,
+                        budget_tokens: int = 64) -> DataFrame:
+    """Context-window truncation layout: for each conversation, mark
+    the maximal SUFFIX of turns whose total whitespace-token count
+    fits `budget_tokens` — the standard "keep the most recent context
+    that fits" rule used when serving or packing long dialogues. Total
+    op (every turn emitted, `kept` flags the survivors) so downstream
+    stages can audit exactly what truncation dropped. Token counting
+    is the same split-on-space formula as token_stats / loss_mask_spans
+    — exact-integer end to end.
+
+    Scale shape: ONE conv_id hash-partitioned window with a reverse
+    (turn_idx DESC) running sum — the same single shuffle every
+    per-conversation op shares; bounded per-row state, no global
+    sort, no Python stage."""
+    n_tok = F.size(F.split(F.coalesce(F.col("extracted_text"),
+                                      F.lit("")), " ")).cast("bigint")
+    w = (Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tail_cum = F.sum(n_tok).over(w)
+    return extracted.select(
+        "conv_id", "turn_idx",
+        n_tok.alias("n_tokens"),
+        tail_cum.cast("bigint").alias("tail_cum_tokens"),
+        (tail_cum <= budget_tokens).alias("kept"),
+    )
+
+
+def preference_pairs(extracted: DataFrame) -> DataFrame:
+    """DPO/RLHF preference-pair mining from transcripts: group every
+    (user prompt -> immediately following assistant response) by the
+    EXACT prompt text across the corpus; prompts answered by at least
+    two distinct responses yield one (chosen, rejected) pair — chosen
+    is the longest response (ties: lexicographically last), rejected
+    the shortest (ties: first). Length-as-preference is the
+    deterministic stand-in for a reward model; the mining topology
+    (prompt-keyed grouping, distinct-response dedup, argmax/argmin
+    selection) is exactly what a scored pipeline runs, with the scorer
+    swapped in for F.length.
+
+    Scale shape: one conv_id window (lead) to stitch prompt/response,
+    one (prompt, response) distinct (partial agg), one prompt-keyed
+    aggregate whose argmax/argmin are single min/max of a (len, text)
+    struct — keyed shuffles only, no window over the corpus, no
+    driver participation."""
+    w = Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+    nxt_role = F.lead("role").over(w)
+    nxt_text = F.lead("extracted_text").over(w)
+    pairs = (
+        extracted
+        .select("conv_id", "turn_idx", "role", "extracted_text",
+                nxt_role.alias("_nr"), nxt_text.alias("_nt"))
+        .where((F.col("role") == "user") & (F.col("_nr") == "assistant"))
+        .select(F.col("extracted_text").alias("prompt"),
+                F.col("_nt").alias("response"))
+        .distinct()
+    )
+    keyed = F.struct(F.length("response").alias("l"),
+                     F.col("response").alias("r"))
+    return (
+        pairs.groupBy("prompt")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.max(keyed).alias("_best"),
+            F.min(keyed).alias("_worst"),
+        )
+        .where(F.col("n_candidates") >= 2)
+        .select(
+            F.md5("prompt").alias("prompt_fp"),
+            "prompt", "n_candidates",
+            F.col("_best.r").alias("chosen"),
+            F.col("_worst.r").alias("rejected"),
+        )
+    )
+
+
 def extract_links(df: DataFrame, mode: str = "fragment",
                   context: str = "div") -> DataFrame:
     """Anchor/link extraction over the transcripts frame: one row per

@@ -2554,3 +2554,55 @@ def test_ngram_diversity_hand_computed(spark):
             en.n_singletons) == (5, 3, 2)
     assert en.distinct_ratio == 0.6 and en.singleton_ratio == 0.4
     assert "fr" not in got
+
+
+def test_context_window_trim_hand_built(spark):
+    """Reverse token budget: the maximal suffix fitting the budget is
+    kept, the first turn that overflows (and everything before it) is
+    dropped, and the op is total."""
+    from html_parser_spark.spark.pipeline import context_window_trim
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "w " * 9 + "w"),        # 10 tokens
+         ("c1", 1, "assistant", "a b c d e"),       # 5
+         ("c1", 2, "user", "x y z"),                # 3
+         ("c2", 0, "user", "only")],                # 1
+        "conv_id string, turn_idx int, role string, extracted_text string")
+    got = {(r.conv_id, r.turn_idx): r
+           for r in context_window_trim(turns, budget_tokens=8).collect()}
+    # c1 suffix sums (from the end): idx2=3, idx1=8, idx0=18
+    assert (got[("c1", 2)].tail_cum_tokens, got[("c1", 2)].kept) == (3, True)
+    assert (got[("c1", 1)].tail_cum_tokens, got[("c1", 1)].kept) == (8, True)
+    assert (got[("c1", 0)].tail_cum_tokens, got[("c1", 0)].kept) == (18, False)
+    assert (got[("c2", 0)].tail_cum_tokens, got[("c2", 0)].kept) == (1, True)
+
+
+def test_preference_pairs_hand_built(spark):
+    """Prompt groups with >=2 distinct responses yield (longest,
+    shortest) with deterministic lexicographic tie-breaks; duplicate
+    responses collapse; non-adjacent / non-assistant follow-ups are
+    ignored."""
+    from html_parser_spark.spark.pipeline import preference_pairs
+
+    rows = [
+        # prompt "P" answered 3 ways across convs (one duplicated)
+        ("a", 0, "user", "P"), ("a", 1, "assistant", "long answer here"),
+        ("b", 0, "user", "P"), ("b", 1, "assistant", "short"),
+        ("c", 0, "user", "P"), ("c", 1, "assistant", "short"),
+        # prompt "Q": single response -> no pair
+        ("d", 0, "user", "Q"), ("d", 1, "assistant", "only one"),
+        # user turn followed by a tool turn -> not a candidate
+        ("e", 0, "user", "P"), ("e", 1, "tool", "ignored"),
+        # tie on length for prompt "R": lexicographic order decides
+        ("f", 0, "user", "R"), ("f", 1, "assistant", "bb"),
+        ("g", 0, "user", "R"), ("g", 1, "assistant", "aa"),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, extracted_text string")
+    got = {r.prompt: r for r in preference_pairs(turns).collect()}
+    assert set(got) == {"P", "R"}
+    assert (got["P"].n_candidates, got["P"].chosen,
+            got["P"].rejected) == (2, "long answer here", "short")
+    assert (got["R"].n_candidates, got["R"].chosen,
+            got["R"].rejected) == (2, "bb", "aa")

@@ -328,6 +328,31 @@ def main():
          == 1 and "EvalPython" not in p and "MapInPandas" not in p),
     ])
 
+    audit("context_window_trim (reverse token-budget suffix)",
+          qs["context_window_trim"](spark, SF_DIR), [
+        ("one conv_id hash-partitioned window, no global sort",
+         lambda p: "hashpartitioning(conv_id" in p
+         and "rangepartitioning" not in p.lower()),
+        ("exactly one Python stage (the parse kernel), trim JVM-side",
+         lambda p: p.count("+- MapInArrow") + p.count("+- PythonMapInArrow")
+         == 1 and "EvalPython" not in p and "MapInPandas" not in p),
+    ])
+
+    audit("preference_pairs (DPO mining: prompt-keyed argmax/argmin)",
+          qs["preference_pairs"](spark, SF_DIR), [
+        ("keyed shuffles only — no cartesian/BNLJ",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no corpus-wide window beyond the conv_id lead (no global sort)",
+         lambda p: "rangepartitioning" not in p.lower()),
+        ("distinct + argmax aggregates are partial",
+         lambda p: p.count("HashAggregate")
+         + p.count("ObjectHashAggregate") + p.count("SortAggregate") >= 2),
+        ("exactly one Python stage (the parse kernel)",
+         lambda p: p.count("+- MapInArrow") + p.count("+- PythonMapInArrow")
+         == 1 and "EvalPython" not in p and "MapInPandas" not in p),
+    ])
+
     audit("strip_dup_passages (ExactSubstr deletion)",
           qs["strip_dup_passages"](spark, SF_DIR), [
         ("all shuffles keyed — no cartesian/BNLJ",
