@@ -655,6 +655,51 @@ def _q_context_window_trim(spark, sf_dir):
                                budget_tokens=64)
 
 
+def _q_render_chatml(spark, sf_dir):
+    """Training-serialization render: one ChatML document per
+    conversation, turns wrapped and joined in stable turn order —
+    the oracle re-derives the exact string with an ordered
+    string_agg over the pinned turns fixture."""
+    from html_parser_spark.spark.pipeline import (
+        extract_turns, render_chatml,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return render_chatml(extract_turns(df, ordered=False))
+
+
+def _q_conv_branches(spark, sf_dir):
+    """Branch/regeneration detection: conversations grouped by an
+    identical first-turn (role, text) prefix; groups with 2+ members
+    are flagged `branched`."""
+    from html_parser_spark.spark.pipeline import (
+        conv_branches, extract_turns,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return conv_branches(extract_turns(df, ordered=False),
+                         prefix_turns=1)
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """Engine-exact HyperLogLog distinct sketch per event_type (user
+    and user-day keys), raw + small-range branches both live, exact
+    distinct count alongside for error audit."""
+    from html_parser_spark.spark.ops import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "events"))
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: nearest-seed clustering, within-cluster cosine
+    near-dup drop (keep-lowest-id), total output with kept/dup_of."""
+    from html_parser_spark.spark.ops import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_preference_pairs(spark, sf_dir):
     """DPO preference-pair mining: prompts answered by >=2 distinct
     responses across the corpus yield (chosen, rejected) by the
@@ -1070,6 +1115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_alternation": _q_role_alternation,
         "context_window_trim": _q_context_window_trim,
         "preference_pairs": _q_preference_pairs,
+        "render_chatml": _q_render_chatml,
+        "conv_branches": _q_conv_branches,
+        "hll_distinct": _q_hll_distinct,
+        "semantic_dedup": _q_semantic_dedup,
         "tool_transitions": _q_tool_transitions,
         "cluster_assign": _q_cluster_assign,
         "extract_links": _q_extract_links,
@@ -1126,6 +1175,16 @@ from html_parser_spark.spark.ops import (  # noqa: E402
 
 _NEARDUP_THRESHOLD = 0.5
 _NEARDUP_LSH = {"num_hashes": 32, "bands": 16}
+
+# single-sourced HLL estimate arithmetic (ops._HLL_RAW_FMT /
+# ops._HLL_EST_FMT): the oracle interpolates the operator's own
+# expression strings so both engines run identical IEEE ops
+from html_parser_spark.spark.ops import (  # noqa: E402
+    _HLL_EST_FMT, _HLL_RAW_FMT,
+)
+
+_HLL_RAW_256 = _HLL_RAW_FMT.format(m=256)
+_HLL_EST_256 = _HLL_EST_FMT.format(raw=_HLL_RAW_256, m=256)
 
 _SH_CTE = """sh AS (
               SELECT doc_id,
@@ -2049,6 +2108,156 @@ def oracle_sql() -> dict[str, str]:
               USING (prompt)
             WHERE b.n_candidates >= 2
             ORDER BY prompt
+        """,
+        "render_chatml": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx,
+                       '<|im_start|>' || role || chr(10) ||
+                       coalesce(extracted_text, '') || '<|im_end|>'
+                           AS piece
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+            ), d AS (
+                SELECT conv_id,
+                       cast(count(*) as bigint) AS n_turns,
+                       string_agg(piece, chr(10)
+                                  ORDER BY turn_idx) AS chatml
+                FROM t GROUP BY conv_id
+            )
+            SELECT conv_id, n_turns,
+                   cast(length(chatml) as bigint) AS n_chars, chatml
+            FROM d ORDER BY conv_id
+        """,
+        "conv_branches": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx,
+                       role || ':' || coalesce(extracted_text, '')
+                           AS piece
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+                WHERE turn_idx < 1
+            ), pc AS (
+                SELECT conv_id,
+                       md5(string_agg(piece, chr(31)
+                                      ORDER BY turn_idx)) AS prefix_key
+                FROM t GROUP BY conv_id
+            )
+            SELECT prefix_key,
+                   cast(count(*) as bigint) AS n_convs,
+                   array_to_string(list_sort(list(conv_id)), ',')
+                       AS conv_ids,
+                   count(*) >= 2 AS branched
+            FROM pc GROUP BY prefix_key ORDER BY prefix_key
+        """,
+        # the estimate arithmetic is INTERPOLATED from the operator's
+        # own format strings (_HLL_RAW_FMT/_HLL_EST_FMT) — token-for-
+        # token the same IEEE ops both engines
+        "hll_distinct": f"""
+            WITH keyed AS (
+                SELECT event_type, 'user' AS sketch_key,
+                       cast(user_id as varchar) || '|hll7' AS k
+                FROM events
+                UNION ALL
+                SELECT event_type, 'user_day' AS sketch_key,
+                       cast(user_id as varchar) || '|' ||
+                       cast(cast(ts as date) as varchar) || '|hll7' AS k
+                FROM events
+            ), hashed AS (
+                SELECT event_type, sketch_key, k,
+                       ('0x' || substr(md5(k), 1, 8))::BIGINT % 256
+                           AS bucket,
+                       ('0x' || substr(md5(k), 9, 12))::BIGINT AS w
+                FROM keyed
+            ), regs AS (
+                SELECT event_type, sketch_key, bucket,
+                       max(CASE WHEN w = 0 THEN 49
+                                ELSE 49 - length(bin(w)) END) AS maxrho
+                FROM hashed GROUP BY 1, 2, 3
+            ), sums AS (
+                SELECT event_type, sketch_key,
+                       cast(count(*) as bigint) AS n_present,
+                       cast(sum(1::BIGINT <<
+                                cast(49 - maxrho as int)) as bigint)
+                           AS sum_present
+                FROM regs GROUP BY 1, 2
+            ), ex AS (
+                SELECT event_type, sketch_key,
+                       cast(count(distinct k) as bigint)
+                           AS exact_distinct
+                FROM hashed GROUP BY 1, 2
+            ), j AS (
+                SELECT s.event_type, s.sketch_key, e.exact_distinct,
+                       s.n_present,
+                       cast(256 - s.n_present as bigint) AS n_empty,
+                       cast(s.sum_present + (256 - s.n_present)
+                            * 562949953421312 as bigint) AS sum_scaled
+                FROM sums s
+                JOIN ex e USING (event_type, sketch_key)
+            ), est AS (
+                SELECT event_type, sketch_key, exact_distinct,
+                       n_present, n_empty, sum_scaled,
+                       round({_HLL_RAW_256}, 4) AS hll_raw,
+                       round({_HLL_EST_256}, 4) AS hll_estimate
+                FROM j
+            )
+            SELECT *,
+                   round((hll_estimate - exact_distinct)
+                         / exact_distinct, 4) AS rel_err
+            FROM est ORDER BY event_type, sketch_key
+        """,
+        "semantic_dedup": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> cast(x as double))
+                           AS vec
+                FROM embeddings
+            ), seeds AS (
+                SELECT vec_id AS seed_id, vec AS svec FROM v
+                ORDER BY vec_id LIMIT 4
+            ), scored AS (
+                SELECT v.vec_id, s.seed_id,
+                       round(list_sum(list_transform(
+                                 generate_series(1, len(svec)),
+                                 i -> svec[i] * vec[i]))
+                             / greatest(
+                                 sqrt(list_sum(list_transform(svec,
+                                               x -> x*x)))
+                                 * sqrt(list_sum(list_transform(vec,
+                                                 x -> x*x))),
+                                 1e-300), 6) AS cos
+                FROM v, seeds s
+            ), assigned AS (
+                SELECT vec_id, seed_id AS cluster_id FROM (
+                    SELECT vec_id, seed_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY cos DESC, seed_id ASC) AS rk
+                    FROM scored
+                ) WHERE rk = 1
+            ), av AS (
+                SELECT a.vec_id, a.cluster_id, v.vec
+                FROM assigned a JOIN v USING (vec_id)
+            ), pairs AS (
+                SELECT b.vec_id AS vec_b,
+                       min(a.vec_id) AS dup_of
+                FROM av a JOIN av b
+                  ON a.cluster_id = b.cluster_id
+                 AND a.vec_id < b.vec_id
+                WHERE round(list_sum(list_transform(
+                              generate_series(1, len(a.vec)),
+                              i -> a.vec[i] * b.vec[i]))
+                            / greatest(
+                                sqrt(list_sum(list_transform(a.vec,
+                                              x -> x*x)))
+                                * sqrt(list_sum(list_transform(b.vec,
+                                                x -> x*x))),
+                                1e-300), 6) >= 0.45
+                GROUP BY b.vec_id
+            )
+            SELECT av.vec_id,
+                   cast(av.cluster_id as bigint) AS cluster_id,
+                   p.dup_of IS NULL AS kept,
+                   cast(p.dup_of as bigint) AS dup_of
+            FROM av LEFT JOIN pairs p ON av.vec_id = p.vec_b
+            ORDER BY av.vec_id
         """,
         "tool_transitions": f"""
             WITH tools AS (

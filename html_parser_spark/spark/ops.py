@@ -1052,6 +1052,105 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+# Engine-exact HLL estimate formulas (single-sourced: the Spark
+# operator F.expr()s these strings and the DuckDB oracle interpolates
+# the SAME strings, so every IEEE operation runs in the same order
+# with the same double-cast literals on both engines — the bm25/ccnet
+# exactness technique applied to a cardinality sketch). 2^49 scaling
+# keeps the register sum in exact BIGINT (max m * 2^49 = 2^57):
+# sum(2^-rho) == sum_scaled / 2^49 with empty registers contributing
+# rho=0 (2^49) and present ones 2^(49-maxrho), maxrho <= 49.
+_HLL_RAW_FMT = (
+    "cast(0.7213 as double) / (cast(1.0 as double) + "
+    "cast(1.079 as double) / cast({m} as double)) * cast({m} as double)"
+    " * cast({m} as double) * cast(562949953421312 as double)"
+    " / cast(sum_scaled as double)"
+)
+# HLL small-range correction: linear counting m*ln(m/V) when the raw
+# estimate is under 2.5m and empty registers remain (Flajolet et al.
+# 2007 §4). ln() is the one libm call — same host, same libm, and the
+# round(.,4) output pin absorbs any last-ulp drift.
+_HLL_EST_FMT = (
+    "case when ({raw}) <= cast(2.5 as double) * cast({m} as double) "
+    "and n_empty > 0 then cast({m} as double) * "
+    "ln(cast({m} as double) / cast(n_empty as double)) "
+    "else ({raw}) end"
+)
+
+
+def hll_distinct(events: DataFrame, p: int = 8,
+                 salt: str = "hll7") -> DataFrame:
+    """HyperLogLog distinct-count sketch, engine-exact: per event_type,
+    estimate the number of distinct users ('user' sketch) and distinct
+    user-days ('user_day' sketch) from m = 2^p registers, next to the
+    EXACT distinct count so the sketch error is auditable in the same
+    row. This is the op that replaces count(distinct) at 100 TB: the
+    register table is bounded by groups x m ROWS NO MATTER THE CORPUS
+    SIZE, and registers merge associatively (max), so partial
+    aggregation does almost all the work map-side; the exact_distinct
+    column is the verification luxury of test scale — a production run
+    drops it and keeps the O(m) sketch.
+
+    Determinism: bucket and register come from md5(key|salt) substrings
+    (the split_assign technique); rho is 49 - length(bin(w)) over the
+    next 48 hash bits — integer-only. The estimate is ONE double
+    division over an exact bigint register sum, with the literal
+    arithmetic single-sourced into the DuckDB oracle (_HLL_RAW_FMT /
+    _HLL_EST_FMT) so both engines execute identical IEEE ops. Both
+    HLL branches (raw harmonic-mean and small-range linear counting)
+    are live at test scale via the two sketch keys."""
+    m = 1 << p
+
+    def _sketch(key, tag: str) -> DataFrame:
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        w = F.conv(F.substring(F.md5(key), 9, 12), 16, 10).cast("bigint")
+        rho = (
+            F.when(w == 0, F.lit(49))
+            .otherwise(F.lit(49) - F.length(F.bin(w)))
+        )
+        keyed = events.select(
+            "event_type", F.lit(tag).alias("sketch_key"),
+            (h % m).alias("bucket"), rho.alias("rho"), key.alias("k"),
+        )
+        regs = keyed.groupBy("event_type", "sketch_key", "bucket").agg(
+            F.max("rho").alias("maxrho"))
+        sums = regs.groupBy("event_type", "sketch_key").agg(
+            F.count("*").cast("bigint").alias("n_present"),
+            F.sum(F.expr("shiftleft(1L, cast(49 - maxrho as int))"))
+             .cast("bigint").alias("sum_present"),
+        )
+        exact = keyed.groupBy("event_type", "sketch_key").agg(
+            F.countDistinct("k").cast("bigint").alias("exact_distinct"))
+        return sums.join(exact, ["event_type", "sketch_key"]).select(
+            "event_type", "sketch_key", "exact_distinct", "n_present",
+            (F.lit(m) - F.col("n_present")).cast("bigint")
+            .alias("n_empty"),
+            (F.col("sum_present")
+             + (F.lit(m) - F.col("n_present"))
+             * F.lit(562949953421312)).cast("bigint").alias("sum_scaled"),
+        )
+
+    user_key = F.concat_ws(
+        "|", F.col("user_id").cast("string"), F.lit(salt))
+    user_day_key = F.concat_ws(
+        "|", F.col("user_id").cast("string"),
+        F.to_date("ts").cast("string"), F.lit(salt))
+    both = _sketch(user_key, "user").unionByName(
+        _sketch(user_day_key, "user_day"))
+    raw = _HLL_RAW_FMT.format(m=m)
+    est = _HLL_EST_FMT.format(raw=raw, m=m)
+    return both.select(
+        "event_type", "sketch_key", "exact_distinct", "n_present",
+        "n_empty", "sum_scaled",
+        F.round(F.expr(raw), 4).alias("hll_raw"),
+        F.round(F.expr(est), 4).alias("hll_estimate"),
+    ).select(
+        "*",
+        F.round((F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 4).alias("rel_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1349,6 +1448,75 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
     )
 
 
+def semantic_dedup(embeddings: DataFrame, n_clusters: int = 4,
+                   threshold: float = 0.45) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus, compare vectors ONLY within their cluster, and
+    drop every vector that has a smaller-id near-duplicate (cosine >=
+    threshold) in the same cluster. Total op — one row per vector with
+    its cluster, `kept` flag, and `dup_of` (the smallest same-cluster
+    near-dup it loses to; NULL for keepers) — so the drop set is fully
+    auditable downstream.
+
+    Clustering is the deterministic nearest-seed E-step shared with
+    cluster_assign (seeds = lowest n_clusters vec_ids, argmax over
+    round(cos,6) with ties to the smallest seed) — no RNG state,
+    repartition-invariant. The pairwise stage joins on cluster_id, so
+    the comparison count is sum over clusters of |c|^2, never corpus^2
+    — at 100 TB you raise n_clusters until |c| is bounded (the
+    SemDeDup design: clusters ARE the blocking keys), and the
+    threshold is a parameter (0.45 exercises drops on the synthetic
+    test embeddings, whose max pairwise cosine is ~0.51; production
+    values sit at 0.9+)."""
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = _spread(embeddings).select("vec_id", vec_d.alias("vec"))
+    seeds = (
+        embeddings.orderBy(F.asc("vec_id")).limit(n_clusters)
+        .select(F.col("vec_id").alias("seed_id"), vec_d.alias("svec"))
+    )
+    cos_seed = _dot(F.col("vec"), F.col("svec")) / F.greatest(
+        _norm(F.col("vec")) * _norm(F.col("svec")), F.lit(1e-300)
+    )
+    assigned = (
+        corpus.join(F.broadcast(seeds))
+        .select("vec_id", "vec", "seed_id",
+                F.round(cos_seed, 6).alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("vec").alias("vec"),
+            F.max(F.struct(
+                F.col("cos"), (-F.col("seed_id")).alias("neg_seed")
+            )).alias("m"),
+        )
+        .select("vec_id", "vec",
+                (-F.col("m.neg_seed")).cast("bigint").alias("cluster_id"))
+    )
+    left = assigned.select(F.col("vec_id").alias("vec_a"),
+                           F.col("vec").alias("va"), "cluster_id")
+    right = assigned.select(F.col("vec_id").alias("vec_b"),
+                            F.col("vec").alias("vb"), "cluster_id")
+    pair_cos = _dot(F.col("va"), F.col("vb")) / F.greatest(
+        _norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-300)
+    )
+    dropped = (
+        left.join(right, "cluster_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_b", F.col("vec_a"),
+                F.round(pair_cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").cast("bigint").alias("dup_of"))
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.vec_b, "left")
+        .select(
+            "vec_id", "cluster_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
 def _ivf_seed_anchors(embeddings: DataFrame, n_cells: int,
                       seed: int) -> list:
     """Deterministic k-means init: vectors hash into `n_cells` buckets
@@ -1595,6 +1763,189 @@ def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id")
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _nearest_code_expr(sv, codebook: list):
+    """argmin-L2 code assignment for ONE subvector against one
+    subspace codebook (literals): min of (dist, code) structs — exact
+    ties break to the smallest code."""
+    entries = []
+    for c, cent in enumerate(codebook):
+        ca = F.array(*[F.lit(v) for v in cent])
+        d = F.aggregate(
+            F.zip_with(sv, ca, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(c).alias("code")))
+    return F.array_min(F.array(*entries)).getField("code")
+
+
+def _pq_codes_expr(vec, codebooks: list):
+    """array<int> PQ code word for a full vector: per-subspace argmin
+    over the codebook literals, all inside whole-stage codegen."""
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    return F.array(*[
+        _nearest_code_expr(F.slice(vec, m * sub + 1, sub), codebooks[m])
+        for m in range(n_sub)
+    ])
+
+
+def pq_fit(embeddings: DataFrame, n_subspaces: int = 8,
+           n_codes: int = 16, seed: int = 7,
+           n_iters: int = 5) -> list:
+    """Product-quantization TRAINING action: per-subspace plain-L2
+    k-means (Lloyd's), the fit step of IVF-PQ. Returns
+    codebooks[m][c] = centroid (list of sub-dim floats) — at 8
+    subspaces x 16 codes a 64-dim corpus compresses 64x4 bytes ->
+    8 codes (x64 smaller), which is what makes billion-vector search
+    memory-feasible at 100 TB.
+
+    One distributed pass per iteration covers ALL subspaces: each row
+    explodes into (subspace, subvector, assigned-code) entries against
+    the current codebook literals, then ONE groupBy(m, code) shuffle
+    averages sub-dim components in DECIMAL — exact, order-independent,
+    bit-deterministic (the ivf_fit technique). Init is the
+    hash-stratified sample of _ivf_seed_anchors sliced per subspace;
+    codes that lose all members keep their previous centroid."""
+    anchors = _ivf_seed_anchors(embeddings, n_codes, seed)
+    dim = len(anchors[0])
+    assert dim % n_subspaces == 0, (
+        f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    codebooks = [
+        [[round(v, 9) for v in a[m * sub:(m + 1) * sub]] for a in anchors]
+        for m in range(n_subspaces)
+    ]
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = _spread(embeddings).select(vec_d.alias("vec")).persist()
+    try:
+        for _ in range(n_iters):
+            entries = F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("vec", m * sub + 1, sub).alias("sv"),
+                    _nearest_code_expr(
+                        F.slice("vec", m * sub + 1, sub), codebooks[m]
+                    ).alias("code"),
+                )
+                for m in range(n_subspaces)
+            ])
+            stats = (
+                base.select(F.explode(entries).alias("s"))
+                .select("s.m", "s.sv", "s.code")
+                .groupBy("m", "code")
+                .agg(*[
+                    F.avg(F.element_at("sv", d + 1)
+                          .cast("decimal(28,12)")).alias(f"d{d}")
+                    for d in range(sub)
+                ])
+                .collect()
+            )
+            new = [list(cb) for cb in codebooks]
+            for r in stats:
+                new[r.m][r.code] = [
+                    round(float(r[f"d{d}"]), 9) for d in range(sub)
+                ]
+            if new == codebooks:
+                break
+            codebooks = new
+        return codebooks
+    finally:
+        base.unpersist()
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list) -> DataFrame:
+    """Corpus PQ encoding: vec_id -> array<int> code word. Pure
+    per-row expression (zero shuffles) — the 100 TB encode pass is
+    scan-bound."""
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return _spread(embeddings).select(
+        "vec_id", _pq_codes_expr(vec_d, codebooks).alias("codes"))
+
+
+def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
+              anchors: list, codebooks: list, k: int = 5,
+              n_probe: int = 4) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor: coarse IVF cell routing
+    (same cosine quantizer as ann_ivf) + asymmetric-distance (ADC)
+    scoring against PQ codes — the memory-scale path when even the
+    probed cells' raw vectors can't be held: candidates are scored
+    from their 8-byte codes and a per-query lookup table, never their
+    floats. No-residual variant (codes quantize the raw vector, not
+    the cell residual) — the FAISS by_residual=False layout —
+    documented deviation from Jégou et al. 2011.
+
+    Scale shape: corpus rows carry (cell, codes) from pure per-row
+    expressions; queries are a BROADCAST of |Q| x n_probe rows each
+    carrying its precomputed ADC table (n_subspaces x n_codes doubles
+    — built once per query, plan-side); the join is keyed by cell
+    (never all-pairs) and the score is a zip_with table lookup +
+    fold, all whole-stage codegen. Top-k is a bounded per-query
+    window over probed candidates only."""
+    from pyspark.sql import Window
+
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = _spread(embeddings).select("vec_id", vec_d.alias("vec"))
+
+    corpus = base.select(
+        F.col("vec_id").alias("corpus_id"),
+        _nearest_cell_expr(F.col("vec"), anchors).alias("cell"),
+        _pq_codes_expr(F.col("vec"), codebooks).alias("codes"),
+    )
+
+    def cell_scores(vec):
+        entries = []
+        for i, anchor in enumerate(anchors):
+            a = F.array(*[F.lit(v) for v in anchor])
+            cos = _dot(vec, a) / (_norm(vec) * _norm(a))
+            entries.append(F.struct(cos.alias("cos"),
+                                    F.lit(i).alias("cell")))
+        return F.array(*entries)
+
+    def adc_table(vec):
+        rows = []
+        for m in range(n_sub):
+            sv = F.slice(vec, m * sub + 1, sub)
+            dists = []
+            for cent in codebooks[m]:
+                ca = F.array(*[F.lit(v) for v in cent])
+                dists.append(F.aggregate(
+                    F.zip_with(sv, ca, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ))
+            rows.append(F.array(*dists))
+        return F.array(*rows)
+
+    probes = F.slice(F.reverse(F.array_sort(cell_scores(F.col("vec")))),
+                     1, n_probe)
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        adc_table(F.col("vec")).alias("tables"),
+        F.explode_outer(
+            F.transform(probes, lambda s: s.getField("cell"))
+        ).alias("cell"),
+    )
+    joined = corpus.join(
+        F.broadcast(queries),
+        (corpus.cell == queries.cell)
+        & (F.col("corpus_id") != F.col("query_id")),
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("tables"),
+                   lambda c, t: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        "query_id", "corpus_id", F.round(adc, 6).alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

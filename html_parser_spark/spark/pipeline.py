@@ -355,6 +355,84 @@ def preference_pairs(extracted: DataFrame) -> DataFrame:
     )
 
 
+def render_chatml(extracted: DataFrame,
+                  im_start: str = "<|im_start|>",
+                  im_end: str = "<|im_end|>") -> DataFrame:
+    """Training-serialization render: each conversation becomes ONE
+    ChatML-style document — every turn wrapped as
+    `<|im_start|>role\\ntext<|im_end|>`, turns joined by newlines in
+    stable turn order. This is the last hop of an SFT data pipeline
+    (transcripts table -> JSONL shards a trainer streams), kept as a
+    first-class relational op so the serialization is itself
+    oracle-checkable instead of a side-effecting writer.
+
+    Scale shape: one conv_id-keyed aggregation (partial-agg collect),
+    the in-group ordering done by array_sort on (turn_idx, ...) structs
+    — NO per-row window pass and no global sort. The assembled document
+    must fit in one row by definition of the op (same bound any
+    document-assembly step has); mega-conversations are bounded by the
+    context window upstream (context_window_trim), not here."""
+    piece = F.concat(
+        F.lit(im_start), F.col("role"), F.lit("\n"),
+        F.coalesce(F.col("extracted_text"), F.lit("")), F.lit(im_end),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), piece.alias("piece")))
+    )
+    doc = F.array_join(
+        F.transform(ordered, lambda s: s.getField("piece")), "\n")
+    return (
+        extracted.groupBy("conv_id")
+        .agg(F.count("*").cast("bigint").alias("n_turns"),
+             doc.alias("chatml"))
+        .select("conv_id", "n_turns",
+                F.length("chatml").cast("bigint").alias("n_chars"),
+                "chatml")
+    )
+
+
+def conv_branches(extracted: DataFrame, prefix_turns: int = 1) -> DataFrame:
+    """Branch / regeneration detection: conversations that share an
+    IDENTICAL opening (the first `prefix_turns` turns, role and text) —
+    the shape regenerated samples, A/B'd system prompts, and template
+    re-runs take in a transcript corpus. Emits one row per distinct
+    prefix group with its membership, `branched` flagging groups with
+    2+ conversations (the dedup/analysis targets). Total over groups so
+    the un-branched population stays auditable.
+
+    Scale shape: prefix assembly touches only turn_idx < prefix_turns
+    (filter pushed to the scan), one conv_id-keyed aggregation to build
+    the prefix, one md5(prefix)-keyed aggregation to group — two
+    bounded keyed shuffles, no corpus window, no self-join (group
+    membership lists are bounded by group size, the quantity the op
+    exists to surface)."""
+    piece = F.concat(F.col("role"), F.lit(":"),
+                     F.coalesce(F.col("extracted_text"), F.lit("")))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), piece.alias("piece")))
+    )
+    # \x1f unit-separator join: unambiguous piece boundary, mirrored
+    # as chr(31) in the DuckDB oracle
+    prefix = F.array_join(
+        F.transform(ordered, lambda s: s.getField("piece")), "\x1f")
+    per_conv = (
+        extracted.where(F.col("turn_idx") < prefix_turns)
+        .groupBy("conv_id")
+        .agg(prefix.alias("prefix_text"))
+        .select("conv_id", F.md5("prefix_text").alias("prefix_key"))
+    )
+    return (
+        per_conv.groupBy("prefix_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_convs"),
+            F.array_join(F.array_sort(F.collect_list("conv_id")), ",")
+             .alias("conv_ids"),
+        )
+        .select("prefix_key", "n_convs", "conv_ids",
+                (F.col("n_convs") >= 2).alias("branched"))
+    )
+
+
 def extract_links(df: DataFrame, mode: str = "fragment",
                   context: str = "div") -> DataFrame:
     """Anchor/link extraction over the transcripts frame: one row per

@@ -2606,3 +2606,162 @@ def test_preference_pairs_hand_built(spark):
             got["P"].rejected) == (2, "long answer here", "short")
     assert (got["R"].n_candidates, got["R"].chosen,
             got["R"].rejected) == (2, "bb", "aa")
+
+
+def test_render_chatml_hand_built(spark):
+    """Documents assemble in turn order regardless of input order,
+    wrap every turn, and count turns/chars exactly."""
+    from html_parser_spark.spark.pipeline import render_chatml
+
+    rows = [  # deliberately shuffled turn order
+        ("a", 1, "assistant", "hi there"),
+        ("a", 0, "user", "hello"),
+        ("a", 2, "user", None),          # null text -> ''
+        ("b", 0, "user", "solo"),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, extracted_text string")
+    got = {r.conv_id: r for r in render_chatml(turns).collect()}
+    a = ("<|im_start|>user\nhello<|im_end|>\n"
+         "<|im_start|>assistant\nhi there<|im_end|>\n"
+         "<|im_start|>user\n<|im_end|>")
+    assert got["a"].chatml == a
+    assert got["a"].n_turns == 3 and got["a"].n_chars == len(a)
+    assert got["b"].chatml == "<|im_start|>user\nsolo<|im_end|>"
+    # repartition invariance (group assembly, not input order)
+    re = {r.conv_id: r.chatml
+          for r in render_chatml(turns.repartition(7)).collect()}
+    assert re == {k: v.chatml for k, v in got.items()}
+
+
+def test_conv_branches_hand_built(spark):
+    """Identical 2-turn prefixes group; differing turn text splits the
+    group; prefix uses only turn_idx < prefix_turns."""
+    from html_parser_spark.spark.pipeline import conv_branches
+
+    rows = [
+        ("a", 0, "user", "same opening"), ("a", 1, "assistant", "X"),
+        ("b", 0, "user", "same opening"), ("b", 1, "assistant", "X"),
+        ("c", 0, "user", "same opening"), ("c", 1, "assistant", "DIFF"),
+        ("d", 0, "user", "unique"), ("d", 1, "assistant", "X"),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, extracted_text string")
+    two = {r.conv_ids: r for r in
+           conv_branches(turns, prefix_turns=2).collect()}
+    assert two["a,b"].branched and two["a,b"].n_convs == 2
+    assert not two["c"].branched and not two["d"].branched
+    # k=1: c joins the a,b group (same first turn)
+    one = {r.conv_ids: r for r in
+           conv_branches(turns, prefix_turns=1).collect()}
+    assert one["a,b,c"].n_convs == 3 and one["a,b,c"].branched
+
+
+def _py_hll(keys, m=256):
+    """Independent HLL recompute: same md5 bucket/register formula."""
+    import hashlib
+    import math
+
+    regs = [0] * m
+    for k in keys:
+        h = hashlib.md5(k.encode()).hexdigest()
+        bucket = int(h[:8], 16) % m
+        w = int(h[8:20], 16)
+        rho = 49 if w == 0 else 49 - w.bit_length()
+        regs[bucket] = max(regs[bucket], rho)
+    ssum = sum(1 << (49 - r) for r in regs)
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m * (2.0 ** 49) / ssum
+    v = regs.count(0)
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw
+
+
+def test_hll_distinct_matches_independent_recompute(spark):
+    """Spark HLL estimate == a from-scratch Python HLL on the same
+    keys, both branches (small-range linear counting + raw), and the
+    exact_distinct column is truly exact."""
+    import datetime
+
+    from html_parser_spark.spark.ops import hll_distinct
+
+    base = datetime.datetime(2021, 1, 1)
+    rows = []
+    # 'low': 40 users -> linear-counting branch
+    for i in range(400):
+        rows.append((i, base + datetime.timedelta(days=i % 5),
+                     i % 40, "low", 0.0, "{}"))
+    # 'high': 3000 users -> raw branch at m=256
+    for i in range(3000):
+        rows.append((10_000 + i, base + datetime.timedelta(days=i % 3),
+                     1000 + i, "high", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.event_type, r.sketch_key): r
+           for r in hll_distinct(ev).collect()}
+
+    low = got[("low", "user")]
+    assert low.exact_distinct == 40
+    exp = _py_hll([f"{u}|hll7" for u in range(40)])
+    assert abs(low.hll_estimate - round(exp, 4)) < 1e-9
+    assert low.n_empty > 0 and exp <= 2.5 * 256  # linear branch taken
+
+    high = got[("high", "user")]
+    assert high.exact_distinct == 3000
+    exp_h = _py_hll([f"{1000 + i}|hll7" for i in range(3000)])
+    assert abs(high.hll_estimate - round(exp_h, 4)) < 1e-9
+    assert exp_h > 2.5 * 256  # raw branch taken
+    # sketch error within HLL's expected envelope (~1.04/sqrt(m) ~ 6.5%;
+    # allow 4 sigma)
+    assert abs(high.rel_err) < 0.26
+    # user_day sketch counts distinct (user, day) pairs exactly: day
+    # index (i % 5 / i % 3) is fully determined by the user index
+    # (i % 40 / i), so each user contributes exactly one day
+    assert got[("high", "user_day")].exact_distinct == 3000
+    assert got[("low", "user_day")].exact_distinct == 40
+
+
+def test_semantic_dedup_planted_cluster(spark):
+    """Near-identical vectors in one cluster collapse to the lowest id;
+    orthogonal vectors all survive; dup_of points at the keeper."""
+    from html_parser_spark.spark.ops import semantic_dedup
+
+    def axis(i, dim=8, jitter_axis=None, eps=0.0):
+        v = [0.0] * dim
+        v[i] = 1.0
+        if jitter_axis is not None:
+            v[jitter_axis] = eps
+        return v
+
+    rows = [
+        # seeds: the 4 lowest ids, pure axes 0..3 (orthogonal to all
+        # planted vectors, so seeds never near-dup anything)
+        (0, axis(0), 0), (1, axis(1), 0), (2, axis(2), 0), (3, axis(3), 0),
+        # 10/11/12: same direction (axis 4, tiny jitter) -> one keeper;
+        # orthogonal to every seed, so they tie at cos 0 and fall to
+        # the smallest seed's cluster
+        (10, axis(4, jitter_axis=5, eps=0.01), 0),
+        (11, axis(4, jitter_axis=5, eps=0.02), 0),
+        (12, axis(4, jitter_axis=5, eps=0.03), 0),
+        # 20: axis 6, alone in its direction -> kept
+        (20, axis(6, jitter_axis=7, eps=0.05), 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r for r in
+           semantic_dedup(emb, n_clusters=4, threshold=0.95).collect()}
+    assert len(got) == 8  # total op: every vector present
+    assert got[10].kept and got[10].dup_of is None  # lowest id survives
+    assert not got[11].kept and got[11].dup_of == 10
+    assert not got[12].kept and got[12].dup_of == 10
+    assert got[20].kept
+    # seeds are their own cluster centers and survive
+    for s in range(4):
+        assert got[s].kept and got[s].cluster_id == s
+    # seed-orthogonal vectors tie (round(cos,6) == 0 to every seed)
+    # and deterministically fall to the smallest seed id
+    assert got[10].cluster_id == 0 and got[12].cluster_id == 0
+    assert got[20].cluster_id == 0

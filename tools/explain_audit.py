@@ -663,6 +663,70 @@ def main():
             "that exactly the 3 bounded event_date directories are "
             "read out of ~30.")
 
+    audit("hll_distinct (engine-exact HLL sketch)",
+          qs["hll_distinct"](spark, SF_DIR), [
+        ("register build is a partial aggregation (map-side max)",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("estimate arithmetic stays JVM-side (no Python node)",
+         lambda p: "Python" not in p),
+        ("no cartesian/BNL join anywhere (only group-keyed frames "
+         "meet)", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("scan prunes to the sketch inputs",
+         lambda p: "ReadSchema" in p and "props" not in
+         p.split("ReadSchema", 1)[1][:200]),
+    ], note="The register table is bounded by groups x m rows no "
+            "matter the corpus size; register max merges "
+            "associatively, so the map side does nearly all the "
+            "work. exact_distinct is the test-scale audit column — "
+            "the sketch itself never shuffles corpus rows.")
+
+    audit("semantic_dedup (SemDeDup cluster-blocked near-dup drop)",
+          qs["semantic_dedup"](spark, SF_DIR), [
+        ("seed comparison is a BROADCAST join",
+         lambda p: "BroadcastHashJoin" in p
+         or "BroadcastNestedLoopJoin" in p),
+        ("pairwise stage joins ON cluster_id (never all-pairs)",
+         lambda p: "CartesianProduct" not in p),
+        ("cosine arithmetic stays JVM-side (no Python node)",
+         lambda p: "Python" not in p),
+        ("argmax is a partial max(struct) aggregation",
+         lambda p: p.count("HashAggregate") >= 2),
+    ], note="Comparison count is sum over clusters of |c|^2 — the "
+            "cluster key IS the blocking key; at 100 TB n_clusters "
+            "rises until |c| is bounded. The seed frame is "
+            "n_clusters rows, broadcast.")
+
+    _rc = qs["render_chatml"](spark, SF_DIR)
+    audit("render_chatml (ChatML serialization)", _rc, [
+        ("ONE conv-keyed aggregation, no window pass",
+         lambda p: "Window" not in p),
+        ("collect is a partial aggregation (objHashAggregate)",
+         lambda p: "ObjectHashAggregate" in p
+         or p.count("HashAggregate") >= 2),
+        ("string assembly adds NO Python node (the one "
+         "PythonMapInArrow is the upstream extraction kernel)",
+         lambda p: p.count("PythonMapInArrow") <= 1),
+    ], note="In-group ordering is array_sort on (turn_idx, piece) "
+            "structs at merge time — no per-row window shuffle, no "
+            "global sort; the one exchange is the conv_id group key.")
+
+    audit("conv_branches (prefix regeneration grouping)",
+          qs["conv_branches"](spark, SF_DIR), [
+        ("prefix filter (turn_idx < k) applies before any exchange",
+         lambda p: "Filter" in p),
+        ("two keyed aggregations, no join of any kind",
+         lambda p: "Join" not in p),
+        ("no window pass",
+         lambda p: "Window" not in p),
+        ("grouping adds NO Python node (the one PythonMapInArrow is "
+         "the upstream extraction kernel)",
+         lambda p: p.count("PythonMapInArrow") <= 1),
+    ], note="Group membership lists are bounded by branch-group "
+            "size; the corpus never self-joins — branch DETECTION "
+            "is two keyed shuffles of (conv_id|prefix-key, small "
+            "payload) rows.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
