@@ -483,6 +483,26 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    # IVF-PQ: the memory-scale ANN path — candidates in the probed
+    # cells are scored from 8-byte PQ codes and a per-query ADC table,
+    # never their raw floats. pq_fit is the training ACTION (per-
+    # subspace Lloyd's with decimal-exact means, one distributed pass
+    # per iteration for ALL subspaces); encode + search are pure plan.
+    # Recall gates live in tests (planted-cluster retrieval,
+    # test_ann_ivfpq_*); this row pins the deterministic output.
+    from html_parser_spark.spark.ops import ann_ivfpq, ivf_fit, pq_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = ivf_fit(emb, n_cells=8, seed=7, n_iters=3)
+    codebooks = pq_fit(emb, n_subspaces=8, n_codes=16, seed=7,
+                       n_iters=3)
+    return ann_ivfpq(emb, _ANN_QUERY_IDS, anchors, codebooks,
+                     k=5, n_probe=4).select(
+        "query_id", "corpus_id", "rank"
+    )
+
+
 def _q_raw_encoding(spark, sf_dir):
     """The full byte front-end (E1-E9 + P1) through Spark: BOM sniff,
     label resolution, meta prescan, UTF-16/ISO-2022-JP/x-user-defined
@@ -1098,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivfpq": _q_ann_ivfpq,
         "raw_encoding": _q_raw_encoding,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_lsh": _q_minhash_lsh,
@@ -2725,6 +2746,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": _snap("ann_lsh", "query_id, corpus_id, rank"),
         "ann_ivf": _snap("ann_ivf", "query_id, corpus_id, rank"),
+        "ann_ivfpq": _snap("ann_ivfpq", "query_id, corpus_id, rank"),
         # approx_percentile's GK sketch has no cross-engine equivalent
         # (DuckDB's approx_quantile is t-digest — different algorithm,
         # different values), so the oracle is a deterministic pin: at

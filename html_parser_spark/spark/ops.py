@@ -1769,6 +1769,14 @@ def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
     )
 
 
+def _unit(vec):
+    """L2-normalize a vector expression (zero-safe). On the unit
+    sphere ||a-b||^2 == 2 - 2cos(a,b), so PQ's L2 ADC ranking equals
+    the cosine ranking the other ANN operators use."""
+    n = F.greatest(_norm(vec), F.lit(1e-300))
+    return F.transform(vec, lambda x: x / n)
+
+
 def _nearest_code_expr(sv, codebook: list):
     """argmin-L2 code assignment for ONE subvector against one
     subspace codebook (literals): min of (dist, code) structs — exact
@@ -1822,7 +1830,8 @@ def pq_fit(embeddings: DataFrame, n_subspaces: int = 8,
         for m in range(n_subspaces)
     ]
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = _spread(embeddings).select(vec_d.alias("vec")).persist()
+    base = _spread(embeddings).select(
+        _unit(vec_d).alias("vec")).persist()
     try:
         for _ in range(n_iters):
             entries = F.array(*[
@@ -1865,7 +1874,7 @@ def pq_encode(embeddings: DataFrame, codebooks: list) -> DataFrame:
     scan-bound."""
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return _spread(embeddings).select(
-        "vec_id", _pq_codes_expr(vec_d, codebooks).alias("codes"))
+        "vec_id", _pq_codes_expr(_unit(vec_d), codebooks).alias("codes"))
 
 
 def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
@@ -1897,7 +1906,7 @@ def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
     corpus = base.select(
         F.col("vec_id").alias("corpus_id"),
         _nearest_cell_expr(F.col("vec"), anchors).alias("cell"),
-        _pq_codes_expr(F.col("vec"), codebooks).alias("codes"),
+        _pq_codes_expr(_unit(F.col("vec")), codebooks).alias("codes"),
     )
 
     def cell_scores(vec):
@@ -1927,7 +1936,7 @@ def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
                      1, n_probe)
     queries = base.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
-        adc_table(F.col("vec")).alias("tables"),
+        adc_table(_unit(F.col("vec"))).alias("tables"),
         F.explode_outer(
             F.transform(probes, lambda s: s.getField("cell"))
         ).alias("cell"),

@@ -2765,3 +2765,64 @@ def test_semantic_dedup_planted_cluster(spark):
     # and deterministically fall to the smallest seed id
     assert got[10].cluster_id == 0 and got[12].cluster_id == 0
     assert got[20].cluster_id == 0
+
+
+def test_ann_ivfpq_cluster_recall_and_adc_math(spark):
+    """IVF-PQ on planted clusters: (a) single-probe retrieval stays
+    entirely inside the query's cluster (the IVF cell + PQ code
+    resolution is exactly cluster-level on this data); (b) the ADC
+    score of every returned row equals an independent numpy recompute
+    from the trained codebooks and encoded code words. Exact top-k
+    identity vs bruteforce is NOT asserted: within a cluster the
+    members are deliberate near-ties and the 4x16 code word cannot
+    (and should not) order them — that resolution/recall trade IS
+    product quantization."""
+    import numpy as np
+
+    from html_parser_spark.spark.ops import (
+        ann_ivfpq, ivf_fit, pq_encode, pq_fit,
+    )
+
+    emb = _clustered_embeddings(spark)
+    anchors = ivf_fit(emb, n_cells=4, seed=7, n_iters=5)
+    cbs = pq_fit(emb, n_subspaces=4, n_codes=16, seed=7, n_iters=5)
+    qids = [0, 25, 50, 75]
+    res = ann_ivfpq(emb, qids, anchors, cbs, k=5, n_probe=1).collect()
+    assert len(res) == 20
+    same = sum(1 for r in res
+               if r.query_id // 25 == r.corpus_id // 25)
+    assert same / len(res) >= 0.95
+
+    codes = {r.vec_id: list(r.codes)
+             for r in pq_encode(emb, cbs).collect()}
+    vecs = {r.vec_id: np.array(r.embedding)
+            for r in emb.collect()}
+    dim, n_sub = 16, 4
+    sub = dim // n_sub
+    for qid in qids:
+        q = vecs[qid] / np.linalg.norm(vecs[qid])
+        table = [
+            [float(((q[m * sub:(m + 1) * sub]
+                     - np.array(cbs[m][c])) ** 2).sum())
+             for c in range(16)]
+            for m in range(n_sub)
+        ]
+        for r in res:
+            if r.query_id != qid:
+                continue
+            exp = round(sum(table[m][codes[r.corpus_id][m]]
+                            for m in range(n_sub)), 6)
+            assert abs(exp - r.adc_dist) < 1e-9, (qid, r.corpus_id)
+
+
+def test_pq_fit_deterministic_under_repartition(spark):
+    """Trained PQ codebooks must be bit-identical regardless of input
+    partitioning (decimal-averaged means — the ann_ivfpq snapshot
+    oracle depends on this)."""
+    from html_parser_spark.spark.ops import pq_fit
+
+    emb = _clustered_embeddings(spark)
+    c1 = pq_fit(emb.repartition(2), n_subspaces=4, n_codes=16, seed=7)
+    c2 = pq_fit(emb.repartition(13, "vec_id"), n_subspaces=4,
+                n_codes=16, seed=7)
+    assert c1 == c2

@@ -727,6 +727,45 @@ def main():
             "is two keyed shuffles of (conv_id|prefix-key, small "
             "payload) rows.")
 
+    from html_parser_spark.spark.ops import (
+        ann_ivfpq, ivf_fit, pq_encode, pq_fit,
+    )
+    _emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    _pq_anchors = ivf_fit(_emb, n_cells=8, seed=7, n_iters=1)
+    _pq_cbs = pq_fit(_emb, n_subspaces=8, n_codes=16, seed=7, n_iters=1)
+
+    audit("pq_encode (corpus PQ encoding)",
+          pq_encode(_emb, _pq_cbs), [
+        ("pure per-row expression: the only exchange is _spread's "
+         "round-robin (tiny-file test artifact, no-op at production "
+         "split sizes)",
+         lambda p: "hashpartitioning" not in p.lower()
+         and "rangepartitioning" not in p.lower()),
+        ("no Python node (codes assigned in whole-stage codegen)",
+         lambda p: "Python" not in p),
+        ("scan prunes to vec_id+embedding",
+         lambda p: "ReadSchema" in p),
+    ], note="The 100 TB encode pass is scan-bound: argmin over "
+            "codebook literals per subspace, output co-partitioned "
+            "with input.")
+
+    audit("ann_ivfpq (IVF-PQ ADC search)",
+          ann_ivfpq(_emb, list(range(10)), _pq_anchors, _pq_cbs,
+                    k=5, n_probe=4), [
+        ("query side (probes + ADC tables) BROADCASTs",
+         lambda p: "BroadcastHashJoin" in p
+         or "BroadcastNestedLoopJoin" in p),
+        ("candidate join is cell-keyed (no cartesian product)",
+         lambda p: "CartesianProduct" not in p),
+        ("ADC lookup + fold stays JVM-side (no Python node)",
+         lambda p: "Python" not in p),
+        ("top-k is a bounded per-query window, not a global sort",
+         lambda p: "Window" in p),
+    ], note="Candidates are scored from 8-byte code words and a "
+            "per-query (n_subspaces x n_codes)-double table built "
+            "plan-side — probed cells never materialize raw vectors. "
+            "The memory-scale ANN path at 10^9+ vectors.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",

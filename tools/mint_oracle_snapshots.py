@@ -48,6 +48,7 @@ SNAPSHOT_QUERIES = [
     "minhash_lsh",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivfpq",
     "approx_percentiles",
 ]
 
