@@ -720,6 +720,23 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_conv_near_dup(spark, sf_dir):
+    """Conversation-level near-dup: MinHash-LSH + exact-Jaccard verify
+    over whole-conversation documents. The synthetic corpus has no
+    conversation pair above jaccard ~0.10, so at the production
+    threshold (0.5) the TRUE pair set — which the oracle computes
+    exhaustively — is empty; the planted-duplicate detection gate
+    lives in tests (test_conv_near_dup_planted)."""
+    from html_parser_spark.spark.pipeline import (
+        conv_near_dup, extract_turns,
+    )
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return conv_near_dup(extract_turns(df, ordered=False),
+                         threshold=_NEARDUP_THRESHOLD)
+
+
 def _q_preference_pairs(spark, sf_dir):
     """DPO preference-pair mining: prompts answered by >=2 distinct
     responses across the corpus yield (chosen, rejected) by the
@@ -1137,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window_trim": _q_context_window_trim,
         "preference_pairs": _q_preference_pairs,
         "render_chatml": _q_render_chatml,
+        "conv_near_dup": _q_conv_near_dup,
         "conv_branches": _q_conv_branches,
         "hll_distinct": _q_hll_distinct,
         "semantic_dedup": _q_semantic_dedup,
@@ -2147,6 +2165,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns,
                    cast(length(chatml) as bigint) AS n_chars, chatml
             FROM d ORDER BY conv_id
+        """,
+        # exhaustive TRUE pair set at the shared near-dup threshold
+        # (string shingles == hashed-shingle set sizes modulo 64-bit
+        # collisions — the ngram_jaccard precedent); empty on this
+        # corpus (max conv-level jaccard ~0.10), planted-dup gate in
+        # tests
+        "conv_near_dup": f"""
+            WITH d AS (
+                SELECT conv_id,
+                       string_agg(coalesce(extracted_text, ''), ' '
+                                  ORDER BY turn_idx) AS text
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+                GROUP BY conv_id
+            ), sh AS (
+              SELECT conv_id,
+                     CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(0,
+                             len(string_split(text,' ')) - 3),
+                         i -> array_to_string(
+                             string_split(text,' ')[i+1:i+3], ' ')))
+                     ELSE [array_to_string(string_split(text,' '), ' ')]
+                     END AS shingles
+              FROM d
+            )
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                   round(len(list_intersect(a.shingles, b.shingles))
+                         / (len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles,
+                                                 b.shingles))), 6)
+                       AS jaccard
+            FROM sh a, sh b
+            WHERE a.conv_id < b.conv_id
+              AND len(list_intersect(a.shingles, b.shingles))
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles)))
+                  >= {_NEARDUP_THRESHOLD}
+            ORDER BY conv_a, conv_b
         """,
         "conv_branches": f"""
             WITH t AS (

@@ -433,6 +433,57 @@ def conv_branches(extracted: DataFrame, prefix_turns: int = 1) -> DataFrame:
     )
 
 
+def conv_near_dup(extracted: DataFrame, threshold: float = 0.5,
+                  num_hashes: int = 32, bands: int = 16,
+                  shingle_n: int = 3) -> DataFrame:
+    """Conversation-LEVEL near-duplicate pairs: each conversation's
+    turns assemble (stable turn order) into one document, then the
+    standard MinHash-LSH candidate generation + exact-Jaccard verify
+    runs over the conversation documents — the dedup a transcript
+    corpus needs when whole dialogues recur with small edits
+    (re-imports, A/B forks, template sessions) that exact per-turn
+    dedup misses and turn-prefix grouping (conv_branches) only
+    catches at the opening.
+
+    Scale shape: one conv_id-keyed assembly aggregation, then exactly
+    the minhash_lsh_candidates single (band, band-hash)-keyed shuffle
+    and candidate-only verification — never all-pairs. doc ids are
+    md5-derived bigints (conv_id is a string); the id->conv_id map
+    joins back on the PAIR frame (|pairs| rows), not the corpus."""
+    from .ops import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    piece = F.coalesce(F.col("extracted_text"), F.lit(""))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), piece.alias("piece")))
+    )
+    doc = F.array_join(
+        F.transform(ordered, lambda s: s.getField("piece")), " ")
+    ids = (
+        extracted.groupBy("conv_id").agg(doc.alias("text"))
+        .select(
+            "conv_id", "text",
+            F.conv(F.substring(F.md5("conv_id"), 1, 15), 16, 10)
+             .cast("bigint").alias("doc_id"),
+        )
+    )
+    docs = ids.select("doc_id", "text")
+    cands = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n)
+    pairs = ngram_jaccard_pairs(docs, shingle_n, threshold,
+                                candidates=cands)
+    a = ids.select(F.col("doc_id").alias("doc_a"),
+                   F.col("conv_id").alias("ca"))
+    b = ids.select(F.col("doc_id").alias("doc_b"),
+                   F.col("conv_id").alias("cb"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            F.least("ca", "cb").alias("conv_a"),
+            F.greatest("ca", "cb").alias("conv_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def extract_links(df: DataFrame, mode: str = "fragment",
                   context: str = "div") -> DataFrame:
     """Anchor/link extraction over the transcripts frame: one row per

@@ -2826,3 +2826,34 @@ def test_pq_fit_deterministic_under_repartition(spark):
     c2 = pq_fit(emb.repartition(13, "vec_id"), n_subspaces=4,
                 n_codes=16, seed=7)
     assert c1 == c2
+
+
+def test_conv_near_dup_planted(spark):
+    """Whole-conversation near-dup detection: a conversation re-run
+    with one edited turn must pair with its original above threshold;
+    unrelated conversations must not pair. Exercises the full op —
+    conv-doc assembly (order-independent), LSH candidates, exact
+    verify, id mapping back to conv_id."""
+    from html_parser_spark.spark.pipeline import conv_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog while spark "
+            "executors shuffle partitions of tokenized text for "
+            "training pipelines at warehouse scale").split()
+    orig = " ".join(base)
+    edited = " ".join(base[:-2] + ["different", "ending"])
+    other = " ".join(reversed(base))  # same words, different shingles
+    rows = [
+        ("dup_a", 1, "assistant", orig[len(orig) // 2:]),
+        ("dup_a", 0, "user", orig[:len(orig) // 2]),
+        ("dup_b", 0, "user", edited[:len(edited) // 2]),
+        ("dup_b", 1, "assistant", edited[len(edited) // 2:]),
+        ("other", 0, "user", other),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, extracted_text string")
+    got = conv_near_dup(turns, threshold=0.5).collect()
+    pairs = {(r.conv_a, r.conv_b): r.jaccard for r in got}
+    assert ("dup_a", "dup_b") in pairs
+    assert pairs[("dup_a", "dup_b")] >= 0.5
+    assert all({a, b} == {"dup_a", "dup_b"} for a, b in pairs)
