@@ -503,6 +503,25 @@ def _q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def _q_zorder_events(spark, sf_dir):
+    """Morton z-key assignment over (user bucket, epoch day) — the
+    kernel of OPTIMIZE ZORDER BY file clustering. The interleave
+    expression is generated once (storage.zorder_key_sql) and run
+    verbatim by BOTH engines; the data-skipping effect it buys is
+    measured in test_zorder_layout_skips_files_for_box_queries."""
+    from html_parser_spark.spark.storage import zorder_key_sql
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "cast(user_id & 1023 as int) as x",
+        "cast(datediff(to_date(ts), date'1970-01-01') & 1023 as int)"
+        " as y",
+    ).selectExpr(
+        "event_id", "x", "y", zorder_key_sql("x", "y", 10) + " as zkey"
+    )
+
+
 def _q_raw_encoding(spark, sf_dir):
     """The full byte front-end (E1-E9 + P1) through Spark: BOM sniff,
     label resolution, meta prescan, UTF-16/ISO-2022-JP/x-user-defined
@@ -1136,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_ivfpq": _q_ann_ivfpq,
+        "zorder_events": _q_zorder_events,
         "raw_encoding": _q_raw_encoding,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_lsh": _q_minhash_lsh,
@@ -1224,6 +1244,11 @@ from html_parser_spark.spark.ops import (  # noqa: E402
 
 _HLL_RAW_256 = _HLL_RAW_FMT.format(m=256)
 _HLL_EST_256 = _HLL_EST_FMT.format(raw=_HLL_RAW_256, m=256)
+
+# single-sourced Morton z-key expression (storage.zorder_key_sql)
+from html_parser_spark.spark.storage import zorder_key_sql  # noqa: E402
+
+_ZORDER_XY_10 = zorder_key_sql("x", "y", 10)
 
 _SH_CTE = """sh AS (
               SELECT doc_id,
@@ -2165,6 +2190,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns,
                    cast(length(chatml) as bigint) AS n_chars, chatml
             FROM d ORDER BY conv_id
+        """,
+        # the Morton interleave expression is the operator's own
+        # generated string (storage.zorder_key_sql) — integer-only,
+        # token-identical in both engines
+        "zorder_events": f"""
+            WITH b AS (
+                SELECT event_id,
+                       cast(user_id & 1023 as int) AS x,
+                       cast(date_diff('day', DATE '1970-01-01',
+                                      cast(ts as date)) & 1023 as int)
+                           AS y
+                FROM events
+            )
+            SELECT event_id, x, y,
+                   {_ZORDER_XY_10} AS zkey
+            FROM b ORDER BY event_id
         """,
         # exhaustive TRUE pair set at the shared near-dup threshold
         # (string shingles == hashed-shingle set sizes modulo 64-bit

@@ -2857,3 +2857,74 @@ def test_conv_near_dup_planted(spark):
     assert ("dup_a", "dup_b") in pairs
     assert pairs[("dup_a", "dup_b")] >= 0.5
     assert all({a, b} == {"dup_a", "dup_b"} for a, b in pairs)
+
+
+def test_zorder_layout_skips_files_for_box_queries(spark, tmp_path):
+    """The z-ordered layout must bound BOTH dimensions per file so
+    footer min/max stats (the data-skipping machinery of Iceberg /
+    Delta / parquet row-group pruning) exclude most files for any
+    box/slice predicate — where a single-column sort only helps
+    queries on that column. Measured directly from the parquet
+    footers the layouts wrote, plus a correctness read-back."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from html_parser_spark.spark.storage import write_zordered
+
+    # 64x64 grid, one row per cell
+    df = spark.range(64 * 64).selectExpr(
+        "id", "cast(id % 64 as int) as x", "cast(id div 64 as int) as y")
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "xsort")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=6)
+    (
+        df.repartitionByRange(16, "x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(xpath)
+    )
+
+    def file_bounds(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mnx = mny = 1 << 30
+            mxx = mxy = -1
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {row.column(c).path_in_schema: row.column(c)
+                        for c in range(row.num_columns)}
+                mnx = min(mnx, cols["x"].statistics.min)
+                mxx = max(mxx, cols["x"].statistics.max)
+                mny = min(mny, cols["y"].statistics.min)
+                mxy = max(mxy, cols["y"].statistics.max)
+            out.append((mnx, mxx, mny, mxy))
+        return out
+
+    def candidates(bounds, xlo, xhi, ylo, yhi):
+        return sum(1 for (a, b, c, d) in bounds
+                   if not (b < xlo or a > xhi or d < ylo or c > yhi))
+
+    zb, xb = file_bounds(zpath), file_bounds(xpath)
+    assert len(zb) == 16 and len(xb) == 16
+    boxes = [
+        (20, 27, 0, 63),   # x-slice: the x-sort's best case
+        (0, 63, 20, 27),   # y-slice: the x-sort reads EVERYTHING
+        (20, 27, 20, 27),  # 2-D box
+    ]
+    z_total = sum(candidates(zb, *b) for b in boxes)
+    x_total = sum(candidates(xb, *b) for b in boxes)
+    # x-sort cannot skip anything for the y-slice (16 files), z-order
+    # bounds both dims (<= 8 of 16 per query on an aligned grid)
+    assert candidates(xb, 0, 63, 20, 27) == 16
+    assert candidates(zb, 0, 63, 20, 27) <= 8
+    assert max(candidates(zb, *b) for b in boxes) <= 8
+    assert z_total < x_total
+    # correctness: both layouts return identical rows for the 2-D box
+    for p in (zpath, xpath):
+        got = (
+            spark.read.parquet(p)
+            .where("x between 20 and 27 and y between 20 and 27")
+            .selectExpr("count(*) c", "sum(id) s").collect()[0]
+        )
+        assert (got.c, got.s) == (64, sum(
+            y * 64 + x for x in range(20, 28) for y in range(20, 28)))

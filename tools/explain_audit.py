@@ -766,6 +766,21 @@ def main():
             "plan-side — probed cells never materialize raw vectors. "
             "The memory-scale ANN path at 10^9+ vectors.")
 
+    audit("zorder_events (Morton key assignment)",
+          qs["zorder_events"](spark, SF_DIR), [
+        ("pure per-row integer expression: ZERO exchanges",
+         lambda p: "Exchange" not in p),
+        ("no Python node (bit interleave in whole-stage codegen)",
+         lambda p: "Python" not in p),
+        ("scan prunes to event_id+ts+user_id",
+         lambda p: "ReadSchema" in p and "props" not in
+         p.split("ReadSchema", 1)[1][:200]),
+    ], note="Key assignment is scan-bound; the one range exchange of "
+            "an actual OPTIMIZE ZORDER rewrite (write_zordered) is "
+            "paid once at layout time — "
+            "test_zorder_layout_skips_files_for_box_queries measures "
+            "the footer-stats skipping it buys.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
