@@ -376,6 +376,22 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+def _q_gopher_filter(spark, sf_dir):
+    """Gopher-rule composite quality gate: per-document metrics +
+    keep flag + named failed rules, all per-row expressions."""
+    from html_parser_spark.spark.ops import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram contamination matrix (distinct shared
+    8-grams per source pair + overlap coefficient)."""
+    from html_parser_spark.spark.ops import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"))
+
+
 def _q_split_assign(spark, sf_dir):
     # deterministic md5-bucket train/val/test split — SQL-exact
     from html_parser_spark.spark.ops import split_assign
@@ -1139,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _q_repetition_scores,
         "decontaminate": _q_decontaminate,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "gopher_filter": _q_gopher_filter,
+        "source_overlap": _q_source_overlap,
         "split_assign": _q_split_assign,
         "dup_passages": _q_dup_passages,
         "pmi_collocations": _q_pmi_collocations,
@@ -1674,6 +1692,85 @@ def oracle_sql() -> dict[str, str]:
                     || '</title></head><body><p>' || text
                     || '</p></body></html>') AS payload_md5
             FROM documents ORDER BY doc_id
+        """,
+        "gopher_filter": """
+            WITH m AS (
+                SELECT doc_id, lang,
+                       cast(len(string_split(text,' ')) as int)
+                           AS n_words,
+                       length(replace(text,' ','')) AS chars,
+                       length(text) - length(replace(text,'#',''))
+                           AS hashes,
+                       (length(text)
+                        - length(replace(text,'...',''))) // 3 AS ells,
+                       cast(len(list_filter(string_split(text,' '),
+                            t -> t in ('the','a','of','and','to')))
+                           as int) AS stops
+                FROM documents
+            ), r AS (
+                SELECT doc_id, lang, n_words,
+                       cast(chars as double) / n_words AS mwl,
+                       cast(hashes as double) / n_words AS hr,
+                       cast(ells as double) / n_words AS er,
+                       stops,
+                       coalesce(array_to_string(list_filter([
+                           CASE WHEN n_words < 20 OR n_words > 90
+                                THEN 'word_count' END,
+                           CASE WHEN cast(chars as double) / n_words
+                                     < 1.0
+                                  OR cast(chars as double) / n_words
+                                     > 10.0
+                                THEN 'mean_word_length' END,
+                           CASE WHEN cast(hashes as double) / n_words
+                                     > 0.1
+                                THEN 'hash_ratio' END,
+                           CASE WHEN cast(ells as double) / n_words
+                                     > 0.1
+                                THEN 'ellipsis_ratio' END,
+                           CASE WHEN lang = 'en' AND stops = 0
+                                THEN 'no_stopwords' END
+                       ], x -> x IS NOT NULL), ','), '') AS reasons
+                FROM m
+            )
+            SELECT doc_id, lang, n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(hr, 6) AS hash_ratio,
+                   round(er, 6) AS ellipsis_ratio,
+                   stops AS stopword_hits,
+                   reasons = '' AS keep,
+                   reasons
+            FROM r ORDER BY doc_id
+        """,
+        "source_overlap": """
+            WITH toks AS (
+                SELECT source, string_split(text, ' ') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT source,
+                    unnest(list_transform(
+                        generate_series(0, len(ws) - 8),
+                        i -> md5(array_to_string(
+                            list_slice(ws, i + 1, i + 8), ' ')))) AS gkey
+                FROM toks WHERE len(ws) >= 8
+            ), totals AS (
+                SELECT source, cast(count(*) as bigint) AS n_grams
+                FROM g GROUP BY source
+            ), pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       cast(count(*) as bigint) AS n_shared_grams
+                FROM g a JOIN g b
+                  ON a.gkey = b.gkey AND a.source < b.source
+                GROUP BY a.source, b.source
+            )
+            SELECT p.source_a, p.source_b, p.n_shared_grams,
+                   ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+                   round(p.n_shared_grams
+                         / least(ta.n_grams, tb.n_grams), 6)
+                       AS overlap_coef
+            FROM pairs p
+            JOIN totals ta ON p.source_a = ta.source
+            JOIN totals tb ON p.source_b = tb.source
+            ORDER BY p.source_a, p.source_b
         """,
         "split_assign": """
             SELECT doc_id, lang,

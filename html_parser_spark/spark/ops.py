@@ -963,6 +963,109 @@ def quality_score(documents: DataFrame) -> DataFrame:
 _CJK_CLASS = "[^一-鿿]"
 
 
+def gopher_filter(documents: DataFrame, min_words: int = 20,
+                  max_words: int = 90, min_mwl: float = 1.0,
+                  max_mwl: float = 10.0,
+                  max_symbol_ratio: float = 0.1) -> DataFrame:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1,
+    public paper; thresholds scaled to the synthetic corpus): word
+    count bounds, mean word length bounds, '#' and '...'-to-word
+    symbol ratios, and the English stopword-presence rule (applied
+    only to lang='en'). Total op — every document emitted with its
+    metrics, `keep`, and a deterministic comma-joined `reasons` list
+    naming every failed rule — so the drop set is auditable and the
+    rules re-tunable from the same frame.
+
+    Scale shape: pure per-row expressions (one scan, zero shuffles,
+    no Python); every metric is integer arithmetic or a single
+    int/int division mirrored exactly by the oracle."""
+    n_words = F.size(F.split(F.col("text"), " "))
+    mwl = (F.length(F.regexp_replace("text", " ", ""))
+           .cast("double") / n_words)
+    hash_ratio = ((F.length("text")
+                   - F.length(F.regexp_replace("text", "#", "")))
+                  .cast("double") / n_words)
+    ell_cnt = F.expr(
+        "(length(text) - length(replace(text, '...', ''))) div 3")
+    ell_ratio = ell_cnt.cast("double") / n_words
+    stops = _word_hits(F.col("text"), ["the", "a", "of", "and", "to"])
+    fails = [
+        ((n_words < min_words) | (n_words > max_words), "word_count"),
+        ((mwl < min_mwl) | (mwl > max_mwl), "mean_word_length"),
+        (hash_ratio > max_symbol_ratio, "hash_ratio"),
+        (ell_ratio > max_symbol_ratio, "ellipsis_ratio"),
+        ((F.col("lang") == "en") & (stops == 0), "no_stopwords"),
+    ]
+    reasons = F.array_join(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for cond, name in fails]),
+            lambda x: x.isNotNull(),
+        ), ",")
+    return documents.select(
+        "doc_id", "lang",
+        n_words.cast("int").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(hash_ratio, 6).alias("hash_ratio"),
+        F.round(ell_ratio, 6).alias("ellipsis_ratio"),
+        stops.cast("int").alias("stopword_hits"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def source_overlap(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every source pair, how
+    many distinct word n-grams they share, normalized by the smaller
+    side's distinct-gram count (overlap coefficient) — the corpus-
+    level view of dup_passages, answering "which feeds are reprints
+    of each other" before any per-document dedup.
+
+    Scale shape: grams key by md5 (constant 32-byte shuffle rows; the
+    dup_passages technique), one (gram, source) distinct partial agg,
+    then per-gram source SETS — bounded by the source count, NOT the
+    corpus — explode into source pairs. Per-source totals are a
+    |sources|-row frame joined back by broadcast. No corpus self-join
+    anywhere."""
+    words = F.split(F.col("text"), " ")
+    gram_source = (
+        _spread(documents)
+        .select(F.col("source"),
+                F.explode(_word_ngrams(words, n)).alias("gram"))
+        .select("source", F.md5("gram").alias("gkey"))
+        .distinct()
+    )
+    totals = gram_source.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams"))
+    pairs = (
+        gram_source.groupBy("gkey")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(F.explode(F.expr(
+            "flatten(transform(srcs, (a, i) -> "
+            "transform(slice(srcs, i + 2, size(srcs)), "
+            "b -> struct(a as source_a, b as source_b))))"
+        )).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"),
+                       F.col("n_grams").alias("grams_a"))
+    tb = totals.select(F.col("source").alias("source_b"),
+                       F.col("n_grams").alias("grams_b"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared_grams", "grams_a",
+            "grams_b",
+            F.round(F.col("n_shared_grams")
+                    / F.least("grams_a", "grams_b"), 6)
+             .alias("overlap_coef"),
+        )
+    )
+
+
 def _cjk_hits(col):
     """The zh signal: CJK-ideograph codepoint count, GATED on CJK
     density >= 25% of non-space characters. The raw count is on a

@@ -2928,3 +2928,60 @@ def test_zorder_layout_skips_files_for_box_queries(spark, tmp_path):
         )
         assert (got.c, got.s) == (64, sum(
             y * 64 + x for x in range(20, 28) for y in range(20, 28)))
+
+
+def test_gopher_filter_rules_hand_built(spark):
+    """Each Gopher rule fires on its planted document and names
+    itself in `reasons`; a clean document keeps with empty reasons;
+    the stopword rule applies only to lang='en'."""
+    from html_parser_spark.spark.ops import gopher_filter
+
+    ok = "the quick brown fox " * 10 + "ends here now then"  # 44 words
+    rows = [
+        (1, ok.strip(), "en", "s", 0),
+        (2, "too short of a doc", "en", "s", 0),          # word_count
+        (3, " ".join(["supercalifragilistic"] * 30), "en", "s", 0),
+        (4, ("# " * 22 + "the word " * 11).strip(), "en", "s", 0),
+        (5, ("... " * 22 + "the word " * 11).strip(), "en", "s", 0),
+        (6, "words without stop tokens " * 6, "en", "s", 0),
+        (7, "words without stop tokens " * 6, "fr", "s", 0),
+    ]
+    rows = [(i, t.strip(), lg, s, n) for i, t, lg, s, n in rows]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert got[1].keep and got[1].reasons == ""
+    assert "word_count" in got[2].reasons and not got[2].keep
+    # doc 3: 30 words of len 20 -> mean_word_length fails
+    assert "mean_word_length" in got[3].reasons
+    assert "hash_ratio" in got[4].reasons
+    assert "ellipsis_ratio" in got[5].reasons
+    assert "no_stopwords" in got[6].reasons and not got[6].keep
+    assert got[7].keep  # same text, non-English: stop rule exempt
+
+
+def test_source_overlap_hand_built(spark):
+    """Shared distinct 8-grams count once per source pair regardless
+    of repetition; disjoint sources never pair; the overlap
+    coefficient normalizes by the smaller side."""
+    from html_parser_spark.spark.ops import source_overlap
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"          # exactly one 8-gram
+    a_extra = "a1 a2 a3 a4 a5 a6 a7 a8 a9"       # two more 8-grams
+    rows = [
+        (1, shared, "en", "srcA", 0),
+        (2, shared + " tail", "en", "srcB", 0),  # 2 grams, 1 shared
+        (3, a_extra, "en", "srcA", 0),
+        (4, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "srcC", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {(r.source_a, r.source_b): r
+           for r in source_overlap(docs).collect()}
+    assert set(got) == {("srcA", "srcB")}
+    r = got[("srcA", "srcB")]
+    # srcA grams: shared + 2 from a_extra = 3; srcB: shared + 1 = 2
+    assert (r.n_shared_grams, r.grams_a, r.grams_b) == (1, 3, 2)
+    assert abs(r.overlap_coef - 0.5) < 1e-9

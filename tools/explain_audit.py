@@ -781,6 +781,36 @@ def main():
             "test_zorder_layout_skips_files_for_box_queries measures "
             "the footer-stats skipping it buys.")
 
+    audit("gopher_filter (composite quality gate)",
+          qs["gopher_filter"](spark, SF_DIR), [
+        ("pure per-row expressions: ZERO exchanges",
+         lambda p: "Exchange" not in p),
+        ("no Python node",
+         lambda p: "Python" not in p),
+        ("scan prunes to doc_id+text+lang",
+         lambda p: "ReadSchema" in p and "source" not in
+         p.split("ReadSchema", 1)[1][:200]),
+    ], note="Five Gopher rules, one scan, keep+reasons computed in "
+            "whole-stage codegen — the quality gate costs exactly "
+            "one pass at 100 TB.")
+
+    audit("source_overlap (cross-source contamination matrix)",
+          qs["source_overlap"](spark, SF_DIR), [
+        ("no corpus self-join (pairs come from bounded per-gram "
+         "source sets)", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("per-source totals join back by BROADCAST",
+         lambda p: "BroadcastHashJoin" in p),
+        ("gram aggregation is partial (map-side combine)",
+         lambda p: p.count("HashAggregate") >= 2
+         or "ObjectHashAggregate" in p),
+        ("no Python node",
+         lambda p: "Python" not in p),
+    ], note="Shuffle rows are md5(gram) keys (constant 32B); the "
+            "per-gram source set is bounded by |sources|, so the "
+            "pair explosion is at most |sources|^2/2 per gram, "
+            "independent of corpus size.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
