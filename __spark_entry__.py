@@ -755,6 +755,17 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_sft_corpus(spark, sf_dir):
+    """End-to-end transcript SFT prep DAG: conversation quality gate
+    -> context-window trim -> ChatML render; the oracle re-derives
+    all three stages in SQL over the pinned turns fixture."""
+    from html_parser_spark.spark.pipeline import extract_turns, sft_corpus
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return sft_corpus(extract_turns(df, ordered=False))
+
+
 def _q_conv_near_dup(spark, sf_dir):
     """Conversation-level near-dup: MinHash-LSH + exact-Jaccard verify
     over whole-conversation documents. The synthetic corpus has no
@@ -1193,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": _q_preference_pairs,
         "render_chatml": _q_render_chatml,
         "conv_near_dup": _q_conv_near_dup,
+        "sft_corpus": _q_sft_corpus,
         "conv_branches": _q_conv_branches,
         "hll_distinct": _q_hll_distinct,
         "semantic_dedup": _q_semantic_dedup,
@@ -2303,6 +2315,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, x, y,
                    {_ZORDER_XY_10} AS zkey
             FROM b ORDER BY event_id
+        """,
+        # full three-stage SQL re-derivation: quality gate CTE, trim
+        # window CTE, ordered-string_agg render — each stage also
+        # standalone-oracled (conversation_stats / context_window_trim
+        # / render_chatml)
+        "sft_corpus": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, extracted_text,
+                       parse_errors,
+                       cast(len(string_split(
+                           coalesce(extracted_text, ''), ' '))
+                           as bigint) AS n_tok
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+            ), eligible AS (
+                SELECT conv_id FROM t GROUP BY conv_id
+                HAVING count(*) >= 2 AND sum(parse_errors) <= 8
+                   AND max(CASE WHEN role = 'assistant'
+                                THEN 1 ELSE 0 END) = 1
+            ), trimmed AS (
+                SELECT conv_id, turn_idx, role, extracted_text, n_tok,
+                       sum(n_tok) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS tail_cum
+                FROM t SEMI JOIN eligible USING (conv_id)
+            )
+            SELECT conv_id,
+                   cast(count(*) as bigint) AS n_turns_kept,
+                   cast(sum(n_tok) as bigint) AS n_tokens,
+                   string_agg('<|im_start|>' || role || chr(10) ||
+                              coalesce(extracted_text, '') ||
+                              '<|im_end|>', chr(10)
+                              ORDER BY turn_idx) AS chatml
+            FROM trimmed
+            WHERE tail_cum <= 128
+            GROUP BY conv_id
+            ORDER BY conv_id
         """,
         # exhaustive TRUE pair set at the shared near-dup threshold
         # (string shingles == hashed-shingle set sizes modulo 64-bit

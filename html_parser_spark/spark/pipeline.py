@@ -484,6 +484,63 @@ def conv_near_dup(extracted: DataFrame, threshold: float = 0.5,
     )
 
 
+def sft_corpus(extracted: DataFrame, budget_tokens: int = 128,
+               max_parse_errors: int = 8) -> DataFrame:
+    """End-to-end SFT corpus preparation over extracted transcripts —
+    the transcript-native analogue of the documents-side curate_corpus
+    DAG: (1) conversation-level quality gate (>= 2 turns, at least one
+    assistant turn, total parse errors under budget), (2) context-
+    window trim to the most recent turns fitting `budget_tokens`
+    (context_window_trim's reverse running-sum rule), (3) ChatML
+    render of the surviving turns (render_chatml's exact piece
+    format). One frame out: conv_id, kept-turn count, token count,
+    and the training document.
+
+    Scale shape: every stage keys by conv_id — the stats aggregate,
+    the eligibility semi-join, the trim window, and the render
+    aggregate reuse ONE hash partitioning; nothing shuffles twice and
+    nothing leaves the JVM. The composed DAG is what a spark-submit
+    training-prep job runs nightly at 100 TB; each stage is also a
+    standalone oracle-gated operator."""
+    n_tok = F.size(F.split(F.coalesce(F.col("extracted_text"),
+                                      F.lit("")), " ")).cast("bigint")
+    stats = extracted.groupBy("conv_id").agg(
+        F.count("*").alias("_n_turns"),
+        F.sum("parse_errors").alias("_errs"),
+        F.max((F.col("role") == "assistant").cast("int")).alias("_asst"),
+    )
+    eligible = stats.where(
+        (F.col("_n_turns") >= 2)
+        & (F.col("_errs") <= max_parse_errors)
+        & (F.col("_asst") == 1)
+    ).select("conv_id")
+    w = (Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    kept = (
+        extracted.join(eligible, "conv_id", "left_semi")
+        .withColumn("_tail_cum", F.sum(n_tok).over(w))
+        .where(F.col("_tail_cum") <= budget_tokens)
+    )
+    piece = F.concat(
+        F.lit("<|im_start|>"), F.col("role"), F.lit("\n"),
+        F.coalesce(F.col("extracted_text"), F.lit("")),
+        F.lit("<|im_end|>"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), piece.alias("piece")))
+    )
+    doc = F.array_join(
+        F.transform(ordered, lambda s: s.getField("piece")), "\n")
+    return (
+        kept.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns_kept"),
+            F.sum(n_tok).cast("bigint").alias("n_tokens"),
+            doc.alias("chatml"),
+        )
+    )
+
+
 def extract_links(df: DataFrame, mode: str = "fragment",
                   context: str = "div") -> DataFrame:
     """Anchor/link extraction over the transcripts frame: one row per

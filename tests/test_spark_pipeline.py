@@ -2985,3 +2985,35 @@ def test_source_overlap_hand_built(spark):
     # srcA grams: shared + 2 from a_extra = 3; srcB: shared + 1 = 2
     assert (r.n_shared_grams, r.grams_a, r.grams_b) == (1, 3, 2)
     assert abs(r.overlap_coef - 0.5) < 1e-9
+
+
+def test_sft_corpus_dag_hand_built(spark):
+    """The three stages compose correctly: single-turn / assistant-
+    free / error-heavy conversations are gated out; survivors keep
+    only the maximal turn SUFFIX within budget; the render contains
+    exactly the kept turns in order."""
+    from html_parser_spark.spark.pipeline import sft_corpus
+
+    rows = [
+        # 'good': 3 turns, trim budget keeps the last two
+        ("good", 0, "user", "w " * 100, 0),
+        ("good", 1, "user", "ask", 0),
+        ("good", 2, "assistant", "answer here", 0),
+        # 'solo': one turn -> gated
+        ("solo", 0, "user", "hi", 0),
+        # 'noasst': no assistant turn -> gated
+        ("noasst", 0, "user", "a", 0), ("noasst", 1, "tool", "b", 0),
+        # 'errs': parse-error budget blown -> gated
+        ("errs", 0, "user", "x", 9), ("errs", 1, "assistant", "y", 0),
+    ]
+    rows = [(c, i, r, t.strip(), e) for c, i, r, t, e in rows]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "extracted_text string, parse_errors int")
+    got = {r.conv_id: r
+           for r in sft_corpus(turns, budget_tokens=10).collect()}
+    assert set(got) == {"good"}
+    g = got["good"]
+    assert g.n_turns_kept == 2 and g.n_tokens == 3  # 'ask' + 2 words
+    assert g.chatml == ("<|im_start|>user\nask<|im_end|>\n"
+                        "<|im_start|>assistant\nanswer here<|im_end|>")

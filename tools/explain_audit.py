@@ -811,6 +811,23 @@ def main():
             "pair explosion is at most |sources|^2/2 per gram, "
             "independent of corpus size.")
 
+    audit("sft_corpus (end-to-end transcript SFT prep DAG)",
+          qs["sft_corpus"](spark, SF_DIR), [
+        ("every stage keys by conv_id (no range/global sort exchange)",
+         lambda p: "rangepartitioning" not in p.lower()),
+        ("quality gate is a partial aggregation",
+         lambda p: p.count("HashAggregate") >= 2
+         or "ObjectHashAggregate" in p),
+        ("render adds NO Python node (the one PythonMapInArrow is "
+         "the upstream extraction kernel)",
+         lambda p: p.count("PythonMapInArrow") <= 1),
+        ("no cartesian/BNL join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ], note="Gate -> trim -> render all reuse the conv_id hash "
+            "partitioning; the composed nightly training-prep DAG "
+            "costs one extraction pass plus conv-keyed shuffles.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
