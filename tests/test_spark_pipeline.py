@@ -3017,3 +3017,43 @@ def test_sft_corpus_dag_hand_built(spark):
     assert g.n_turns_kept == 2 and g.n_tokens == 3  # 'ask' + 2 words
     assert g.chatml == ("<|im_start|>user\nask<|im_end|>\n"
                         "<|im_start|>assistant\nanswer here<|im_end|>")
+
+
+def test_sft_prep_job_body_end_to_end(spark, tmp_path):
+    """jobs/sft_prep_job.py run shape (body replicated — the job owns
+    its SparkSession): transcripts parquet in -> extraction ->
+    sft_corpus -> conv-hash-sharded parquet out; re-running lands
+    every conversation in the SAME shard (deterministic hash
+    partitioning — what makes the nightly job's output stable for
+    downstream loaders)."""
+    from html_parser_spark.spark.pipeline import extract_turns, sft_corpus
+    from html_parser_spark.spark.transcripts import (
+        write_transcripts_parquet,
+    )
+
+    inp = str(tmp_path / "in")
+    write_transcripts_parquet(spark, inp, 500, seed=42, partitions=4)
+
+    def run(out):
+        corpus = sft_corpus(
+            extract_turns(spark.read.parquet(inp), ordered=False))
+        corpus.repartition(4, "conv_id").write.mode(
+            "overwrite").parquet(out)
+        rows = spark.read.parquet(out)
+        import pyspark.sql.functions as F
+        return {
+            r.conv_id: (r.f, r.n_turns_kept, r.n_tokens, r.chatml)
+            for r in rows.withColumn(
+                "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            ).collect()
+        }
+
+    a = run(str(tmp_path / "o1"))
+    b = run(str(tmp_path / "o2"))
+    assert len(a) > 0
+    assert {k: v[1:] for k, v in a.items()} == {
+        k: v[1:] for k, v in b.items()}
+    # shard assignment is conv-stable across runs (same part index)
+    part = lambda f: f.split("-")[1]
+    assert {k: part(v[0]) for k, v in a.items()} == {
+        k: part(v[0]) for k, v in b.items()}
