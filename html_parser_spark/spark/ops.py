@@ -1906,9 +1906,61 @@ def _pq_codes_expr(vec, codebooks: list):
     ])
 
 
+def _pq_method(method: str, codebooks: list) -> str:
+    """'expr' inlines codebook literals (whole-stage codegen — right
+    for small quantizers); 'arrow' runs the vectorized numpy kernel
+    (right for realistic dimensionality, e.g. 768-dim x 16 subspaces
+    x 256 codes = ~200k literals the expression tree can't carry);
+    'auto' switches on total codebook values — the ann_ivf policy."""
+    if method != "auto":
+        return method
+    values = (len(codebooks) * len(codebooks[0])
+              * (len(codebooks[0][0]) if codebooks[0] else 0))
+    return "expr" if values <= _IVF_EXPR_MAX_VALUES else "arrow"
+
+
+def _make_pq_udfs(codebooks: list, with_tables: bool = False):
+    """Arrow-vectorized PQ kernels: code-word assignment and (for
+    query rows) the ADC lookup table, one numpy broadcast per batch.
+    Normalization happens row-wise in numpy (the _unit mirror). Tie
+    semantics match the expression path: np.argmin returns the FIRST
+    minimum — the smallest code — exactly like min over (dist, code)
+    structs. (Float sums may differ from the expression path in the
+    last ulp on degenerate exact-tie data; both paths are internally
+    deterministic, and the registered query pins the expr path.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    n_sub, _, sub = CB.shape
+
+    def _dists(vecs):
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        V = (V / n).reshape(-1, n_sub, sub)           # (b, m, s)
+        return ((V[:, :, None, :] - CB[None]) ** 2).sum(-1)  # (b,m,k)
+
+    def _codes_fn(vecs):
+        codes = _dists(vecs).argmin(axis=2)
+        return pd.Series([[int(c) for c in row] for row in codes])
+
+    def _tables_fn(vecs):
+        d = _dists(vecs)
+        return pd.Series([[[float(x) for x in ks] for ks in row]
+                          for row in d])
+
+    # real annotation OBJECTS — see _make_cell_udfs
+    for fn in (_codes_fn, _tables_fn):
+        fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    tables = (pandas_udf("array<array<double>>")(_tables_fn)
+              if with_tables else None)
+    return pandas_udf("array<int>")(_codes_fn), tables
+
+
 def pq_fit(embeddings: DataFrame, n_subspaces: int = 8,
            n_codes: int = 16, seed: int = 7,
-           n_iters: int = 5) -> list:
+           n_iters: int = 5, method: str = "auto") -> list:
     """Product-quantization TRAINING action: per-subspace plain-L2
     k-means (Lloyd's), the fit step of IVF-PQ. Returns
     codebooks[m][c] = centroid (list of sub-dim floats) — at 8
@@ -1937,18 +1989,32 @@ def pq_fit(embeddings: DataFrame, n_subspaces: int = 8,
         _unit(vec_d).alias("vec")).persist()
     try:
         for _ in range(n_iters):
-            entries = F.array(*[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.slice("vec", m * sub + 1, sub).alias("sv"),
-                    _nearest_code_expr(
-                        F.slice("vec", m * sub + 1, sub), codebooks[m]
-                    ).alias("code"),
-                )
-                for m in range(n_subspaces)
-            ])
+            if _pq_method(method, codebooks) == "arrow":
+                codes_udf, _tbl = _make_pq_udfs(codebooks)
+                src = base.withColumn("_codes", codes_udf("vec"))
+                entries = F.array(*[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("vec", m * sub + 1, sub).alias("sv"),
+                        F.element_at("_codes", m + 1).alias("code"),
+                    )
+                    for m in range(n_subspaces)
+                ])
+            else:
+                src = base
+                entries = F.array(*[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("vec", m * sub + 1, sub).alias("sv"),
+                        _nearest_code_expr(
+                            F.slice("vec", m * sub + 1, sub),
+                            codebooks[m]
+                        ).alias("code"),
+                    )
+                    for m in range(n_subspaces)
+                ])
             stats = (
-                base.select(F.explode(entries).alias("s"))
+                src.select(F.explode(entries).alias("s"))
                 .select("s.m", "s.sv", "s.code")
                 .groupBy("m", "code")
                 .agg(*[
@@ -1971,18 +2037,23 @@ def pq_fit(embeddings: DataFrame, n_subspaces: int = 8,
         base.unpersist()
 
 
-def pq_encode(embeddings: DataFrame, codebooks: list) -> DataFrame:
+def pq_encode(embeddings: DataFrame, codebooks: list,
+              method: str = "auto") -> DataFrame:
     """Corpus PQ encoding: vec_id -> array<int> code word. Pure
     per-row expression (zero shuffles) — the 100 TB encode pass is
     scan-bound."""
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return _spread(embeddings).select(
+    base = _spread(embeddings)
+    if _pq_method(method, codebooks) == "arrow":
+        codes_udf, _ = _make_pq_udfs(codebooks)
+        return base.select("vec_id", codes_udf(vec_d).alias("codes"))
+    return base.select(
         "vec_id", _pq_codes_expr(_unit(vec_d), codebooks).alias("codes"))
 
 
 def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
               anchors: list, codebooks: list, k: int = 5,
-              n_probe: int = 4) -> DataFrame:
+              n_probe: int = 4, method: str = "auto") -> DataFrame:
     """IVF-PQ approximate nearest neighbor: coarse IVF cell routing
     (same cosine quantizer as ann_ivf) + asymmetric-distance (ADC)
     scoring against PQ codes — the memory-scale path when even the
@@ -2006,10 +2077,21 @@ def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = _spread(embeddings).select("vec_id", vec_d.alias("vec"))
 
+    pq_arrow = _pq_method(method, codebooks) == "arrow"
+    ivf_arrow = _ivf_method(method, anchors) == "arrow"
+    codes_udf = tables_udf = cell_of = probes_of = None
+    if pq_arrow:
+        codes_udf, tables_udf = _make_pq_udfs(codebooks,
+                                              with_tables=True)
+    if ivf_arrow:
+        cell_of, probes_of = _make_cell_udfs(anchors, n_probe)
     corpus = base.select(
         F.col("vec_id").alias("corpus_id"),
-        _nearest_cell_expr(F.col("vec"), anchors).alias("cell"),
-        _pq_codes_expr(_unit(F.col("vec")), codebooks).alias("codes"),
+        (cell_of("vec") if ivf_arrow
+         else _nearest_cell_expr(F.col("vec"), anchors)).alias("cell"),
+        (codes_udf("vec") if pq_arrow
+         else _pq_codes_expr(_unit(F.col("vec")), codebooks))
+        .alias("codes"),
     )
 
     def cell_scores(vec):
@@ -2035,14 +2117,18 @@ def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
             rows.append(F.array(*dists))
         return F.array(*rows)
 
-    probes = F.slice(F.reverse(F.array_sort(cell_scores(F.col("vec")))),
-                     1, n_probe)
+    if ivf_arrow:
+        probe_cells = probes_of("vec")
+    else:
+        probes = F.slice(
+            F.reverse(F.array_sort(cell_scores(F.col("vec")))),
+            1, n_probe)
+        probe_cells = F.transform(probes, lambda s: s.getField("cell"))
     queries = base.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
-        adc_table(_unit(F.col("vec"))).alias("tables"),
-        F.explode_outer(
-            F.transform(probes, lambda s: s.getField("cell"))
-        ).alias("cell"),
+        (tables_udf("vec") if pq_arrow
+         else adc_table(_unit(F.col("vec")))).alias("tables"),
+        F.explode_outer(probe_cells).alias("cell"),
     )
     joined = corpus.join(
         F.broadcast(queries),

@@ -3057,3 +3057,39 @@ def test_sft_prep_job_body_end_to_end(spark, tmp_path):
     part = lambda f: f.split("-")[1]
     assert {k: part(v[0]) for k, v in a.items()} == {
         k: part(v[0]) for k, v in b.items()}
+
+
+def test_pq_arrow_path_matches_expr_path(spark):
+    """The numpy Arrow kernels (the realistic-dimensionality path,
+    e.g. 768-dim x 256 codes) must produce the same codebooks, code
+    words, and search results as the literal-expression path on
+    non-degenerate data — the ann_ivf dual-strategy contract applied
+    to PQ."""
+    from html_parser_spark.spark.ops import (
+        ann_ivfpq, ivf_fit, pq_encode, pq_fit,
+    )
+
+    emb = _clustered_embeddings(spark)
+    cb_e = pq_fit(emb, n_subspaces=4, n_codes=8, seed=7, n_iters=3,
+                  method="expr")
+    cb_a = pq_fit(emb, n_subspaces=4, n_codes=8, seed=7, n_iters=3,
+                  method="arrow")
+    assert cb_e == cb_a
+
+    codes_e = {r.vec_id: list(r.codes)
+               for r in pq_encode(emb, cb_e, method="expr").collect()}
+    codes_a = {r.vec_id: list(r.codes)
+               for r in pq_encode(emb, cb_e, method="arrow").collect()}
+    assert codes_e == codes_a
+
+    anchors = ivf_fit(emb, n_cells=4, seed=7, n_iters=2)
+    qids = [0, 25, 50, 75]
+    res_e = sorted(
+        (r.query_id, r.corpus_id, r.rank, r.adc_dist)
+        for r in ann_ivfpq(emb, qids, anchors, cb_e, k=5, n_probe=2,
+                           method="expr").collect())
+    res_a = sorted(
+        (r.query_id, r.corpus_id, r.rank, r.adc_dist)
+        for r in ann_ivfpq(emb, qids, anchors, cb_e, k=5, n_probe=2,
+                           method="arrow").collect())
+    assert res_e == res_a
