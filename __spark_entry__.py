@@ -376,6 +376,15 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample without replacement —
+    deterministic md5 uniforms, length-proportional weights, top-k
+    as TakeOrderedAndProject."""
+    from html_parser_spark.spark.ops import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=50)
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Gopher-rule composite quality gate: per-document metrics +
     keep flag + named failed rules, all per-row expressions."""
@@ -1166,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _q_repetition_scores,
         "decontaminate": _q_decontaminate,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "weighted_sample": _q_weighted_sample,
         "gopher_filter": _q_gopher_filter,
         "source_overlap": _q_source_overlap,
         "split_assign": _q_split_assign,
@@ -1704,6 +1714,22 @@ def oracle_sql() -> dict[str, str]:
                     || '</title></head><body><p>' || text
                     || '</p></body></html>') AS payload_md5
             FROM documents ORDER BY doc_id
+        """,
+        # arithmetic mirrored operation-for-operation: int add ->
+        # double cast -> divide -> ln -> divide -> round(6)
+        "weighted_sample": """
+            SELECT doc_id, lang,
+                   cast(n_chars as bigint) AS weight,
+                   round(ln(cast((('0x' || substr(md5(
+                             cast(doc_id as varchar) || '|wsample7'),
+                             1, 6))::BIGINT + 1) as double)
+                            / cast(16777216 as double))
+                         / greatest(cast(n_chars as double),
+                                    cast(1.0 as double)), 6)
+                       AS es_score
+            FROM documents
+            ORDER BY es_score DESC, doc_id ASC
+            LIMIT 50
         """,
         "gopher_filter": """
             WITH m AS (

