@@ -376,6 +376,15 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+def _q_cms_top_terms(spark, sf_dir):
+    """Count-Min frequency sketch audited against exact counts for
+    the true top-20 tokens — integer md5-bucket arithmetic, fully
+    engine-exact."""
+    from html_parser_spark.spark.ops import cms_top_terms
+
+    return cms_top_terms(_t(spark, sf_dir, "documents"))
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample without replacement —
     deterministic md5 uniforms, length-proportional weights, top-k
@@ -1176,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "weighted_sample": _q_weighted_sample,
+        "cms_top_terms": _q_cms_top_terms,
         "gopher_filter": _q_gopher_filter,
         "source_overlap": _q_source_overlap,
         "split_assign": _q_split_assign,
@@ -1289,6 +1299,52 @@ _HLL_EST_256 = _HLL_EST_FMT.format(raw=_HLL_RAW_256, m=256)
 from html_parser_spark.spark.storage import zorder_key_sql  # noqa: E402
 
 _ZORDER_XY_10 = zorder_key_sql("x", "y", 10)
+
+
+def _cms_oracle(width: int = 256, depth: int = 4, k: int = 20,
+                salt: str = "cms7") -> str:
+    """Generate the Count-Min oracle for the operator's parameters —
+    one bucket column, counter row, and estimate branch per depth."""
+    bcols = ",\n                       ".join(
+        f"('0x' || substr(md5(token || '|{salt}{r}'), 1, 8))::BIGINT"
+        f" % {width} AS b{r}" for r in range(depth))
+    counter_rows = "\n                UNION ALL\n".join(
+        f"                SELECT {r} AS row, b{r} AS bucket,"
+        f" cast(sum(exact_count) as bigint) AS counter"
+        f" FROM keyed GROUP BY b{r}" for r in range(depth))
+    est_rows = "\n                UNION ALL\n".join(
+        f"                SELECT t.token, t.exact_count, c.counter"
+        f" FROM top t JOIN counters c"
+        f" ON c.row = {r} AND c.bucket = t.b{r}" for r in range(depth))
+    return f"""
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, cast(count(*) as bigint) AS exact_count
+                FROM toks WHERE token <> '' GROUP BY token
+            ), keyed AS (
+                SELECT token, exact_count,
+                       {bcols}
+                FROM counts
+            ), counters AS (
+{counter_rows}
+            ), top AS (
+                SELECT * FROM keyed
+                ORDER BY exact_count DESC, token ASC LIMIT {k}
+            ), est AS (
+{est_rows}
+            )
+            SELECT token, exact_count,
+                   cast(min(counter) as bigint) AS cms_estimate,
+                   cast(min(counter) - exact_count as bigint)
+                       AS overestimate
+            FROM est GROUP BY token, exact_count
+            ORDER BY token
+    """
+
+
+_CMS_ORACLE = _cms_oracle()
 
 _SH_CTE = """sh AS (
               SELECT doc_id,
@@ -1715,6 +1771,10 @@ def oracle_sql() -> dict[str, str]:
                     || '</p></body></html>') AS payload_md5
             FROM documents ORDER BY doc_id
         """,
+        # pure integer md5-bucket arithmetic — engine-exact by
+        # construction; generated for the same (width=256, depth=4,
+        # salt='cms7') the operator defaults to
+        "cms_top_terms": _CMS_ORACLE,
         # arithmetic mirrored operation-for-operation: int add ->
         # double cast -> divide -> ln -> divide -> round(6)
         "weighted_sample": """

@@ -930,6 +930,64 @@ def temperature_sample(documents: DataFrame, pct: int = 50,
     )
 
 
+def cms_top_terms(documents: DataFrame, width: int = 256,
+                  depth: int = 4, k: int = 20,
+                  salt: str = "cms7") -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005,
+    public paper) over corpus tokens, audited against exact counts:
+    `depth` md5 hash rows x `width` counters, token estimate = MIN
+    over its `depth` counters. The sketch guarantees estimate >=
+    exact (one-sided error) and counters merge by ADDITION — the
+    bounded-state frequency companion of hll_distinct's cardinality
+    sketch: at 100 TB the counter table is depth x width rows no
+    matter the corpus, built by one partial-aggregated shuffle.
+
+    Output: the true top-k tokens (count desc, token asc) with exact
+    count, CMS estimate, and the overestimate — everything integer
+    arithmetic on md5 buckets, so the whole frame is engine-exact."""
+    token = F.explode(F.split(F.col("text"), " ")).alias("token")
+    toks = _spread(documents).select(token).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_count"))
+
+    def bucket(row: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "|", F.col("token"), F.lit(f"{salt}{row}"))), 1, 8),
+                16, 10).cast("bigint") % width
+        ).alias(f"b{row}")
+
+    # counter table: depth x width rows, from the per-token counts
+    # (sum of counts per bucket == sum over raw occurrences)
+    keyed = counts.select(
+        "token", "exact_count", *[bucket(r) for r in range(depth)])
+    counters = None
+    for r in range(depth):
+        c = keyed.groupBy(F.col(f"b{r}").alias("bucket")).agg(
+            F.sum("exact_count").cast("bigint").alias("counter")
+        ).select(F.lit(r).alias("row"), "bucket", "counter")
+        counters = c if counters is None else counters.unionByName(c)
+    top = (
+        keyed.orderBy(F.desc("exact_count"), F.asc("token")).limit(k)
+    )
+    est = None
+    for r in range(depth):
+        j = top.join(
+            F.broadcast(counters.where(F.col("row") == r)),
+            top[f"b{r}"] == F.col("bucket"),
+        ).select("token", "exact_count", "counter")
+        est = j if est is None else est.unionByName(j)
+    return (
+        est.groupBy("token", "exact_count")
+        .agg(F.min("counter").cast("bigint").alias("cms_estimate"))
+        .select(
+            "token", "exact_count", "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint").alias("overestimate"),
+        )
+    )
+
+
 def weighted_sample(documents: DataFrame, k: int = 50,
                     salt: str = "wsample7") -> DataFrame:
     """Weighted sampling WITHOUT replacement via the Efraimidis-

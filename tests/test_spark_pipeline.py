@@ -3158,3 +3158,44 @@ def test_weighted_sample_properties(spark):
     # sample must be heavy (binomial tail puts >=30 at ~certainty)
     heavy = sum(1 for r in got if r.doc_id < 100)
     assert heavy >= 30
+
+
+def test_cms_top_terms_properties(spark):
+    """Count-Min invariants: the estimate NEVER underestimates
+    (one-sided error), exact counts are truly exact, and every
+    estimate equals an independent Python sketch recompute built from
+    the same md5 bucket arithmetic."""
+    import hashlib
+    from collections import Counter
+
+    from html_parser_spark.spark.ops import cms_top_terms
+
+    texts = [
+        "alpha beta gamma alpha", "alpha beta", "gamma delta epsilon",
+        "alpha zeta", "beta beta gamma", "eta theta iota kappa",
+    ] * 3
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.token: r for r in
+           cms_top_terms(docs, width=16, depth=4, k=10).collect()}
+    exact = Counter(w for t in texts for w in t.split(" ") if w)
+
+    # independent sketch recompute
+    counters = [[0] * 16 for _ in range(4)]
+    for tok, c in exact.items():
+        for r in range(4):
+            h = hashlib.md5(f"{tok}|cms7{r}".encode()).hexdigest()
+            counters[r][int(h[:8], 16) % 16] += c
+    for tok, row in got.items():
+        assert row.exact_count == exact[tok]
+        est = min(
+            counters[r][int(hashlib.md5(
+                f"{tok}|cms7{r}".encode()).hexdigest()[:8], 16) % 16]
+            for r in range(4))
+        assert row.cms_estimate == est
+        assert row.overestimate >= 0  # one-sided error, always
+    # width=16 with 10 distinct tokens forces real collisions
+    # somewhere across rows; the top token is still counted exactly
+    assert got["alpha"].exact_count == 12  # 4 per cycle x 3

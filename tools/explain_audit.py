@@ -841,6 +841,20 @@ def main():
             "weighted-without-replacement sample costs one scan at "
             "any corpus size.")
 
+    audit("cms_top_terms (Count-Min frequency sketch)",
+          qs["cms_top_terms"](spark, SF_DIR), [
+        ("token count is a partial aggregation",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("counter tables join back by BROADCAST (depth x width rows)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("top-k compiles to TakeOrderedAndProject (no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no Python node",
+         lambda p: "Python" not in p),
+    ], note="The counter table is depth x width rows regardless of "
+            "corpus size and merges by ADDITION — the frequency "
+            "companion of hll_distinct's cardinality sketch.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
