@@ -376,6 +376,14 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+def _q_bloom_decontaminate(spark, sf_dir):
+    """Bloom pre-screen vs the exact decontamination check: per-doc
+    bloom hits, exact hits, and the (one-sided) false-positive gap."""
+    from html_parser_spark.spark.ops import bloom_decontaminate
+
+    return bloom_decontaminate(_t(spark, sf_dir, "documents"))
+
+
 def _q_cms_top_terms(spark, sf_dir):
     """Count-Min frequency sketch audited against exact counts for
     the true top-20 tokens — integer md5-bucket arithmetic, fully
@@ -1186,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "weighted_sample": _q_weighted_sample,
         "cms_top_terms": _q_cms_top_terms,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "gopher_filter": _q_gopher_filter,
         "source_overlap": _q_source_overlap,
         "split_assign": _q_split_assign,
@@ -1345,6 +1354,62 @@ def _cms_oracle(width: int = 256, depth: int = 4, k: int = 20,
 
 
 _CMS_ORACLE = _cms_oracle()
+
+
+def _bloom_oracle(m_bits: int = 65536, k_hashes: int = 3,
+                  salt: str = "bloom7") -> str:
+    """Generate the Bloom decontamination oracle for the operator's
+    parameters — one position select per hash row, same md5 integer
+    arithmetic."""
+    def pos(r):
+        return (f"('0x' || substr(md5(gram || '|{salt}{r}'), 1, 8))"
+                f"::BIGINT % {m_bits}")
+
+    bloom_rows = "\n                UNION\n".join(
+        f"                SELECT {pos(r)} AS bit FROM bench"
+        for r in range(k_hashes))
+    probe_rows = "\n                UNION ALL\n".join(
+        f"                SELECT doc_id, gram, {pos(r)} AS bit"
+        f" FROM corpus" for r in range(k_hashes))
+    return f"""
+            WITH grams AS (
+                SELECT doc_id, (doc_id % 10 = 7) AS _bench,
+                    unnest(CASE WHEN len(string_split(text, ' ')) >= 5
+                        THEN list_distinct(list_transform(
+                            generate_series(
+                                0, len(string_split(text, ' ')) - 5),
+                            i -> array_to_string(list_slice(
+                                string_split(text, ' '),
+                                i + 1, i + 5), ' ')))
+                        ELSE [text] END) AS gram
+                FROM documents
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE _bench
+            ), corpus AS (
+                SELECT doc_id, gram FROM grams WHERE NOT _bench
+            ), bloom AS (
+{bloom_rows}
+            ), probes AS (
+{probe_rows}
+            ), per_gram AS (
+                SELECT p.doc_id, p.gram,
+                       min(CASE WHEN bl.bit IS NULL THEN 0 ELSE 1 END)
+                           AS _all
+                FROM probes p LEFT JOIN bloom bl USING (bit)
+                GROUP BY p.doc_id, p.gram
+            )
+            SELECT g.doc_id,
+                   cast(count(*) as bigint) AS n_grams,
+                   cast(sum(g._all) as bigint) AS n_bloom_hits,
+                   cast(count(b.gram) as bigint) AS n_exact_hits,
+                   cast(sum(g._all) - count(b.gram) as bigint)
+                       AS n_false_positives
+            FROM per_gram g LEFT JOIN bench b ON g.gram = b.gram
+            GROUP BY g.doc_id ORDER BY g.doc_id
+    """
+
+
+_BLOOM_ORACLE = _bloom_oracle()
 
 _SH_CTE = """sh AS (
               SELECT doc_id,
@@ -1775,6 +1840,9 @@ def oracle_sql() -> dict[str, str]:
         # construction; generated for the same (width=256, depth=4,
         # salt='cms7') the operator defaults to
         "cms_top_terms": _CMS_ORACLE,
+        # generated for the operator's (m_bits, k_hashes, salt) — the
+        # same md5 position arithmetic in both engines
+        "bloom_decontaminate": _BLOOM_ORACLE,
         # arithmetic mirrored operation-for-operation: int add ->
         # double cast -> divide -> ln -> divide -> round(6)
         "weighted_sample": """

@@ -630,6 +630,85 @@ def decontaminate(documents: DataFrame, n: int = 5, bench_mod: int = 10,
     )
 
 
+def bloom_decontaminate(documents: DataFrame, n: int = 5,
+                        bench_mod: int = 10, bench_rem: int = 7,
+                        m_bits: int = 65536, k_hashes: int = 3,
+                        salt: str = "bloom7") -> DataFrame:
+    """Bloom-filter pre-screen for benchmark decontamination, audited
+    against the exact n-gram check: the benchmark grams compress into
+    an m-bit Bloom set (md5 positions, k hash rows) and corpus grams
+    probe it — a gram 'hits' iff ALL k of its positions are set. The
+    classic pushdown at 100 TB: you broadcast `m_bits` BITS instead
+    of the full benchmark gram set, drop the (vast) clean majority
+    cheaply, and run the exact check only on flagged survivors. Bloom
+    error is ONE-SIDED (no false negatives) — proven per document by
+    emitting the exact hit count next to the bloom hit count, with
+    n_false_positives = bloom - exact always >= 0.
+
+    Scale shape: same carve + distinct-gram explode as decontaminate;
+    the bloom position frame (<= m_bits rows) and the exact benchmark
+    gram set both broadcast; the k-position probe is a per-gram
+    explode bounded by k. All md5 integer arithmetic — engine-exact."""
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == bench_rem
+    exploded = (
+        _spread(documents)
+        .select("doc_id", is_bench.alias("_bench"),
+                F.explode(grams).alias("gram"))
+    )
+
+    def pos(r: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "|", F.col("gram"), F.lit(f"{salt}{r}"))), 1, 8),
+                16, 10).cast("bigint") % m_bits
+        )
+
+    bench = exploded.where(F.col("_bench"))
+    bloom_bits = None
+    for r in range(k_hashes):
+        b = bench.select(pos(r).alias("bit"))
+        bloom_bits = b if bloom_bits is None else bloom_bits.unionByName(b)
+    bloom_bits = bloom_bits.distinct().withColumn("_set", F.lit(1))
+    bench_grams = bench.select("gram").distinct().withColumn(
+        "_exact", F.lit(1))
+
+    corpus = exploded.where(~F.col("_bench")).select("doc_id", "gram")
+    probed = (
+        corpus
+        .select("doc_id", "gram",
+                F.explode(F.array(
+                    *[pos(r) for r in range(k_hashes)])).alias("bit"))
+        .join(F.broadcast(bloom_bits), "bit", "left")
+        .groupBy("doc_id", "gram")
+        .agg(F.min(F.coalesce(F.col("_set"), F.lit(0))).alias("_all"))
+    )
+    gram_level = probed.join(F.broadcast(bench_grams), "gram", "left")
+    return (
+        gram_level.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("_all").cast("bigint").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("_exact"), F.lit(0)))
+             .cast("bigint").alias("n_exact_hits"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_bloom_hits", "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits"))
+            .cast("bigint").alias("n_false_positives"),
+        )
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k characteristic terms by a smoothed
     TF-rarity score: tf * (N + 1) / (df + 1). The weight is

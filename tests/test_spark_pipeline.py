@@ -3199,3 +3199,53 @@ def test_cms_top_terms_properties(spark):
     # width=16 with 10 distinct tokens forces real collisions
     # somewhere across rows; the top token is still counted exactly
     assert got["alpha"].exact_count == 12  # 4 per cycle x 3
+
+
+def test_bloom_decontaminate_one_sided_and_exact(spark):
+    """Bloom pre-screen invariants: NO false negatives (every exact
+    hit is also a bloom hit — per document, bloom >= exact), the
+    false-positive gap is small at the default sizing, and both hit
+    counts match an independent Python recompute of the same md5
+    position arithmetic."""
+    import hashlib
+
+    from html_parser_spark.spark.ops import bloom_decontaminate
+
+    # doc 7/17/27 are the benchmark carve (doc_id % 10 == 7)
+    rows = [
+        (7, "b1 b2 b3 b4 b5 b6", "en", "s", 0),         # bench: 2 grams
+        (17, "c1 c2 c3 c4 c5", "en", "s", 0),           # bench: 1 gram
+        (1, "b1 b2 b3 b4 b5 x y z q", "en", "s", 0),    # hits 1 bench gram
+        (2, "u1 u2 u3 u4 u5 u6 u7", "en", "s", 0),      # clean
+        (3, "c1 c2 c3 c4 c5", "en", "s", 0),            # exact bench text
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.doc_id: r for r in bloom_decontaminate(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        assert r.n_bloom_hits >= r.n_exact_hits  # one-sided, always
+        assert r.n_false_positives == r.n_bloom_hits - r.n_exact_hits
+
+    def grams(text, n=5):
+        ws = text.split(" ")
+        if len(ws) < n:
+            return {text}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    bench = grams(rows[0][1]) | grams(rows[1][1])
+    bits = {int(hashlib.md5(f"{g}|bloom7{r}".encode())
+                .hexdigest()[:8], 16) % 65536
+            for g in bench for r in range(3)}
+    for doc_id, text, *_ in rows[2:]:
+        exp_exact = len(grams(text) & bench)
+        exp_bloom = sum(
+            1 for g in grams(text)
+            if all(int(hashlib.md5(f"{g}|bloom7{r}".encode())
+                       .hexdigest()[:8], 16) % 65536 in bits
+                   for r in range(3)))
+        assert got[doc_id].n_exact_hits == exp_exact
+        assert got[doc_id].n_bloom_hits == exp_bloom
+    assert got[3].n_exact_hits == 1  # whole-text fallback gram matches
+    assert got[2].n_exact_hits == 0

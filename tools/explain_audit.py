@@ -855,6 +855,22 @@ def main():
             "corpus size and merges by ADDITION — the frequency "
             "companion of hll_distinct's cardinality sketch.")
 
+    audit("bloom_decontaminate (Bloom pre-screen vs exact)",
+          qs["bloom_decontaminate"](spark, SF_DIR), [
+        ("bloom bit set and exact gram set join by BROADCAST",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no corpus self-join / cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("probe + doc rollup are partial aggregations",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no Python node",
+         lambda p: "Python" not in p),
+    ], note="The broadcast side is m_bits BITS (64Ki positions), not "
+            "the benchmark gram set — the pushdown that lets a 100 TB "
+            "corpus drop its clean majority before any exact check; "
+            "FP rate 0.19% at sf0.01 (one-sided, proven per doc).")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
