@@ -503,6 +503,32 @@ class VersionedParquetFormat(TableFormat):
         v = self._commit_loop(spark, table_path, "compact", files_fn)
         return len(self._manifest(spark, table_path, v)["files"])
 
+    def cluster(self, spark, table_path: str, x: str, y: str,
+                n_files: int = 16, bits: int = 16) -> int:
+        """OPTIMIZE ZORDER BY emulation on the snapshot protocol:
+        rewrite the current snapshot as `n_files` z-clustered files
+        (Morton key over the two pre-bucketed integer columns,
+        range-partitioned + sorted within files, key dropped from the
+        data) committed as a new snapshot — concurrent readers pinned
+        to older snapshots are undisturbed, exactly like compact.
+        Data is bit-identical across the rewrite; only the file
+        layout (and hence footer min/max skipping behavior, see
+        test_zorder_layout_skips_files_for_box_queries) changes."""
+        def files_fn(base):
+            df = self.read(spark, table_path, base)
+            out = (
+                zorder_layout(df, x, y, bits)
+                .repartitionByRange(n_files, "zkey")
+                .sortWithinPartitions("zkey")
+                .select(*df.columns)
+            )
+            files = self._write_data(
+                spark, table_path, out, f"c{self._nonce()}")
+            return files, df.schema.json()
+
+        v = self._commit_loop(spark, table_path, "cluster", files_fn)
+        return len(self._manifest(spark, table_path, v)["files"])
+
     # -- retention --
 
     def vacuum(self, spark, table_path: str, retain_last: int = 2

@@ -3249,3 +3249,58 @@ def test_bloom_decontaminate_one_sided_and_exact(spark):
         assert got[doc_id].n_bloom_hits == exp_bloom
     assert got[3].n_exact_hits == 1  # whole-text fallback gram matches
     assert got[2].n_exact_hits == 0
+
+
+def test_versioned_cluster_zorder_snapshot(spark, tmp_path):
+    """OPTIMIZE ZORDER through the snapshot protocol: the rewrite is
+    bit-identical data in a new snapshot (pinned readers of the old
+    snapshot undisturbed), the layout key never leaks into the
+    schema, and the new snapshot's parquet footers show z-tile bounds
+    (a y-slice no longer touches every file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from html_parser_spark.spark.storage import VersionedParquetFormat
+
+    fmt = VersionedParquetFormat()
+    path = str(tmp_path / "t")
+    df = spark.range(64 * 64).selectExpr(
+        "id", "cast(id % 64 as int) as x", "cast(id div 64 as int) as y")
+    # v1: x-sorted layout (worst case for y-slices)
+    fmt.overwrite(
+        df.repartitionByRange(16, "x").sortWithinPartitions("x"), path)
+    v1 = fmt.current_version(spark, path)
+    n_files = fmt.cluster(spark, path, "x", "y", n_files=16, bits=6)
+    assert n_files == 16
+    v2 = fmt.current_version(spark, path)
+    assert v2 == v1 + 1
+
+    new = fmt.read(spark, path)
+    assert new.columns == ["id", "x", "y"]  # zkey dropped
+    assert new.count() == 64 * 64
+    assert (new.selectExpr("sum(id) s").collect()[0].s
+            == sum(range(64 * 64)))
+    # pinned reader of v1 still sees the old snapshot
+    assert fmt.read(spark, path, v1).count() == 64 * 64
+
+    man = fmt._manifest(spark, path, v2)
+    def bounds(files):
+        out = []
+        for f in files:
+            md = pq.ParquetFile(f"{path}/{f}").metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {row.column(c).path_in_schema: row.column(c)
+                        for c in range(row.num_columns)}
+                s = cols["y"].statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+    yb = bounds(man["files"])
+    # y-slice [20,27]: the z-layout bounds y per file, so at most half
+    # the files can intersect (the x-sorted v1 would intersect ALL)
+    hits = sum(1 for lo, hi in yb if not (hi < 20 or lo > 27))
+    assert hits <= 8
