@@ -781,6 +781,19 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_rag_retrieval(spark, sf_dir):
+    """RAG prep retrieval join: BM25 top-3 documents per first user
+    turn through a token-keyed inverted-index join — transcripts and
+    documents tables meet in one query."""
+    from html_parser_spark.spark.ops import rag_retrieval
+    from html_parser_spark.spark.pipeline import extract_turns
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return rag_retrieval(extract_turns(df, ordered=False),
+                         _t(spark, sf_dir, "documents"), k=3)
+
+
 def _q_sft_corpus(spark, sf_dir):
     """End-to-end transcript SFT prep DAG: conversation quality gate
     -> context-window trim -> ChatML render; the oracle re-derives
@@ -1234,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_chatml": _q_render_chatml,
         "conv_near_dup": _q_conv_near_dup,
         "sft_corpus": _q_sft_corpus,
+        "rag_retrieval": _q_rag_retrieval,
         "conv_branches": _q_conv_branches,
         "hll_distinct": _q_hll_distinct,
         "semantic_dedup": _q_semantic_dedup,
@@ -2469,6 +2483,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, x, y,
                    {_ZORDER_XY_10} AS zkey
             FROM b ORDER BY event_id
+        """,
+        # same rational IDF + literal doubles as bm25_search; the
+        # per-(prompt, doc) sum folds an ORDER BY token list so float
+        # summation order is canonical in both engines
+        "rag_retrieval": f"""
+            WITH qt AS (
+                SELECT DISTINCT conv_id, turn_idx, token
+                FROM (
+                    SELECT conv_id, turn_idx,
+                           unnest(list_distinct(string_split(
+                               coalesce(extracted_text, ''), ' ')))
+                               AS token
+                    FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+                    WHERE role = 'user' AND turn_idx = 0
+                ) WHERE token <> ''
+            ), dw AS (
+                SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents
+            ), stats AS (
+                SELECT cast(count(*) as double) AS n_docs,
+                       cast(sum(len(ws)) as double) AS sum_dl
+                FROM dw
+            ), post AS (
+                SELECT doc_id, dl, token,
+                       cast(count(*) as double) AS tf
+                FROM (
+                    SELECT doc_id, cast(len(ws) as double) AS dl,
+                           unnest(ws) AS token
+                    FROM dw
+                ) WHERE token <> ''
+                GROUP BY doc_id, dl, token
+            ), dfreq AS (
+                SELECT token, cast(count(*) as double) AS df
+                FROM post GROUP BY token
+            ), scored AS (
+                SELECT q.conv_id, q.turn_idx, p.doc_id, q.token,
+                       ((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * ((p.tf * 2.2)
+                          / (p.tf + 1.2 * (0.25 + (0.75 * p.dl)
+                                           / (s.sum_dl / s.n_docs))))
+                           AS si
+                FROM qt q
+                JOIN dfreq f USING (token)
+                JOIN post p USING (token)
+                CROSS JOIN stats s
+            ), folded AS (
+                SELECT conv_id, turn_idx, doc_id,
+                       round(list_sum(list(si ORDER BY token)), 6)
+                           AS score
+                FROM scored GROUP BY conv_id, turn_idx, doc_id
+            ), ranked AS (
+                SELECT conv_id, turn_idx, doc_id, score,
+                       cast(row_number() OVER (
+                           PARTITION BY conv_id, turn_idx
+                           ORDER BY score DESC, doc_id ASC) as int)
+                           AS rank
+                FROM folded
+            )
+            SELECT conv_id, turn_idx, doc_id, score, rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY conv_id, turn_idx, rank
         """,
         # full three-stage SQL re-derivation: quality gate CTE, trim
         # window CTE, ordered-string_agg render — each stage also

@@ -3129,6 +3129,87 @@ def bm25_search(documents: DataFrame,
     )
 
 
+def rag_retrieval(turns: DataFrame, documents: DataFrame, k: int = 3,
+                  k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """RAG training-prep retrieval JOIN: for every first user turn
+    (the prompt), the BM25 top-k documents from the corpus — the step
+    that pairs transcripts with retrieved context before SFT. Unlike
+    bm25_search's fixed literal term list, this scores EVERY prompt
+    against EVERY matching document through a real inverted-index
+    join, which is how retrieval runs at corpus scale.
+
+    Engine exactness: same log-free rational IDF as bm25_search (its
+    documented deviation), and the per-(prompt, doc) term-score sum is
+    ORDER-CANONICALIZED — scores collect into a token-sorted list and
+    fold left-to-right (F.aggregate here, list_sum over an ordered
+    list in the oracle) so float summation order cannot differ between
+    engines. All shared literals (k1+1 etc.) are written as literal
+    doubles on both sides, never re-derived arithmetic.
+
+    Scale shape: postings and document frequencies are token-keyed
+    partial aggregations; the retrieval join is keyed by token (the
+    inverted index — never prompt x corpus); per-(prompt, doc) fold
+    state is bounded by the prompt's distinct-token count; top-k is a
+    per-prompt window over matched docs only. Corpus stats broadcast
+    as one row."""
+    from pyspark.sql import Window
+
+    prompts = (
+        turns.where((F.col("role") == "user") & (F.col("turn_idx") == 0))
+        .select(
+            "conv_id", "turn_idx",
+            F.explode(F.array_distinct(F.split(
+                F.coalesce(F.col("extracted_text"), F.lit("")), " ")))
+            .alias("token"))
+        .where(F.col("token") != "")
+    )
+    words = F.split(F.col("text"), " ")
+    dw = documents.select("doc_id", words.alias("ws"))
+    stats = dw.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size("ws")).cast("double").alias("sum_dl"),
+    )
+    post = (
+        dw.select("doc_id", F.size("ws").cast("double").alias("dl"),
+                  F.explode("ws").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = post.groupBy("token").agg(
+        F.count("*").cast("double").alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = ((F.col("n_docs") - F.col("df") + F.lit(0.5))
+           / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / avgdl))
+    si = idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    scored = (
+        prompts.join(dfreq, "token")
+        .join(post, "token")
+        .crossJoin(F.broadcast(stats))
+        .select("conv_id", "turn_idx", "doc_id", "token",
+                si.alias("si"))
+    )
+    folded = (
+        scored.groupBy("conv_id", "turn_idx", "doc_id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col("token"), F.col("si")))).alias("_terms"))
+        .select(
+            "conv_id", "turn_idx", "doc_id",
+            F.round(F.aggregate(
+                F.col("_terms"), F.lit(0.0),
+                lambda acc, t: acc + t.getField("si")), 6)
+            .alias("score"))
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ccnet_split(documents: DataFrame) -> DataFrame:
     """CCNet-style corpus split (Wenzek et al. 2019: head/middle/tail
     by language-model perplexity, per language). Engine-exact variant:

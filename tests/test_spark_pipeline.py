@@ -3304,3 +3304,38 @@ def test_versioned_cluster_zorder_snapshot(spark, tmp_path):
     # the files can intersect (the x-sorted v1 would intersect ALL)
     hits = sum(1 for lo, hi in yb if not (hi < 20 or lo > 27))
     assert hits <= 8
+
+
+def test_rag_retrieval_hand_built(spark):
+    """Inverted-index BM25 join: the prompt's rare term pulls the
+    document containing it to rank 1 ahead of a common-term match;
+    only first user turns retrieve; docs sharing no token never
+    appear; k bounds the output."""
+    from html_parser_spark.spark.ops import rag_retrieval
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "find zebra stuff"),
+            ("c1", 1, "assistant", "zebra zebra zebra"),  # not a prompt
+            ("c2", 1, "user", "common only"),             # not turn 0
+        ],
+        "conv_id string, turn_idx int, role string, "
+        "extracted_text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra common common common", "en", "s", 0),
+            (2, "common common common common", "en", "s", 0),
+            (3, "stuff common common common", "en", "s", 0),
+            (4, "nothing shared here at all", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    got = rag_retrieval(turns, docs, k=2).collect()
+    assert {(r.conv_id, r.turn_idx) for r in got} == {("c1", 0)}
+    ranked = sorted(got, key=lambda r: r.rank)
+    assert len(ranked) == 2  # k bound (docs 1 and 3 match)
+    # 'zebra' and 'stuff' have equal df (1 each) and both docs have
+    # equal length -> symmetric scores; rank 1 breaks to doc_id 1
+    assert [r.doc_id for r in ranked] == [1, 3]
+    assert all(r.doc_id != 4 for r in ranked)
+    assert ranked[0].score > 0

@@ -871,6 +871,23 @@ def main():
             "corpus drop its clean majority before any exact check; "
             "FP rate 0.19% at sf0.01 (one-sided, proven per doc).")
 
+    audit("rag_retrieval (inverted-index BM25 join)",
+          qs["rag_retrieval"](spark, SF_DIR), [
+        ("retrieval join is TOKEN-keyed (no prompt x corpus "
+         "cartesian)", lambda p: "CartesianProduct" not in p),
+        ("corpus stats broadcast as one row",
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("postings/df are partial aggregations",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("score fold adds NO Python node (the one PythonMapInArrow "
+         "is the upstream extraction kernel)",
+         lambda p: p.count("PythonMapInArrow") <= 1),
+    ], note="The single-row stats frame joins via a broadcast nested "
+            "loop ON PURPOSE (1 x N rows, no key exists); the real "
+            "fan-out joins key by token. Per-(prompt, doc) fold "
+            "state is bounded by the prompt's token count.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
