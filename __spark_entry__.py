@@ -418,6 +418,16 @@ def _q_source_overlap(spark, sf_dir):
     return source_overlap(_t(spark, sf_dir, "documents"))
 
 
+def _q_leakage_check(spark, sf_dir):
+    """Train/eval leakage audit: near-dup pairs per split combination
+    with leaky flags — the shared pair CTE joined to the md5 split."""
+    from html_parser_spark.spark.ops import leakage_check
+
+    return leakage_check(_t(spark, sf_dir, "documents"),
+                         threshold=_NEARDUP_THRESHOLD,
+                         **_NEARDUP_LSH)
+
+
 def _q_split_assign(spark, sf_dir):
     # deterministic md5-bucket train/val/test split — SQL-exact
     from html_parser_spark.spark.ops import split_assign
@@ -1211,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "source_overlap": _q_source_overlap,
         "split_assign": _q_split_assign,
+        "leakage_check": _q_leakage_check,
         "dup_passages": _q_dup_passages,
         "pmi_collocations": _q_pmi_collocations,
         "warc_roundtrip": _q_warc_roundtrip,
@@ -1951,6 +1962,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN totals ta ON p.source_a = ta.source
             JOIN totals tb ON p.source_b = tb.source
             ORDER BY p.source_a, p.source_b
+        """,
+        # the shared TRUE near-dup pair CTE joined to the split_assign
+        # md5 arithmetic — both already single-sourced
+        "leakage_check": f"""
+            WITH {_SH_CTE}, {_PAIRS_CTE}, sp AS (
+                SELECT doc_id,
+                       CASE WHEN b < 90 THEN 'train'
+                            WHEN b < 95 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT doc_id,
+                           ('0x' || substr(md5(cast(doc_id as varchar)
+                                               || '|split42'), 1, 8))
+                               ::BIGINT % 100 AS b
+                    FROM documents
+                )
+            ), combos AS (
+                SELECT least(a.split, b.split) AS split_a,
+                       greatest(a.split, b.split) AS split_b
+                FROM pairs p
+                JOIN sp a ON p.pa = a.doc_id
+                JOIN sp b ON p.pb = b.doc_id
+            )
+            SELECT split_a, split_b,
+                   cast(count(*) as bigint) AS n_pairs,
+                   split_a <> split_b AS leaky
+            FROM combos GROUP BY split_a, split_b
+            ORDER BY split_a, split_b
         """,
         "split_assign": """
             SELECT doc_id, lang,

@@ -911,6 +911,46 @@ def split_assign(documents: DataFrame, train_pct: int = 90,
     )
 
 
+def leakage_check(documents: DataFrame, threshold: float = 0.5,
+                  num_hashes: int = 32, bands: int = 16,
+                  train_pct: int = 90, val_pct: int = 5,
+                  salt: str = "split42") -> DataFrame:
+    """Train/eval LEAKAGE audit: near-duplicate pairs that straddle
+    the train/val/test assignment — the check that catches an eval
+    set contaminated by near-copies of training documents, which
+    exact dedup misses and a random split almost guarantees at scale.
+    Composes the corpus' own primitives: the shared LSH-candidate +
+    exact-Jaccard pair definition (ngram_jaccard/dup_components) and
+    the deterministic md5 split (split_assign). One row per
+    (split_a, split_b) combination with the pair count and a `leaky`
+    flag on cross-split rows; within-split rows stay visible so the
+    audit is total over the pair set.
+
+    Scale shape: the pair set comes from the banded-LSH shuffle
+    (never all-pairs); the split columns are per-row md5 expressions
+    joined onto the PAIR frame (|pairs| rows), not the corpus."""
+    cands = minhash_lsh_candidates(documents, num_hashes, bands)
+    pairs = ngram_jaccard_pairs(documents, 3, threshold,
+                                candidates=cands)
+    splits = split_assign(documents, train_pct, val_pct, salt).select(
+        "doc_id", "split")
+    a = splits.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("sa"))
+    b = splits.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("sb"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select("split_a", "split_b", "n_pairs",
+                (F.col("split_a") != F.col("split_b")).alias("leaky"))
+    )
+
+
 def chunk_documents(documents: DataFrame, chunk_tokens: int = 48,
                     overlap: int = 16) -> DataFrame:
     """Sliding-window chunking — the pretraining/RAG prep step that

@@ -3339,3 +3339,43 @@ def test_rag_retrieval_hand_built(spark):
     assert [r.doc_id for r in ranked] == [1, 3]
     assert all(r.doc_id != 4 for r in ranked)
     assert ranked[0].score > 0
+
+
+def test_leakage_check_planted_cross_split_pair(spark):
+    """A planted near-dup pair whose members land in different splits
+    must surface as a leaky row; a same-split near-dup pair counts
+    but is not leaky. Split membership probed from split_assign so
+    the test plants ids deterministically rather than guessing md5s."""
+    from html_parser_spark.spark.ops import leakage_check, split_assign
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    # find ids in train and in test under the default salt
+    ids = spark.createDataFrame(
+        [(i, "x", "en", "s", 0) for i in range(400)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    splits = {r.doc_id: r.split
+              for r in split_assign(ids).collect()}
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    test_ids = [i for i, s in splits.items() if s == "test"]
+    a, b = train_ids[0], test_ids[0]      # cross-split near-dups
+    c, d = train_ids[1], train_ids[2]     # same-split near-dups
+    rows = [
+        (a, base, "en", "s", 0),
+        (b, base + " tail", "en", "s", 0),
+        (c, "one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen", "en", "s", 0),
+        (d, "one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen end", "en", "s", 0),
+        (train_ids[3], "totally different text here now", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {(r.split_a, r.split_b): r
+           for r in leakage_check(docs).collect()}
+    assert got[("test", "train")].leaky
+    assert got[("test", "train")].n_pairs == 1
+    assert not got[("train", "train")].leaky
+    assert got[("train", "train")].n_pairs == 1

@@ -888,6 +888,19 @@ def main():
             "fan-out joins key by token. Per-(prompt, doc) fold "
             "state is bounded by the prompt's token count.")
 
+    audit("leakage_check (train/eval near-dup leakage audit)",
+          qs["leakage_check"](spark, SF_DIR), [
+        ("pair generation is the banded-LSH shuffle (no cartesian/"
+         "BNL)", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("split columns join onto the PAIR frame",
+         lambda p: "Join" in p),
+        ("no Python node",
+         lambda p: "Python" not in p),
+    ], note="Reuses the single-sourced near-dup pair definition and "
+            "split arithmetic; the audit costs |pairs| join rows on "
+            "top of the dedup pipeline it shares.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
