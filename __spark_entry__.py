@@ -791,6 +791,27 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_mixture_weights(spark, sf_dir):
+    """Per-language mixture reweighting plan: exact rational weights
+    equalizing the language mix, natural shares alongside."""
+    from html_parser_spark.spark.ops import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+def _q_conv_pii_audit(spark, sf_dir):
+    """Transcript PII audit per conversation (counts, roles, worst
+    turn). The synthetic corpus is PII-free by construction, so every
+    row reports zero (same precedent as redact_pii's zero counts);
+    the detection semantics are gated by a planted pytest."""
+    from html_parser_spark.spark.ops import conv_pii_audit
+    from html_parser_spark.spark.pipeline import extract_turns
+    from html_parser_spark.spark.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 2000, seed=42, partitions=8)
+    return conv_pii_audit(extract_turns(df, ordered=False))
+
+
 def _q_rag_retrieval(spark, sf_dir):
     """RAG prep retrieval join: BM25 top-3 documents per first user
     turn through a token-keyed inverted-index join — transcripts and
@@ -1259,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dup": _q_conv_near_dup,
         "sft_corpus": _q_sft_corpus,
         "rag_retrieval": _q_rag_retrieval,
+        "mixture_weights": _q_mixture_weights,
+        "conv_pii_audit": _q_conv_pii_audit,
         "conv_branches": _q_conv_branches,
         "hll_distinct": _q_hll_distinct,
         "semantic_dedup": _q_semantic_dedup,
@@ -2522,6 +2545,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, x, y,
                    {_ZORDER_XY_10} AS zkey
             FROM b ORDER BY event_id
+        """,
+        "mixture_weights": """
+            WITH c AS (
+                SELECT lang, cast(count(*) as bigint) AS n_docs
+                FROM documents GROUP BY lang
+            ), t AS (
+                SELECT cast(sum(n_docs) as bigint) AS n_total,
+                       cast(count(*) as bigint) AS n_langs
+                FROM c
+            )
+            SELECT lang, n_docs,
+                   round(cast(n_docs as double) / n_total, 6)
+                       AS natural_frac,
+                   n_total AS weight_num,
+                   cast(n_langs * n_docs as bigint) AS weight_den,
+                   round(cast(n_total as double)
+                         / (n_langs * n_docs), 6) AS weight
+            FROM c CROSS JOIN t ORDER BY lang
+        """,
+        # same single-sourced Java==RE2 patterns as redact_pii
+        "conv_pii_audit": f"""
+            WITH per AS (
+                SELECT conv_id, turn_idx, role,
+                       cast(len(regexp_extract_all(
+                           coalesce(extracted_text, ''),
+                           '{_PII_EMAIL}')) as bigint) AS e,
+                       cast(len(regexp_extract_all(
+                           regexp_replace(
+                               coalesce(extracted_text, ''),
+                               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{_PII_URL}')) as bigint) AS u
+                FROM read_parquet('{_FIXTURES}/turns_2000.parquet')
+            ), worst AS (
+                SELECT conv_id, turn_idx FROM (
+                    SELECT conv_id, turn_idx,
+                           row_number() OVER (
+                               PARTITION BY conv_id
+                               ORDER BY e + u DESC, turn_idx DESC)
+                               AS rk
+                    FROM per
+                ) WHERE rk = 1
+            ), agg AS (
+                SELECT conv_id,
+                       cast(sum(e) as bigint) AS n_emails,
+                       cast(sum(u) as bigint) AS n_urls,
+                       coalesce(array_to_string(list_sort(
+                           list(DISTINCT role)
+                               FILTER (WHERE e + u > 0)), ','), '')
+                           AS pii_roles
+                FROM per GROUP BY conv_id
+            )
+            SELECT a.conv_id, a.n_emails, a.n_urls, a.pii_roles,
+                   CASE WHEN a.n_emails + a.n_urls > 0
+                        THEN cast(w.turn_idx as int) END
+                       AS worst_turn_idx,
+                   a.n_emails + a.n_urls > 0 AS has_pii
+            FROM agg a JOIN worst w USING (conv_id)
+            ORDER BY a.conv_id
         """,
         # same rational IDF + literal doubles as bm25_search; the
         # per-(prompt, doc) sum folds an ORDER BY token list so float

@@ -1333,6 +1333,82 @@ URL_RE = r"https?://[^ \t\n\x0b\f\r]+"
 _CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 
 
+def mixture_weights(documents: DataFrame) -> DataFrame:
+    """Data-mixture reweighting plan: per-language corpus shares and
+    the per-document sampling weight that equalizes the mix (uniform
+    target across observed languages) — the small-frame math that
+    parameterizes weighted_sample / temperature_sample when a
+    training run pins a target language distribution. weight_num /
+    weight_den carry the EXACT rational N_total / (k * N_lang); the
+    double columns are one mirrored division each.
+
+    Scale shape: one partial-aggregating count per language; the
+    frame never exceeds the language count."""
+    counts = documents.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "lang", "n_docs",
+            F.round(F.col("n_docs").cast("double")
+                    / F.col("n_total"), 6).alias("natural_frac"),
+            F.col("n_total").alias("weight_num"),
+            (F.col("n_langs") * F.col("n_docs")).cast("bigint")
+            .alias("weight_den"),
+            F.round(F.col("n_total").cast("double")
+                    / (F.col("n_langs") * F.col("n_docs")), 6)
+            .alias("weight"),
+        )
+    )
+
+
+def conv_pii_audit(extracted: DataFrame) -> DataFrame:
+    """Transcript-level PII audit: per conversation, email/URL match
+    counts over the extracted turns, which roles carried them, and
+    the worst single turn — the review queue a redaction pass feeds.
+    Shares redact_pii's single-sourced Java==RE2 patterns so the
+    audit and the scrub can never disagree on what counts as PII.
+
+    Scale shape: per-row regexp counts, one conv_id partial
+    aggregation; nothing else moves."""
+    n_emails = F.regexp_count(
+        F.coalesce(F.col("extracted_text"), F.lit("")), F.lit(EMAIL_RE))
+    step1 = F.regexp_replace(
+        F.coalesce(F.col("extracted_text"), F.lit("")),
+        EMAIL_RE, "<EMAIL>")
+    n_urls = F.regexp_count(step1, F.lit(URL_RE))
+    per_turn = extracted.select(
+        "conv_id", "turn_idx", "role",
+        n_emails.cast("bigint").alias("_e"),
+        n_urls.cast("bigint").alias("_u"),
+    )
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(
+            F.sum("_e").cast("bigint").alias("n_emails"),
+            F.sum("_u").cast("bigint").alias("n_urls"),
+            F.array_join(F.array_sort(F.collect_set(
+                F.when(F.col("_e") + F.col("_u") > 0, F.col("role"))
+            )), ",").alias("pii_roles"),
+            F.max(F.struct(
+                (F.col("_e") + F.col("_u")).alias("n"),
+                F.col("turn_idx").alias("t"),
+            )).alias("_worst"),
+        )
+        .select(
+            "conv_id", "n_emails", "n_urls", "pii_roles",
+            F.when(F.col("n_emails") + F.col("n_urls") > 0,
+                   F.col("_worst.t")).cast("int")
+             .alias("worst_turn_idx"),
+            (F.col("n_emails") + F.col("n_urls") > 0).alias("has_pii"),
+        )
+    )
+
+
 def redact_pii(documents: DataFrame) -> DataFrame:
     """Training-corpus scrubbing: replace emails and URLs with typed
     placeholders, strip C0 control characters (except tab/newline/CR),

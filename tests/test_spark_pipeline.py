@@ -3379,3 +3379,56 @@ def test_leakage_check_planted_cross_split_pair(spark):
     assert got[("test", "train")].n_pairs == 1
     assert not got[("train", "train")].leaky
     assert got[("train", "train")].n_pairs == 1
+
+
+def test_conv_pii_audit_planted(spark):
+    """Planted PII: email/URL counts roll up per conversation, the
+    carrying roles list sorted+deduped, the worst turn is the one
+    with the most matches (ties to the later turn), and clean
+    conversations report zeros with a NULL worst turn."""
+    from html_parser_spark.spark.ops import conv_pii_audit
+
+    rows = [
+        ("a", 0, "user", "mail me at bob@example.com please"),
+        ("a", 1, "assistant", "see https://x.test/1 and "
+                              "https://y.test/2"),
+        ("a", 2, "user", "nothing here"),
+        ("b", 0, "user", "clean"), ("b", 1, "assistant", "also clean"),
+        # c: equal counts on two turns -> worst is the LATER turn
+        ("c", 0, "user", "a@b.co"), ("c", 1, "user", "c@d.co"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "extracted_text string")
+    got = {r.conv_id: r for r in conv_pii_audit(turns).collect()}
+    a = got["a"]
+    assert (a.n_emails, a.n_urls, a.has_pii) == (1, 2, True)
+    assert a.pii_roles == "assistant,user"
+    assert a.worst_turn_idx == 1  # the 2-URL turn beats the 1-email
+    b = got["b"]
+    assert (b.n_emails, b.n_urls, b.has_pii) == (0, 0, False)
+    assert b.worst_turn_idx is None and b.pii_roles == ""
+    assert got["c"].worst_turn_idx == 1  # tie -> later turn
+
+
+def test_mixture_weights_hand_built(spark):
+    """Exact rational reweighting: weight = N_total / (k * N_lang),
+    natural shares sum to 1, and the weighted expected counts
+    equalize."""
+    from html_parser_spark.spark.ops import mixture_weights
+
+    rows = ([(i, "t", "en", "s", 0) for i in range(60)]
+            + [(100 + i, "t", "fr", "s", 0) for i in range(30)]
+            + [(200 + i, "t", "de", "s", 0) for i in range(10)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.lang: r for r in mixture_weights(docs).collect()}
+    assert got["en"].n_docs == 60 and got["en"].natural_frac == 0.6
+    assert (got["en"].weight_num, got["en"].weight_den) == (100, 180)
+    assert abs(got["en"].weight - round(100 / 180, 6)) < 1e-12
+    assert abs(got["de"].weight - round(100 / 30, 6)) < 1e-12
+    # weighted expected counts equalize: n_docs * weight == N/k
+    for r in got.values():
+        assert abs(r.n_docs * (r.weight_num / r.weight_den)
+                   - 100 / 3) < 1e-9

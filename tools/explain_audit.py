@@ -901,6 +901,30 @@ def main():
             "split arithmetic; the audit costs |pairs| join rows on "
             "top of the dedup pipeline it shares.")
 
+    audit("mixture_weights (language reweighting plan)",
+          qs["mixture_weights"](spark, SF_DIR), [
+        ("one partial-aggregating count per language",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("totals broadcast (1-row frame)",
+         lambda p: "Broadcast" in p),
+        ("no Python node", lambda p: "Python" not in p),
+    ], note="The frame never exceeds the language count — plan math, "
+            "not data movement.")
+
+    audit("conv_pii_audit (transcript PII rollup)",
+          qs["conv_pii_audit"](spark, SF_DIR), [
+        ("per-row regexp counts + ONE conv_id aggregation",
+         lambda p: p.count("HashAggregate") >= 2
+         or "ObjectHashAggregate" in p),
+        ("rollup adds NO Python node (the one PythonMapInArrow is "
+         "the upstream extraction kernel)",
+         lambda p: p.count("PythonMapInArrow") <= 1),
+        ("no join, no window",
+         lambda p: "Window" not in p),
+    ], note="Shares redact_pii's single-sourced Java==RE2 patterns; "
+            "the audit costs regexp evaluation on the same scan the "
+            "extraction already paid for.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
