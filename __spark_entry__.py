@@ -1071,6 +1071,16 @@ def _q_curate_corpus(spark, sf_dir):
     return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_representatives(spark, sf_dir):
+    """Quality-aware representative per near-dup cluster (same shared
+    pair/threshold definition as dup_components/ngram_jaccard)."""
+    from html_parser_spark.spark.ops import dedup_representatives
+
+    return dedup_representatives(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=_NEARDUP_THRESHOLD, **_NEARDUP_LSH)
+
+
 def _q_dup_components(spark, sf_dir):
     # near-dup clustering as a first-class result (the clustering view
     # of curate_corpus's drop rule): LSH-verified pairs collapsed to
@@ -1300,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "curate_corpus": _q_curate_corpus,
         "dup_components": _q_dup_components,
+        "dedup_representatives": _q_dedup_representatives,
         "asof_attribution": _q_asof_attribution,
         "value_percentiles": _q_value_percentiles,
         "approx_percentiles": _q_approx_percentiles,
@@ -2214,6 +2225,51 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        # the components CTE extended with the quality_score argmax
+        # (rounded quality, ties to the smallest doc_id)
+        "dedup_representatives": f"""
+            WITH RECURSIVE {_SH_CTE}, {_PAIRS_CTE}, edges AS (
+              SELECT pa AS ea, pb AS eb FROM pairs
+              UNION
+              SELECT pb AS ea, pa AS eb FROM pairs
+            ), reach AS (
+              SELECT ea AS node, ea AS root FROM edges
+              UNION
+              SELECT e.eb AS node, r.root AS root
+              FROM reach r JOIN edges e ON e.ea = r.node
+            ), comp AS (
+              SELECT node AS doc_id, min(root) AS cluster_root
+              FROM reach GROUP BY node
+            ), q AS (
+              SELECT doc_id,
+                     round((length(regexp_replace(text, '[^a-zA-Z]',
+                                                  '', 'g'))
+                            / greatest(length(text), 1)
+                            + len(list_filter(string_split(text, ' '),
+                                              t -> t in {_EN_STOP}))
+                            / greatest(len(string_split(text, ' ')), 1)
+                            + case when length(text)
+                                        between 100 and 2000
+                                   then 1.0 else 0.5 end) / 3.0, 6)
+                         AS quality
+              FROM documents
+            ), ranked AS (
+              SELECT c.cluster_root, c.doc_id, q.quality,
+                     row_number() OVER (
+                         PARTITION BY c.cluster_root
+                         ORDER BY q.quality DESC, c.doc_id ASC) AS rk,
+                     count(*) OVER (PARTITION BY c.cluster_root)
+                         AS n_members
+              FROM comp c JOIN q USING (doc_id)
+            )
+            SELECT cluster_root,
+                   cast(n_members as bigint) AS n_members,
+                   doc_id AS rep_doc_id,
+                   quality AS rep_quality,
+                   cast(n_members - 1 as bigint) AS n_dropped
+            FROM ranked WHERE rk = 1
+            ORDER BY cluster_root
         """,
         "dup_components": f"""
             WITH RECURSIVE {_SH_CTE}, {_PAIRS_CTE}, edges AS (

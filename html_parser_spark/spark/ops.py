@@ -2854,6 +2854,42 @@ def dup_components(documents: DataFrame,
     )
 
 
+def dedup_representatives(documents: DataFrame,
+                          jaccard_threshold: float = 0.8,
+                          num_hashes: int = 32, bands: int = 16,
+                          max_bucket: int | None = 1024) -> DataFrame:
+    """Quality-aware cluster representative selection — the
+    completion of the dedup DAG that keep-lowest-id skips: for every
+    near-dup cluster (dup_components), keep the member with the BEST
+    quality score (ties to the smallest doc_id), reporting cluster
+    size and how many documents the choice drops. At 100 TB this is
+    the difference between keeping an arbitrary member of a
+    boilerplate cluster and keeping its cleanest exemplar.
+
+    Scale shape: dup_components' pair-scale frames, one quality join
+    on the CLUSTERED docs only (never the whole corpus), argmax via a
+    single partial-aggregating max(struct) — no per-cluster window."""
+    comp = dup_components(documents, jaccard_threshold, num_hashes,
+                          bands, max_bucket)
+    q = quality_score(documents).select("doc_id", "quality")
+    return (
+        comp.join(q, "doc_id")
+        .groupBy("cluster_root")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max(F.struct(
+                F.col("quality"), (-F.col("doc_id")).alias("neg_id")
+            )).alias("m"),
+        )
+        .select(
+            "cluster_root", "n_members",
+            (-F.col("m.neg_id")).cast("bigint").alias("rep_doc_id"),
+            F.col("m.quality").alias("rep_quality"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def curate_corpus(documents: DataFrame, quality_min: float = 0.55,
                   jaccard_threshold: float = 0.8,
                   materialize: bool = True,

@@ -3432,3 +3432,37 @@ def test_mixture_weights_hand_built(spark):
     for r in got.values():
         assert abs(r.n_docs * (r.weight_num / r.weight_den)
                    - 100 / 3) < 1e-9
+
+
+def test_dedup_representatives_quality_argmax(spark):
+    """The representative is the best-QUALITY member, not the lowest
+    id: a planted cluster whose highest-quality member has the
+    highest doc_id must keep that member; quality ties fall back to
+    the smallest id."""
+    from html_parser_spark.spark.ops import (
+        dedup_representatives, quality_score,
+    )
+
+    # near-identical trio; doc 12 is padded into the 100-2000 char
+    # quality band (length_score 1.0 vs 0.5) so it wins despite the
+    # highest id
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to find a quiet place to rest")
+    long_tail = " ".join(["and so the story continues onward"] * 3)
+    rows = [
+        (10, base, "en", "s", 0),
+        (11, base + " end", "en", "s", 0),
+        (12, base + " " + long_tail, "en", "s", 0),
+        (20, "completely unrelated text lives here", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert q[12] > max(q[10], q[11])  # the plant is real
+    got = dedup_representatives(docs, jaccard_threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.cluster_root, r.n_members, r.rep_doc_id, r.n_dropped) \
+        == (10, 3, 12, 2)
+    assert abs(r.rep_quality - q[12]) < 1e-12

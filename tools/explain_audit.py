@@ -925,6 +925,22 @@ def main():
             "the audit costs regexp evaluation on the same scan the "
             "extraction already paid for.")
 
+    audit("dedup_representatives (quality-aware cluster keeper)",
+          qs["dedup_representatives"](spark, SF_DIR), [
+        ("no cartesian/BNL anywhere in the LSH+components+quality "
+         "composition", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("argmax is a partial max(struct) aggregation, no per-cluster "
+         "window", lambda p: "Window" not in p),
+        ("no Python WORKER stage (the ExistingRDD scan is the bounded "
+         "union-find result at oracle scale, documented in "
+         "_components_min_label — not a per-row Python plan node)",
+         lambda p: "PythonMapInArrow" not in p
+         and "MapInPandas" not in p
+         and "EvalPython" not in p),
+    ], note="Quality joins onto the CLUSTERED docs only; the argmax "
+            "runs as one keyed aggregation over cluster members.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
