@@ -6,7 +6,8 @@ Usage:
       --input  /path/to/transcripts_parquet \
       --output /path/to/sft_out \
       [--budget-tokens 128] [--max-parse-errors 8] \
-      [--mode fragment] [--context div] [--shards 64]
+      [--mode fragment] [--context div] [--shards 64] \
+      [--format parquet|jsonl]
 
 Pipeline: extraction kernel (one Arrow stage) -> conversation quality
 gate -> context-window trim -> ChatML render (pipeline.sft_corpus; all
@@ -34,6 +35,8 @@ def main(argv=None) -> int:
                     choices=("fragment", "document"))
     ap.add_argument("--context", default="div")
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--format", default="parquet",
+                    choices=("parquet", "jsonl"))
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -51,10 +54,17 @@ def main(argv=None) -> int:
         max_parse_errors=args.max_parse_errors,
     )
     # shard by a conv-stable hash so re-runs land rows in the same
-    # shard (repartition(n, col) is hash partitioning, deterministic)
-    corpus.repartition(args.shards, "conv_id").write.mode(
-        "overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
+    # shard (repartition(n, col) is hash partitioning, deterministic);
+    # jsonl = the newline-delimited training-shard interchange format
+    # (html_parser_spark.spark.jsonl), parquet = the warehouse form
+    sharded = corpus.repartition(args.shards, "conv_id").write.mode(
+        "overwrite")
+    if args.format == "jsonl":
+        sharded.json(args.output)
+        n = spark.read.json(args.output).count()
+    else:
+        sharded.parquet(args.output)
+        n = spark.read.parquet(args.output).count()
     print(json.dumps({
         "job": "sft-prep",
         "conversations": n,

@@ -3466,3 +3466,50 @@ def test_dedup_representatives_quality_argmax(spark):
     assert (r.cluster_root, r.n_members, r.rep_doc_id, r.n_dropped) \
         == (10, 3, 12, 2)
     assert abs(r.rep_quality - q[12]) < 1e-12
+
+
+def test_jsonl_source_quarantine_and_roundtrip(spark, tmp_path):
+    """JSONL boundary: clean lines come back schema-identical to the
+    parquet source (same extraction results), malformed JSON and
+    keyless records land in the quarantine frame verbatim-ish, and
+    the ChatML JSONL sink round-trips through Spark's JSON reader."""
+    import json
+
+    from html_parser_spark.spark.jsonl import (
+        read_transcripts_jsonl, write_chatml_jsonl,
+    )
+    from html_parser_spark.spark.pipeline import (
+        extract_turns, render_chatml,
+    )
+
+    p = tmp_path / "in.jsonl"
+    lines = [
+        json.dumps({"conv_id": "a", "turn_idx": 0, "role": "user",
+                    "text": "<p>hi</p>", "tool": None,
+                    "ts": "2020-01-01T00:00:00"}),
+        json.dumps({"conv_id": "a", "turn_idx": 1, "role": "assistant",
+                    "text": "plain", "tool": None,
+                    "ts": "2020-01-01T00:01:00"}),
+        '{"this is not json',                       # malformed
+        json.dumps({"role": "user", "text": "no keys"}),  # keyless
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, quarantined = read_transcripts_jsonl(spark, str(p))
+    assert good.count() == 2
+    assert good.columns == ["conv_id", "turn_idx", "role", "text",
+                            "tool", "ts"]
+    q = [r.raw_line for r in quarantined.collect()]
+    assert len(q) == 2
+    assert any("this is not json" in x for x in q)
+    # the JSONL-sourced frame drives the SAME pipeline
+    ext = extract_turns(good, ordered=False)
+    got = {(r.conv_id, r.turn_idx): r.extracted_text
+           for r in ext.collect()}
+    assert got[("a", 0)] == "hi" and got[("a", 1)] == "plain"
+
+    out = tmp_path / "out"
+    write_chatml_jsonl(render_chatml(ext), str(out), shards=2)
+    back = spark.read.json(str(out))
+    rows = {r.conv_id: r for r in back.collect()}
+    assert rows["a"].n_turns == 2
+    assert rows["a"].chatml.startswith("<|im_start|>user\nhi<|im_end|>")
