@@ -791,6 +791,22 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_dataset_card(spark, sf_dir):
+    """One-row corpus datasheet: sizes, breadth, exact-dup rate, mean
+    quality (decimal-sum exact), Gopher keep rate."""
+    from html_parser_spark.spark.ops import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+def _q_source_quality(spark, sf_dir):
+    """Per-source health dashboard: counts, decimal-exact mean
+    quality, Gopher keep rate."""
+    from html_parser_spark.spark.ops import source_quality
+
+    return source_quality(_t(spark, sf_dir, "documents"))
+
+
 def _q_mixture_weights(spark, sf_dir):
     """Per-language mixture reweighting plan: exact rational weights
     equalizing the language mix, natural shares alongside."""
@@ -1291,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_corpus": _q_sft_corpus,
         "rag_retrieval": _q_rag_retrieval,
         "mixture_weights": _q_mixture_weights,
+        "dataset_card": _q_dataset_card,
+        "source_quality": _q_source_quality,
         "conv_pii_audit": _q_conv_pii_audit,
         "conv_branches": _q_conv_branches,
         "hll_distinct": _q_hll_distinct,
@@ -1413,6 +1431,42 @@ def _cms_oracle(width: int = 256, depth: int = 4, k: int = 20,
 
 
 _CMS_ORACLE = _cms_oracle()
+
+# shared fragments for the card/dashboard oracles: the quality
+# expression (mirrors ops.quality_score) and the per-doc gopher
+# metric CTE + keep predicate (mirrors ops.gopher_filter)
+_QUALITY_EXPR = """round((length(regexp_replace(text, '[^a-zA-Z]',
+                                                '', 'g'))
+                          / greatest(length(text), 1)
+                          + len(list_filter(string_split(text, ' '),
+                                t -> t in ('the','a','of','and','to')))
+                          / greatest(len(string_split(text, ' ')), 1)
+                          + case when length(text) between 100 and 2000
+                                 then 1.0 else 0.5 end) / 3.0, 6)"""
+
+_GOPHER_M_CTE = """gm AS (
+                SELECT doc_id, lang, source, text,
+                       len(string_split(text,' ')) AS n_words,
+                       length(replace(text,' ','')) AS chars,
+                       length(text) - length(replace(text,'#',''))
+                           AS hashes,
+                       (length(text)
+                        - length(replace(text,'...',''))) // 3 AS ells,
+                       len(list_filter(string_split(text,' '),
+                           t -> t in ('the','a','of','and','to')))
+                           AS stops
+                FROM documents
+            ), gk AS (
+                SELECT *,
+                       (NOT (n_words < 20 OR n_words > 90))
+                       AND (NOT (cast(chars as double) / n_words < 1.0
+                                 OR cast(chars as double) / n_words
+                                    > 10.0))
+                       AND cast(hashes as double) / n_words <= 0.1
+                       AND cast(ells as double) / n_words <= 0.1
+                       AND (NOT (lang = 'en' AND stops = 0)) AS keep
+                FROM gm
+            )"""
 
 
 def _bloom_oracle(m_bits: int = 65536, k_hashes: int = 3,
@@ -2601,6 +2655,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, x, y,
                    {_ZORDER_XY_10} AS zkey
             FROM b ORDER BY event_id
+        """,
+        # composes the quality_score / gopher_filter oracle fragments;
+        # means are decimal-sum exact (order-independent)
+        "dataset_card": f"""
+            WITH {_GOPHER_M_CTE}, base AS (
+                SELECT cast(count(*) as bigint) AS n_docs,
+                       cast(sum(len(string_split(text, ' ')))
+                            as bigint) AS n_tokens,
+                       cast(sum(length(text)) as bigint) AS n_chars,
+                       cast(count(distinct lang) as bigint) AS n_langs,
+                       cast(count(distinct source) as bigint)
+                           AS n_sources
+                FROM documents
+            ), u AS (
+                SELECT cast(count(*) as bigint) AS n_unique_texts
+                FROM (SELECT md5(text) AS h FROM documents
+                      GROUP BY md5(text))
+            ), qa AS (
+                SELECT round(cast(sum(cast(q as decimal(18,6)))
+                                  as double) / count(*), 6)
+                           AS mean_quality
+                FROM (SELECT {_QUALITY_EXPR} AS q FROM documents)
+            ), ga AS (
+                SELECT cast(sum(case when keep then 1 else 0 end)
+                            as bigint) AS n_gopher_keep
+                FROM gk
+            )
+            SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+                   n_unique_texts,
+                   round(cast(n_docs - n_unique_texts as double)
+                         / n_docs, 6) AS exact_dup_rate,
+                   mean_quality, n_gopher_keep,
+                   round(cast(n_gopher_keep as double) / n_docs, 6)
+                       AS gopher_keep_rate
+            FROM base, u, qa, ga
+        """,
+        "source_quality": f"""
+            WITH {_GOPHER_M_CTE}, q AS (
+                SELECT doc_id, {_QUALITY_EXPR} AS quality
+                FROM documents
+            )
+            SELECT k.source,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(k.n_words) as bigint) AS n_tokens,
+                   round(cast(sum(cast(q.quality as decimal(18,6)))
+                              as double) / count(*), 6)
+                       AS mean_quality,
+                   cast(sum(case when k.keep then 1 else 0 end)
+                        as bigint) AS n_keep,
+                   round(cast(sum(case when k.keep then 1 else 0 end)
+                              as double) / count(*), 6) AS keep_rate
+            FROM gk k JOIN q USING (doc_id)
+            GROUP BY k.source ORDER BY k.source
         """,
         "mixture_weights": """
             WITH c AS (

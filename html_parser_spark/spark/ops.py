@@ -1333,6 +1333,87 @@ URL_RE = r"https?://[^ \t\n\x0b\f\r]+"
 _CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 
 
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Corpus datasheet in one row — the number block of a dataset
+    card (Gebru et al. "Datasheets for Datasets", public): sizes,
+    language/source breadth, exact-duplicate rate, mean quality, and
+    Gopher-gate keep rate. Composes the already-oracled primitives so
+    the card can never disagree with the operators it summarizes.
+
+    Scale shape: two corpus passes (one plain aggregate; one over the
+    md5-keyed exact-dedup frame) plus the gopher keep aggregate —
+    every number a partial aggregation, output exactly ONE row."""
+    base = documents.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint")
+         .alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    uniq = (
+        documents.groupBy(F.md5("text").alias("_h"))
+        .agg(F.count("*").alias("_c"))
+        .agg(F.count("*").cast("bigint").alias("n_unique_texts"))
+    )
+    # mean over an EXACT decimal sum (quality is 6dp-rounded), one
+    # final double division — order-independent, engine-exact
+    q = quality_score(documents).agg(
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)"))
+             .cast("double")
+            / F.count("*"), 6).alias("mean_quality"))
+    g = gopher_filter(documents).agg(
+        F.sum(F.col("keep").cast("bigint")).cast("bigint")
+         .alias("n_gopher_keep"))
+    return (
+        base.crossJoin(uniq).crossJoin(q).crossJoin(g)
+        .select(
+            "n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+            "n_unique_texts",
+            F.round((F.col("n_docs") - F.col("n_unique_texts"))
+                    .cast("double") / F.col("n_docs"), 6)
+             .alias("exact_dup_rate"),
+            "mean_quality", "n_gopher_keep",
+            F.round(F.col("n_gopher_keep").cast("double")
+                    / F.col("n_docs"), 6).alias("gopher_keep_rate"),
+        )
+    )
+
+
+def source_quality(documents: DataFrame) -> DataFrame:
+    """Per-source corpus health: document/token counts, mean quality,
+    and Gopher keep rate for every source — the dashboard that tells
+    a curation run which feeds to throttle. Same single-sourced
+    metrics as dataset_card, grouped.
+
+    Scale shape: per-row metric expressions, one source-keyed partial
+    aggregation."""
+    n_words = F.size(F.split(F.col("text"), " "))
+    g = gopher_filter(documents).select("doc_id", "keep")
+    q = quality_score(documents).select("doc_id", "quality")
+    return (
+        documents.select("doc_id", "source", n_words.alias("_w"))
+        .join(q, "doc_id").join(g, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_w").cast("bigint").alias("n_tokens"),
+            # decimal-sum mean: order-independent, engine-exact
+            F.round(F.sum(F.col("quality").cast("decimal(18,6)"))
+                     .cast("double") / F.count("*"), 6)
+             .alias("mean_quality"),
+            F.sum(F.col("keep").cast("bigint")).cast("bigint")
+             .alias("n_keep"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "mean_quality", "n_keep",
+            F.round(F.col("n_keep").cast("double") / F.col("n_docs"), 6)
+             .alias("keep_rate"),
+        )
+    )
+
+
 def mixture_weights(documents: DataFrame) -> DataFrame:
     """Data-mixture reweighting plan: per-language corpus shares and
     the per-document sampling weight that equalizes the mix (uniform

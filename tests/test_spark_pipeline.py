@@ -3579,3 +3579,38 @@ def test_random_corpus_cross_engine_parity(spark):
             assert g == e, (name, g[:2], e[:2])
 
     check()
+
+
+def test_dataset_card_and_source_quality_hand_built(spark):
+    """The datasheet numbers recompute by hand on a tiny corpus:
+    sizes, breadth, exact-dup rate (one duplicated text), decimal-
+    exact mean quality, and Gopher keep counts — grouped per source
+    in the dashboard view."""
+    from html_parser_spark.spark.ops import (
+        dataset_card, quality_score, source_quality,
+    )
+
+    ok = ("the quick brown fox jumps over a lazy dog and then runs "
+          "far away to find a very quiet place to rest soon " * 1).strip()
+    rows = [
+        (1, ok, "en", "srcA", 0),
+        (2, ok, "en", "srcA", 0),            # exact duplicate of 1
+        (3, "too short", "en", "srcB", 0),   # gopher word_count fail
+        (4, ok + " more words here", "fr", "srcB", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    card = dataset_card(docs).collect()[0]
+    assert (card.n_docs, card.n_langs, card.n_sources) == (4, 2, 2)
+    assert card.n_unique_texts == 3
+    assert abs(card.exact_dup_rate - 0.25) < 1e-12
+    assert card.n_tokens == sum(len(t.split(" ")) for _, t, *_ in rows)
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    from decimal import Decimal
+    exp_mean = float(sum(Decimal(str(q[i])) for i in (1, 2, 3, 4)) / 4)
+    assert abs(card.mean_quality - round(exp_mean, 6)) < 1e-9
+    assert card.n_gopher_keep == 3  # doc 3 fails word_count
+    sq = {r.source: r for r in source_quality(docs).collect()}
+    assert sq["srcA"].n_docs == 2 and sq["srcA"].keep_rate == 1.0
+    assert sq["srcB"].n_keep == 1 and abs(sq["srcB"].keep_rate - 0.5) < 1e-12

@@ -941,6 +941,28 @@ def main():
     ], note="Quality joins onto the CLUSTERED docs only; the argmax "
             "runs as one keyed aggregation over cluster members.")
 
+    audit("dataset_card (one-row corpus datasheet)",
+          qs["dataset_card"](spark, SF_DIR), [
+        ("every number is a partial aggregation",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("1-row frames combine by broadcast (no real join work)",
+         lambda p: "Broadcast" in p),
+        ("no Python node", lambda p: "Python" not in p),
+    ], note="The card composes the oracled primitives (quality, "
+            "gopher keep, md5 exact-dedup) so it can never disagree "
+            "with them; ~3 corpus passes, ONE output row.")
+
+    audit("source_quality (per-source health dashboard)",
+          qs["source_quality"](spark, SF_DIR), [
+        ("one source-keyed aggregation after doc_id-keyed metric "
+         "joins", lambda p: p.count("HashAggregate") >= 2),
+        ("no cartesian/BNL",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python node", lambda p: "Python" not in p),
+    ], note="Decimal-sum means keep the dashboard engine-exact and "
+            "order-independent.")
+
     out = ["# PLANS — physical-plan audit\n",
            "Generated by tools/explain_audit.py (sf0.01, local[8]).",
            "Asserted properties and the formatted plans they were",
