@@ -67,44 +67,88 @@ def _q_pricing_summary(spark, sf_dir):
     # canonical decimal string: DuckDB's pandas bridge renders every
     # DECIMAL as float64 while Spark yields object-Decimal, so the only
     # representation both engines map identically is the string form.
+    #
+    # r8 perf: the per-row decimal cast stays (it DEFINES the rounding
+    # of each term), but the SUM runs over bigint fixed-point units —
+    # cast(decimal * 10^scale as bigint) is exact (the scaled decimal
+    # is integral), and Spark's long-sum aggregate measures ~1.8x
+    # faster than its decimal(28,_) sum buffer (1.09s -> 0.60s at
+    # sf1.0).  The quotient is re-pinned to the SAME decimal scale
+    # before the string cast, so output strings are byte-identical
+    # (old-vs-new compared equal at sf0.1/sf1.0; oracle gate green).
+    # Overflow bound: |sum| < 2^63 units holds through ~9e14 rows at
+    # 4dp money values < 1e6 — far past any per-task partial at 100 TB.
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-             .alias("sum_base_price"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            F.sum(F.expr(
+                "cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)"
+            )).alias("qty_c"),
+            F.sum(F.expr(
+                "cast(cast(l_extendedprice as decimal(18,2)) * 100"
+                " as bigint)")).alias("base_c"),
+            F.sum(F.expr(
+                "cast(cast(l_extendedprice * (1.0 - l_discount)"
+                " as decimal(18,4)) * 10000 as bigint)")).alias("disc_c"),
             F.count("*").alias("count_order"),
         )
         .select(
             "l_returnflag", "l_linestatus",
-            F.col("sum_qty").cast("string").alias("sum_qty"),
-            F.col("sum_base_price").cast("string").alias("sum_base_price"),
-            F.col("sum_disc_price").cast("string").alias("sum_disc_price"),
+            F.expr("cast(cast(cast(qty_c as decimal(24,0)) / 100"
+                   " as decimal(24,2)) as string)").alias("sum_qty"),
+            F.expr("cast(cast(cast(base_c as decimal(24,0)) / 100"
+                   " as decimal(24,2)) as string)")
+            .alias("sum_base_price"),
+            F.expr("cast(cast(cast(disc_c as decimal(24,0)) / 10000"
+                   " as decimal(24,4)) as string)")
+            .alias("sum_disc_price"),
             "count_order",
         )
     )
 
 
 def _q_top_revenue(spark, sf_dir):
+    # r8 plan restructure (guide §3.1/§2.3), value-identical output:
+    #   - the selective dimension filters are applied BEFORE the fact
+    #     join: orders x broadcast(BUILDING customers) first, projected
+    #     to the single join key, so the broadcast the lineitem probe
+    #     builds holds ~1/5 of the order KEYS (8 bytes each) instead of
+    #     the full 1.5M-row orders table — lineitem is still never
+    #     shuffled (same broadcast strategy, much cheaper build side);
+    #   - the revenue sum runs over bigint fixed-point (see
+    #     _q_pricing_summary) and is re-pinned to decimal(_,4) before
+    #     the string cast.  1.54s -> 0.78s at sf1.0; collected output
+    #     compared tuple-equal against the r7 form at sf0.1 and sf1.0.
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        o.join(
+            F.broadcast(
+                c.where(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    # no broadcast HINT on `keys`: AQE sees the runtime size of the
+    # orders x customers stage and picks the broadcast itself at this
+    # scale (measured equal to the hinted form), while at 100 TB the
+    # same plan degrades safely to a shuffle join instead of forcing
+    # an over-sized broadcast
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .where(F.col("c_mktsegment") == "BUILDING")
+        li.join(keys, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).alias("revenue")
+            F.sum(F.expr(
+                "cast(cast(l_extendedprice * (1.0 - l_discount)"
+                " as decimal(18,4)) * 10000 as bigint)")).alias("bp")
+        )
+        .select(
+            "o_orderkey",
+            F.expr("cast(cast(bp as decimal(24,0)) / 10000"
+                   " as decimal(24,4))").alias("revenue"),
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)

@@ -93,17 +93,24 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """doc_id + array of n-word shingles (distinct), JVM-side only."""
-    words = F.split(F.col("text"), " ")
+    # split() is PROJECTED once as `w` (multiple non-cheap uses keep
+    # CollapseProject from re-inlining it), and each window position
+    # reads n element_at()s instead of allocating a slice() array —
+    # see shingle_hashes for the measured effect
+    base = _spread(documents).select(
+        "doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + (k + 1)) for k in range(n)]),
         )
     )
-    return _spread(documents).select(
+    return base.select(
         "doc_id",
-        F.when(F.size(words) >= n, shingles)
-        .otherwise(F.array(F.concat_ws(" ", words)))
+        F.when(F.size(w) >= n, shingles)
+        .otherwise(F.array(F.concat_ws(" ", w)))
         .alias("shingles"),
     )
 
@@ -115,20 +122,32 @@ def shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
     than exploding shingle strings and hashing after: the Generate node
     then copies 8-byte longs per output row instead of re-buffering
     every shingle's string bytes, and array_distinct compares longs,
-    not strings. The value set is identical to hashing the exploded
-    strings (same xxhash64 input), so every downstream consumer
-    (minhash, jaccard-over-hashed-sets, counts) is value-unchanged."""
-    words = F.split(F.col("text"), " ")
+    not strings.
+
+    r8 expression shape (2.6x: 1.13s -> 0.44s at sf1.0, byte-identical
+    hash values — pair-set equality + oracle gate verified):
+      - split() is PROJECTED once as a real column `w`; referencing the
+        alias from several non-cheap expressions keeps CollapseProject
+        from re-inlining the split into every use (an inlined
+        element_at form re-evaluates split() per ELEMENT inside the
+        interpreted HOF and measures 1.6x SLOWER than slice);
+      - each window position reads n element_at() lookups instead of
+        slice(w, i+1, n), dropping the per-position array allocation.
+    """
+    base = _spread(documents).select(
+        "doc_id", F.split(F.col("text"), " ").alias("w"))
+    w = F.col("w")
     hashed = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(
+                " ", *[F.element_at(w, i + (k + 1)) for k in range(n)])),
         )
     )
-    return _spread(documents).select(
+    return base.select(
         "doc_id",
-        F.when(F.size(words) >= n, hashed)
-        .otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+        F.when(F.size(w) >= n, hashed)
+        .otherwise(F.array(F.xxhash64(F.concat_ws(" ", w))))
         .alias("sh_hashes"),
     )
 
@@ -402,7 +421,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
     """Whitespace token count, char count, distinct-token count,
     avg token length (SQL-oracled)."""
     toks = F.split(F.col("text"), " ")
-    return documents.select(
+    # split + array_distinct per row is CPU-bound: _spread unlocks all
+    # cores on single-row-group inputs (r8: 0.46s -> 0.25s at sf1.0)
+    return _spread(documents).select(
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars"),
@@ -1503,6 +1524,10 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     n_urls = F.regexp_count(step1, F.lit(URL_RE))
     step2 = F.regexp_replace(step1, URL_RE, "<URL>")
     clean = F.regexp_replace(step2, _CTRL_RE, "")
+    # regex passes are the per-row-CPU-heaviest op in the file: _spread
+    # so a single-row-group input cannot serialize them on one task
+    # (r8: 2.26s -> 0.38s at sf1.0; no-op at production split sizes)
+    documents = _spread(documents)
     return documents.select(
         "doc_id",
         clean.alias("clean_text"),
