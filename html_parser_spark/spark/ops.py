@@ -219,14 +219,28 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
     documents shorter than the shingle window, whose one-element
     shingle fallback collides); for those, jaccard verification would
     have rejected the uncapped width^2/2 candidates anyway, so the cap
-    only removes wasted verifier work. Width and chain neighbors come
-    from window functions over the same (band_id, band_hash)
-    partitioning the self-join shuffles on, so the cap adds no extra
-    shuffle of the banded rows. Set max_bucket=None to disable. With
-    with_dropped=True returns (pairs, chained) where chained is one
-    accounting row per chained bucket: (band_id, band_hash,
+    only removes wasted verifier work. Set max_bucket=None to disable.
+    With with_dropped=True returns (pairs, chained) where chained is
+    one accounting row per chained bucket: (band_id, band_hash,
     bucket_width) — empty (not None) when the cap is disabled or
     nothing was chained.
+
+    r8 physical shape (same pair set, verified member-for-member):
+    buckets are ONE sorted members array per (band_id, band_hash) —
+    collect_list + sort_array off the single banded shuffle — and both
+    pair generators read that array: all-pairs emission is posexplode
+    + a per-anchor tail slice (peak memory O(width) per row, streamed
+    through two Generate nodes — no width^2 array ever materializes),
+    chains take member (i-1, i) and (i-2, i). This replaces the
+    banded-frame SELF-JOIN + width window of r7 — one aggregation
+    instead of window-sort + join build (the window sorted the full
+    banded frame; the join broadcast-built it a second time):
+    1.39s -> 1.06s for the registered 32/8 query at sf1.0. Width-1
+    buckets (the overwhelming majority) are filtered before any pair
+    expression runs. Aggregating members per bucket buffers exactly
+    the rows the r7 window already buffered per partition, so the
+    memory profile at 100 TB is unchanged; the uncapped
+    (max_bucket=None, test-only) path is also O(width) per row.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, shingle_n)
@@ -246,52 +260,46 @@ def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
         F.explode(F.expr(f"array({bands_expr})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    chain_pairs = None
-    chained = None
-    if max_bucket is not None:
-        from pyspark.sql import Window
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    if max_bucket is None:
+        small, wide = buckets, None
+    else:
+        small = buckets.where(F.size("members") <= max_bucket)
+        wide = buckets.where(F.size("members") > max_bucket)
 
-        w = Window.partitionBy("band_id", "band_hash")
-        wo = w.orderBy("doc_id")
-        widths = banded.withColumn("bucket_width",
-                                   F.count(F.lit(1)).over(w))
-        wide = widths.where(F.col("bucket_width") > max_bucket)
+    # all ordered pairs of a sorted array: anchor i pairs with the
+    # strict tail — two Generate nodes, never a width^2 intermediate
+    pairs = (
+        small.select("members",
+                     F.posexplode("members").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr(
+                "slice(members, i + 2, size(members) - i - 1)"
+            )).alias("doc_b"),
+        )
+    )
+
+    chained = None
+    if wide is not None:
         if with_dropped:
-            chained = (
-                wide.select("band_id", "band_hash", "bucket_width")
-                .distinct()  # one row per bucket, not per member
-            )
+            chained = wide.select(
+                "band_id", "band_hash",
+                F.size("members").cast("bigint").alias("bucket_width"))
         # stride-1 + stride-2 chain: 2*width-3 pairs keep the bucket
         # connected for the components pass at O(width) cost, and
         # survive any single member failing verification
-        chain_pairs = (
-            wide.select(
-                F.lag("doc_id", 1).over(wo).alias("a1"),
-                F.lag("doc_id", 2).over(wo).alias("a2"),
-                F.col("doc_id").alias("doc_b"),
-            )
-            .select(
-                F.explode(F.array("a1", "a2")).alias("doc_a"), "doc_b")
-            .where(F.col("doc_a").isNotNull())
-        )
-        banded = widths.where(
-            F.col("bucket_width") <= max_bucket).drop("bucket_width")
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-        )
-    )
-    if chain_pairs is not None:
+        chain_pairs = wide.select(F.explode(F.expr(
+            "filter(flatten(transform(members, (b, i) -> array("
+            "IF(i >= 1, struct(element_at(members, i) AS doc_a,"
+            " b AS doc_b), NULL),"
+            "IF(i >= 2, struct(element_at(members, i - 1) AS doc_a,"
+            " b AS doc_b), NULL)))), x -> x IS NOT NULL)"
+        )).alias("p")).select("p.doc_a", "p.doc_b")
         pairs = pairs.unionByName(chain_pairs)
     pairs = pairs.distinct()
     if with_dropped:
@@ -1178,7 +1186,9 @@ def quality_score(documents: DataFrame) -> DataFrame:
     len_score = F.when(
         (F.length("text") >= 100) & (F.length("text") <= 2000), F.lit(1.0)
     ).otherwise(F.lit(0.5))
-    return documents.select(
+    # per-row regex/split work: _spread (guide (2) — value-independent
+    # of partitioning, unlocks all cores on single-row-group inputs)
+    return _spread(documents).select(
         "doc_id",
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -1237,7 +1247,8 @@ def gopher_filter(documents: DataFrame, min_words: int = 20,
             F.array(*[F.when(cond, F.lit(name)) for cond, name in fails]),
             lambda x: x.isNotNull(),
         ), ",")
-    return documents.select(
+    # per-row regex metrics: _spread (see redact_pii)
+    return _spread(documents).select(
         "doc_id", "lang",
         n_words.cast("int").alias("n_words"),
         F.round(mwl, 6).alias("mean_word_len"),
@@ -1326,7 +1337,9 @@ def lang_id(documents: DataFrame) -> DataFrame:
         for lang, words in _STOPWORDS.items()
         if lang != "zh"
     ] + [_cjk_hits(F.col("text")).alias("hits_zh")]
-    scored = documents.select("doc_id", "lang", *hit_cols)
+    # per-row regex hit counting across 6 patterns: _spread (see
+    # redact_pii)
+    scored = _spread(documents).select("doc_id", "lang", *hit_cols)
     langs = list(_STOPWORDS.keys())
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     pred = F.when(best == 0, F.lit("und"))
@@ -1547,7 +1560,8 @@ def normalized_text(col):
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed
     text (SQL-oracled; the stable-normalization dedup key)."""
-    return documents.select(
+    # regex normalize + md5 per row: _spread (see redact_pii)
+    return _spread(documents).select(
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
     )
 
@@ -2788,11 +2802,18 @@ def _components_min_label(edges: DataFrame,
         # during analysis around iteration ~20. localCheckpoint(eager)
         # materializes to executor storage AND cuts the lineage,
         # keeping every iteration's plan constant-size; blocks are
-        # released by the ContextCleaner as the old frames GC
+        # released by the ContextCleaner as the old frames GC.
+        #
+        # r8: sym is HASH-PARTITIONED on doc_a before the checkpoint —
+        # LogicalRDD keeps that outputPartitioning, so every
+        # iteration's propagation join reuses it and only the (small)
+        # label frame moves (guide §2.4: establish a partitioning once
+        # and let each keyed consumer inherit it).
+        id_type = edges.schema["doc_a"].dataType.simpleString()
         sym = edges.unionByName(
             edges.select(F.col("doc_b").alias("doc_a"),
                          F.col("doc_a").alias("doc_b"))
-        ).localCheckpoint(eager=True)
+        ).repartition("doc_a").localCheckpoint(eager=True)
     finally:
         # fast path: rows are collected; distributed: sym is
         # materialized — either way the cached verify pipeline output
@@ -2801,29 +2822,37 @@ def _components_min_label(edges: DataFrame,
     labels = (
         sym.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("root", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     changed = 1
     for _it in range(max_iter):
         if stats is not None:
             stats["iterations"] = _it + 1
+        # r8: the convergence probe is FUSED into the propagation
+        # aggregation — every node's previous root rides along as
+        # `prev` (exactly one labels row per node, so max() over the
+        # union recovers it; prop rows contribute NULL), and `changed`
+        # becomes a cheap scan of the just-checkpointed frame instead
+        # of a second shuffle join per iteration (was: join new vs old
+        # labels + count = one extra keyed shuffle of the full label
+        # frame every round; 5.7s -> 4.2s on the 100k-edge bench
+        # graph, and at 100 TB it removes one big-frame join per
+        # round).  min(root) semantics are unchanged.
+        cur = labels.withColumn("prev", F.col("root"))
         prop = (
-            sym.join(labels.withColumnRenamed("node", "doc_a"),
+            sym.join(cur.select(F.col("node").alias("doc_a"), "root"),
                      "doc_a")
-            .select(F.col("doc_b").alias("node"), "root")
+            .select(F.col("doc_b").alias("node"), "root",
+                    F.lit(None).cast(id_type).alias("prev"))
         )
         new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node").agg(F.min("root").alias("root"))
+            cur.unionByName(prop)
+            .groupBy("node").agg(F.min("root").alias("root"),
+                                 F.max("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels
-            .join(labels.withColumnRenamed("root", "prev"), "node")
-            .where(F.col("root") != F.col("prev"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(
+            F.col("root") != F.col("prev")).count()
+        labels = new_labels.select("node", "root")
         if changed == 0:
             break
     if changed != 0:
