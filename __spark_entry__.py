@@ -250,14 +250,19 @@ def _q_events_agg(spark, sf_dir):
 
 
 def _q_json_props(spark, sf_dir):
+    # r8: the JSON field is PROJECTED once below the aggregate — the
+    # inline form ran get_json_object (a full JSON parse of props) 3x
+    # per row, once per aggregate expression. Same values, same
+    # oracle.
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
-        ev.groupBy("event_type")
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
         .agg(
-            F.sum(k).alias("sum_k"),
-            F.max(k).alias("max_k"),
-            F.count(F.when(k > 50, 1)).alias("n_high"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
         )
     )
 

@@ -1799,17 +1799,26 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
             .select("query_id", "corpus_id", "cosine")
         )
     else:
+        # r8: norms are HOISTED below the join — each side carries its
+        # L2 norm as a projected column, so a corpus row's norm is
+        # computed once instead of once per query (and the query
+        # norms once instead of once per corpus row). The interpreted
+        # HOF work per joined pair drops from 3 array reductions to 1
+        # (0.65s -> 0.36s at sf1.0 dim=64); the cosine DOUBLES are
+        # bit-identical (same expression evaluated on the same row,
+        # just not re-evaluated), verified value-equal incl. cosine.
         queries = embeddings.where(
             F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("query_id"), vec_d.alias("qvec")
-        )
+        ).withColumn("qnorm", _norm(F.col("qvec")))
+        corpus = corpus.withColumn("cnorm", _norm(F.col("cvec")))
         joined = corpus.join(F.broadcast(queries),
                              F.col("corpus_id") != F.col("query_id"))
         # epsilon-clamped like the arrow path: a zero-norm vector
         # scores 0 everywhere instead of NaN (no zero vectors exist in
         # the oracle data, so the DuckDB-gated values are unchanged)
         cos = _dot(F.col("qvec"), F.col("cvec")) / F.greatest(
-            _norm(F.col("qvec")) * _norm(F.col("cvec")), F.lit(1e-300)
+            F.col("qnorm") * F.col("cnorm"), F.lit(1e-300)
         )
         scored = joined.select(
             "query_id", "corpus_id", F.round(cos, 6).alias("cosine")
@@ -1890,21 +1899,23 @@ def ann_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     from pyspark.sql import Window
 
     base = lsh_bucketed(embeddings, n_planes, n_tables, seed)
+    # norms hoisted below the join (see ann_bruteforce r8 note):
+    # bit-identical cosines, one array reduction per pair instead of 3
     corpus = base.select(
         F.col("vec_id").alias("corpus_id"), F.col("vec").alias("cvec"),
         "bucket",
-    )
+    ).withColumn("cnorm", _norm(F.col("cvec")))
     queries = base.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
         F.col("bucket").alias("qbucket"),
-    )
+    ).withColumn("qnorm", _norm(F.col("qvec")))
     joined = corpus.join(
         F.broadcast(queries),
         (F.col("bucket") == F.col("qbucket"))
         & (F.col("corpus_id") != F.col("query_id")),
     ).dropDuplicates(["query_id", "corpus_id"])
     cos = _dot(F.col("qvec"), F.col("cvec")) / (
-        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+        F.col("qnorm") * F.col("cnorm")
     )
     scored = joined.select(
         "query_id", "corpus_id", F.round(cos, 6).alias("cosine")
@@ -1937,24 +1948,30 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
     exact=True verifies ALL pairs (test/oracle scale only — same
     caveat as ngram_jaccard_pairs without candidates)."""
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # per-side norms hoisted below the join (see ann_bruteforce r8
+    # note): bit-identical cosines, 3x less interpreted HOF work/pair
     if exact:
         a = embeddings.select(F.col("vec_id").alias("vec_a"),
-                              vec_d.alias("va"))
+                              vec_d.alias("va")
+                              ).withColumn("na", _norm(F.col("va")))
         b = embeddings.select(F.col("vec_id").alias("vec_b"),
-                              vec_d.alias("vb"))
+                              vec_d.alias("vb")
+                              ).withColumn("nb", _norm(F.col("vb")))
         cand = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
     else:
         base = lsh_bucketed(embeddings, n_planes, n_tables, seed)
         left = base.select(F.col("vec_id").alias("vec_a"),
-                           F.col("vec").alias("va"), "bucket")
+                           F.col("vec").alias("va"), "bucket"
+                           ).withColumn("na", _norm(F.col("va")))
         right = base.select(F.col("vec_id").alias("vec_b"),
-                            F.col("vec").alias("vb"), "bucket")
+                            F.col("vec").alias("vb"), "bucket"
+                            ).withColumn("nb", _norm(F.col("vb")))
         cand = left.join(
             right,
             (left.bucket == right.bucket) & (F.col("vec_a") < F.col("vec_b")),
         ).dropDuplicates(["vec_a", "vec_b"])
     cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
+        F.col("na") * F.col("nb")
     )
     return (
         cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
@@ -1983,34 +2000,44 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int = 4,
     test embeddings, whose max pairwise cosine is ~0.51; production
     values sit at 0.9+)."""
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    corpus = _spread(embeddings).select("vec_id", vec_d.alias("vec"))
+    # norms hoisted below both joins (see ann_bruteforce r8 note):
+    # each vector's norm is computed once and carried as a column
+    # through assignment and the within-cluster pair join instead of
+    # re-evaluated per seed and per pair — bit-identical cosines
+    corpus = _spread(embeddings).select(
+        "vec_id", vec_d.alias("vec")
+    ).withColumn("nv", _norm(F.col("vec")))
     seeds = (
         embeddings.orderBy(F.asc("vec_id")).limit(n_clusters)
         .select(F.col("vec_id").alias("seed_id"), vec_d.alias("svec"))
+        .withColumn("ns", _norm(F.col("svec")))
     )
     cos_seed = _dot(F.col("vec"), F.col("svec")) / F.greatest(
-        _norm(F.col("vec")) * _norm(F.col("svec")), F.lit(1e-300)
+        F.col("nv") * F.col("ns"), F.lit(1e-300)
     )
     assigned = (
         corpus.join(F.broadcast(seeds))
-        .select("vec_id", "vec", "seed_id",
+        .select("vec_id", "vec", "nv", "seed_id",
                 F.round(cos_seed, 6).alias("cos"))
         .groupBy("vec_id")
         .agg(
             F.first("vec").alias("vec"),
+            F.first("nv").alias("nv"),
             F.max(F.struct(
                 F.col("cos"), (-F.col("seed_id")).alias("neg_seed")
             )).alias("m"),
         )
-        .select("vec_id", "vec",
+        .select("vec_id", "vec", "nv",
                 (-F.col("m.neg_seed")).cast("bigint").alias("cluster_id"))
     )
     left = assigned.select(F.col("vec_id").alias("vec_a"),
-                           F.col("vec").alias("va"), "cluster_id")
+                           F.col("vec").alias("va"),
+                           F.col("nv").alias("na"), "cluster_id")
     right = assigned.select(F.col("vec_id").alias("vec_b"),
-                            F.col("vec").alias("vb"), "cluster_id")
+                            F.col("vec").alias("vb"),
+                            F.col("nv").alias("nb"), "cluster_id")
     pair_cos = _dot(F.col("va"), F.col("vb")) / F.greatest(
-        _norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-300)
+        F.col("na") * F.col("nb"), F.lit(1e-300)
     )
     dropped = (
         left.join(right, "cluster_id")
@@ -3120,14 +3147,17 @@ def cluster_assign(embeddings: DataFrame, n_clusters: int = 4) -> DataFrame:
     from pyspark.sql import Window
 
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    corpus = _spread(embeddings).select("vec_id", "label",
-                                        vec_d.alias("vec"))
+    # norms hoisted below the join (see ann_bruteforce r8 note)
+    corpus = _spread(embeddings).select(
+        "vec_id", "label", vec_d.alias("vec")
+    ).withColumn("nv", _norm(F.col("vec")))
     seeds = (
         embeddings.orderBy(F.asc("vec_id")).limit(n_clusters)
         .select(F.col("vec_id").alias("seed_id"), vec_d.alias("svec"))
+        .withColumn("ns", _norm(F.col("svec")))
     )
     cos = _dot(F.col("vec"), F.col("svec")) / F.greatest(
-        _norm(F.col("vec")) * _norm(F.col("svec")), F.lit(1e-300)
+        F.col("nv") * F.col("ns"), F.lit(1e-300)
     )
     scored = corpus.join(F.broadcast(seeds)).select(
         "vec_id", "label", "seed_id", F.round(cos, 6).alias("cos")
