@@ -34,8 +34,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
 
 
+# Lazy-DataFrame handle memo — a catalog, NOT a result cache: the
+# value is the unexecuted scan PLAN (spark.read.parquet re-resolves
+# the datasource + reads footers on every call, 30-60ms of driver
+# time per table per query build); every action on it still computes
+# from the parquet files. Keyed on applicationId so a restarted
+# session never serves a stale plan.
+_TABLE_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if len(_TABLE_CACHE) > 64:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -1733,6 +1733,22 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
     )
     if method == "auto":
         if dim is None:
+            # memoized like _SPREAD_CACHE: the dimensionality of a
+            # given file set is METADATA (array length of row one),
+            # not a result — re-probing it launched a driver job on
+            # every query BUILD (~0.15s of ann_bruteforce's timed
+            # lambda in the bench)
+            sc = embeddings.sparkSession.sparkContext
+            try:
+                files = tuple(sorted(embeddings.inputFiles()))
+            except Exception:  # pragma: no cover — exotic sources
+                files = ()
+            # file-backed frames only: an in-memory relation has no
+            # files, and a () key would alias EVERY such frame to one
+            # cache slot (stale dim across different test frames)
+            key = (sc.applicationId, files) if files else None
+            dim = _BF_DIM_CACHE.get(key) if key is not None else None
+        if dim is None:
             probe = embeddings.select(
                 F.size("embedding").alias("d")).first()
             if probe is None or probe.d is None or probe.d < 0:
@@ -1745,6 +1761,10 @@ def ann_bruteforce(embeddings: DataFrame, query_ids: list[int],
                     "dimensionality for method='auto'; pass method "
                     "or dim explicitly")
             dim = probe.d
+            if key is not None:
+                if len(_BF_DIM_CACHE) > 256:
+                    _BF_DIM_CACHE.clear()
+                _BF_DIM_CACHE[key] = dim
         # arrow when either the per-row interpreted work
         # (dim * n_queries HOF values, the _ivf_method switch) or the
         # dimensionality alone is past test scale — a 768-dim corpus
@@ -2105,6 +2125,10 @@ _IVF_EXPR_MAX_VALUES = 4096
 # interpreted-HOF cosine is the wrong shape per corpus row regardless
 # of query count — switch to the Arrow matmul path
 _BF_ARROW_MIN_DIM = 256
+
+# (applicationId, input file set) -> embedding dimensionality; see the
+# method='auto' probe in ann_bruteforce
+_BF_DIM_CACHE: dict = {}
 
 
 def _ivf_method(method: str, centroids: list) -> str:
