@@ -80,6 +80,38 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_by(df: DataFrame, *keys: str) -> DataFrame:
+    """Keyed variant of _spread for consumers that NEED a hash
+    distribution on `keys` next (windows, keyed aggregations): when
+    the scan produced fewer partitions than the cluster has slots,
+    hash-repartition on the keys — the downstream window then adds NO
+    second exchange (the distribution already satisfies its
+    requirement) and its sort runs on every core instead of inside
+    the scan task. When the scan is already wide (production split
+    sizes) this is a no-op, preserving the pre-shuffle
+    WindowGroupLimit prune plan, which shuffles strictly fewer bytes
+    — so the trade only ever fires where the serial sort is the
+    bottleneck. Keyed repartition also skips the local
+    sort-before-repartition a keyless round-robin pays (guide §2.5),
+    which is why _spread itself measured WORSE on window consumers."""
+    sc = df.sparkSession.sparkContext
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # pragma: no cover — exotic sources
+        files = ()
+    key = (sc.applicationId, files) if files else None
+    n_splits = _SPREAD_CACHE.get(key) if key is not None else None
+    if n_splits is None:
+        n_splits = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_SPREAD_CACHE) > 256:
+                _SPREAD_CACHE.clear()
+            _SPREAD_CACHE[key] = n_splits
+    if n_splits < sc.defaultParallelism:
+        return df.repartition(*[F.col(k) for k in keys])
+    return df
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text): canonical doc + dup count."""
     return (
@@ -2743,6 +2775,10 @@ def event_sessions(events: DataFrame,
     # cast straight to long — hop through timestamp (wall time in the
     # session tz, matching DuckDB's epoch() on the same naive value)
     epoch = F.col("ts").cast("timestamp").cast("long")
+    # keyed spread: windows need a user_id hash distribution anyway —
+    # see _spread_by (no-op on production-width scans)
+    events = _spread_by(
+        events.select("user_id", "event_id", "ts"), "user_id")
     flagged = events.select(
         "user_id", "event_id", "ts",
         F.when(
