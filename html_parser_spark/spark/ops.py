@@ -194,29 +194,30 @@ def shingle_stats(documents: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                        shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per doc, single-pass at scale:
-    hash shingles in-array (shingle_hashes) -> explode longs -> k
-    fixed-width rehashes xxhash64(h, k) aggregated with min. The
-    variable-length string hashing cost is paid once, not k times (the
-    naive k-column form re-inlines the whole shingle expression k-fold
-    in codegen), and the rehash is overflow-free under ANSI mode."""
+    """MinHash signature per doc, ZERO-shuffle at scale: hash shingles
+    in-array (shingle_hashes) -> k per-row
+    array_min(transform(sh_hashes, h -> xxhash64(h, k))) columns over
+    the PROJECTED hash array. The variable-length string hashing cost
+    is paid once, not k times (the transforms read the materialized
+    `sh_hashes` column, never re-derive shingles), and the rehash is
+    overflow-free under ANSI mode.
+
+    r8 shape: the r7 form exploded the hash array and ran k min()
+    aggregates — a full (doc_id)-keyed Exchange whose only purpose
+    was reassembling rows the map side already had intact. The
+    per-row form produces the same 32 minima (same value set per doc;
+    collected-signature equality verified) as a pure projection:
+    signatures are now computed where the shingles are, and the first
+    shuffle in the whole LSH pipeline is the band-bucket groupBy.
+    SQL-string exprs: one parse each instead of ~4 py4j round trips
+    per column (driver-side build time, not executor time)."""
     sh = shingle_hashes(documents, shingle_n)
-    # explode_outer: plain explode makes the optimizer infer a
-    # size(<full shingle expr>)>0 filter and push it BELOW the spread
-    # exchange — re-running the whole shingle build on the unspread
-    # input. The array is never empty (shingle_hashes falls back to a
-    # one-element array), so outer semantics are identical.
-    rows = sh.select("doc_id", F.explode_outer("sh_hashes").alias("h"))
-    # SQL-string exprs: one parse each instead of ~4 py4j round trips
-    # per aggregate (driver-side build time, not executor time)
-    aggs = [
-        F.expr(f"min(xxhash64(h, {k})) AS mh_{k}")
+    mins = ", ".join(
+        f"array_min(transform(sh_hashes, h -> xxhash64(h, {k})))"
         for k in range(num_hashes)
-    ]
-    grouped = rows.groupBy("doc_id").agg(*aggs)
-    sig = ", ".join(f"mh_{k}" for k in range(num_hashes))
-    return grouped.select(
-        "doc_id", F.expr(f"array({sig})").alias("signature"))
+    )
+    return sh.select(
+        "doc_id", F.expr(f"array({mins})").alias("signature"))
 
 
 def minhash_lsh_candidates(documents: DataFrame, num_hashes: int = 32,
