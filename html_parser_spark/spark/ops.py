@@ -533,12 +533,18 @@ def lang_balanced_sample(documents: DataFrame,
 def _word_ngrams(words, n: int):
     """Non-distinct n-gram list over a token array (JVM-side only).
     Empty when the document has fewer than n tokens — repetition
-    metrics are defined as 0 there (mirrored in the SQL oracle)."""
+    metrics are defined as 0 there (mirrored in the SQL oracle).
+
+    `words` MUST be a projected column (not an inline split(...)
+    expression): the per-position element_at reads re-reference it n
+    times per gram — see shingle_hashes' r8 note for why an inlined
+    split would then re-evaluate per ELEMENT."""
     return F.when(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + (k + 1)) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -564,28 +570,44 @@ def repetition_scores(documents: DataFrame, top_n: int = 2,
     LAST gram — identical ORDER BY in the DuckDB oracle."""
     from pyspark.sql import Window
 
-    words = F.split(F.col("text"), " ")
-    lines = F.split(F.col("text"), "\n")
-    n_toks = F.size(words)
+    # r8: one _spread'd base projects split() results ONCE as real
+    # columns (w, lines) and even the n-gram LIST once (ng) — the
+    # r7 form inlined every split into each HOF metric on the
+    # UNSPREAD scan, which serialized ~1.5ms/doc of interpreted
+    # expression work on one task (73s at sf1.0 -> ~2s). All metrics
+    # are per-row integer ratios rounded at 6dp, so values are
+    # partitioning-independent (oracle-verified).
+    base = _spread(documents).select(
+        "doc_id",
+        F.length("text").alias("_chars"),
+        F.split(F.col("text"), " ").alias("w"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    ).select(
+        "doc_id", "_chars", "w", "lines",
+        _word_ngrams(F.col("w"), dup_n).alias("ng"),
+    )
+    w_col = F.col("w")
+    lines = F.col("lines")
+    ng = F.col("ng")
+    n_toks = F.size(w_col)
     n_lines = F.size(lines)
-    dup_ngrams = _word_ngrams(words, dup_n)
     line_chars = F.aggregate(
         lines, F.lit(0), lambda acc, x: acc + F.length(x))
     uniq_line_chars = F.aggregate(
         F.array_distinct(lines), F.lit(0), lambda acc, x: acc + F.length(x))
 
-    per_row = documents.select(
+    per_row = base.select(
         "doc_id",
-        F.length("text").alias("_chars"),
+        "_chars",
         F.round(
-            (n_toks - F.size(F.array_distinct(words)))
+            (n_toks - F.size(F.array_distinct(w_col)))
             / F.greatest(n_toks, F.lit(1)).cast("double"), 6)
         .alias("dup_word_frac"),
         F.round(
             F.when(
-                F.size(dup_ngrams) > 0,
-                (F.size(dup_ngrams) - F.size(F.array_distinct(dup_ngrams)))
-                / F.size(dup_ngrams).cast("double"),
+                F.size(ng) > 0,
+                (F.size(ng) - F.size(F.array_distinct(ng)))
+                / F.size(ng).cast("double"),
             ).otherwise(F.lit(0.0)), 6)
         .alias("dup_trigram_frac"),
         F.round(
@@ -599,9 +621,9 @@ def repetition_scores(documents: DataFrame, top_n: int = 2,
     )
 
     grams = (
-        _spread(documents)
+        base
         .select("doc_id",
-                F.explode(_word_ngrams(words, top_n)).alias("gram"))
+                F.explode(_word_ngrams(F.col("w"), top_n)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -649,24 +671,28 @@ def decontaminate(documents: DataFrame, n: int = 5, bench_mod: int = 10,
     probe costs no shuffle of the corpus grams beyond the per-doc
     count aggregate. Every corpus document comes back (zero-hit docs
     included) so the output is a total annotation, not a filter."""
-    words = F.split(F.col("text"), " ")
-    # distinct grams per doc; sub-n-token docs contribute their whole
-    # text as the single gram (same fallback as word_shingles)
+    # split() projected once, element_at per position — see
+    # shingle_hashes' r8 note (the inlined slice form re-derived the
+    # token array inside the generator)
+    w = F.col("w")
     grams = F.when(
-        F.size(words) >= n,
+        F.size(w) >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(w, i + (k + 1)) for k in range(n)]),
             )
         ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    ).otherwise(F.array(F.concat_ws(" ", w)))
     is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == bench_rem
 
     exploded = (
         _spread(documents)
         .select("doc_id", is_bench.alias("_bench"),
-                F.explode(grams).alias("gram"))
+                F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id", "_bench", F.explode(grams).alias("gram"))
     )
     bench_grams = (
         exploded.where(F.col("_bench")).select("gram").distinct()
@@ -711,21 +737,25 @@ def bloom_decontaminate(documents: DataFrame, n: int = 5,
     the bloom position frame (<= m_bits rows) and the exact benchmark
     gram set both broadcast; the k-position probe is a per-gram
     explode bounded by k. All md5 integer arithmetic — engine-exact."""
-    words = F.split(F.col("text"), " ")
+    # projected split + element_at grams — see decontaminate
+    w = F.col("w")
     grams = F.when(
-        F.size(words) >= n,
+        F.size(w) >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(w, i + (k + 1)) for k in range(n)]),
             )
         ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    ).otherwise(F.array(F.concat_ws(" ", w)))
     is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == bench_rem
     exploded = (
         _spread(documents)
         .select("doc_id", is_bench.alias("_bench"),
-                F.explode(grams).alias("gram"))
+                F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id", "_bench", F.explode(grams).alias("gram"))
     )
 
     def pos(r: int):
@@ -837,10 +867,12 @@ def dup_passages(documents: DataFrame, n: int = 8) -> DataFrame:
     Output: doc_id, n_positions, n_dup_positions (positions whose gram
     has cross-document frequency >= 2 docs), dup_frac, plus
     n_dup_grams (DISTINCT duplicated grams in the doc)."""
-    words = F.split(F.col("text"), " ")
+    # split projected once (see _word_ngrams' r8 contract)
     positions = (
         _spread(documents)
-        .select("doc_id", F.explode(_word_ngrams(words, n)).alias("gram"))
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id",
+                F.explode(_word_ngrams(F.col("w"), n)).alias("gram"))
         .select("doc_id", F.md5("gram").alias("gkey"))
     )
     # per-(doc, gram) position counts first: the doc-frequency agg then
@@ -915,7 +947,8 @@ def pmi_collocations(documents: DataFrame, k: int = 50,
     wc = toks.groupBy("w").agg(F.count("*").alias("wcnt"))
     bigrams = (
         _spread(documents)
-        .select(F.explode(_word_ngrams(words, 2)).alias("bigram"))
+        .select(F.split(F.col("text"), " ").alias("wa"))
+        .select(F.explode(_word_ngrams(F.col("wa"), 2)).alias("bigram"))
         .groupBy("bigram").agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= min_count)
         .withColumn("w1", F.split(F.col("bigram"), " ")[0])
@@ -1306,11 +1339,12 @@ def source_overlap(documents: DataFrame, n: int = 8) -> DataFrame:
     corpus — explode into source pairs. Per-source totals are a
     |sources|-row frame joined back by broadcast. No corpus self-join
     anywhere."""
-    words = F.split(F.col("text"), " ")
+    # split projected once (see _word_ngrams' r8 contract)
     gram_source = (
         _spread(documents)
+        .select("source", F.split(F.col("text"), " ").alias("w"))
         .select(F.col("source"),
-                F.explode(_word_ngrams(words, n)).alias("gram"))
+                F.explode(_word_ngrams(F.col("w"), n)).alias("gram"))
         .select("source", F.md5("gram").alias("gkey"))
         .distinct()
     )
@@ -2680,22 +2714,41 @@ def winnowing_fingerprints(documents: DataFrame, k: int = 8,
     md5 of the k-gram (string-ordered minima) so Spark and DuckDB agree
     exactly; at scale everything is a per-row JVM array expression —
     no shuffle, no UDF. Docs shorter than k get one whole-text
-    fingerprint."""
+    fingerprint.
+
+    r8: each stage is PROJECTED as a real column (g -> wins -> fps)
+    instead of one nested expression. The r7 inline form re-evaluated
+    the md5-gram transform INSIDE every window position (slice(grams,
+    ...) with `grams` un-projected) and the window list again for
+    size/array_min — O(n_chars * w) md5 calls per document instead of
+    O(n_chars); at sf1.0 the query did not finish a 10-minute budget,
+    the staged form runs in seconds. Each window minimum reads w
+    element_at()s through least() (strings: identical to
+    array_min-over-slice, no per-position array). Values verified
+    equal at sf0.1; oracle row green."""
     n = F.length("text")
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.md5(F.col("text").substr(i + 1, F.lit(k))),
     )
+    g = F.col("g")
     windows = F.transform(
-        F.sequence(F.lit(0), F.size(grams) - w),
-        lambda j: F.array_min(F.slice(grams, j + 1, w)),
+        F.sequence(F.lit(0), F.size(g) - w),
+        lambda j: F.least(
+            *[F.element_at(g, j + (x + 1)) for x in range(w)]),
     )
-    fps = F.array_distinct(windows)
-    return _spread(documents).select(
+    base = (
+        _spread(documents)
+        .select("doc_id", "text", grams.alias("g"))
+        .select("doc_id", "text", windows.alias("wins"))
+        .select("doc_id", "text",
+                F.array_distinct(F.col("wins")).alias("fps"))
+    )
+    return base.select(
         "doc_id",
-        F.when(n >= k + w - 1, F.size(fps))
+        F.when(n >= k + w - 1, F.size("fps"))
         .otherwise(F.lit(1)).cast("int").alias("n_fingerprints"),
-        F.when(n >= k + w - 1, F.array_min(fps))
+        F.when(n >= k + w - 1, F.array_min("fps"))
         .otherwise(F.md5("text")).alias("min_fingerprint"),
     )
 
@@ -3657,9 +3710,11 @@ def ngram_diversity(documents: DataFrame, n: int = 2) -> DataFrame:
     per-lang rollup, so the big shuffle carries one row per DISTINCT
     gram, not per occurrence. No window, no driver participation.
     """
-    words = F.split(F.col("text"), " ")
+    # split projected once (see _word_ngrams' r8 contract)
     grams = _spread(documents).select(
-        "lang", F.explode(_word_ngrams(words, n)).alias("gram"))
+        "lang", F.split(F.col("text"), " ").alias("w")
+    ).select(
+        "lang", F.explode(_word_ngrams(F.col("w"), n)).alias("gram"))
     per_gram = grams.groupBy("lang", "gram").agg(
         F.count("*").alias("c"))
     return (
