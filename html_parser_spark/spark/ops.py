@@ -1753,6 +1753,31 @@ def _norm(a):
     )
 
 
+# -- r8 literal-norm mirror -------------------------------------------------
+# A fully UNROLLED element_at chain for the dots/distances was
+# measured and REJECTED: the 1024-literal expression tree builds/
+# compiles slower than the interpreted fold executes at quantizer
+# scale (assignment 1.6s -> 4.5s at sf1.0). What does win: hoisting
+# every re-evaluated subexpression — the row norm as a projected
+# column, the CENTROID norms as host-computed literals (below), and
+# PQ subvector slices as projected columns.
+
+
+def _norm_lit(values) -> float:
+    """Host-side mirror of _norm over a LITERAL vector: Python floats
+    are IEEE doubles and the loop performs the identical
+    0.0 + v0*v0 + v1*v1 ... fold (then sqrt), so the result equals
+    the r7 per-row _norm(array(lits)) expression value bit-for-bit —
+    lambda-bearing expressions never constant-fold, so the r7 form
+    re-evaluated that constant per row per centroid."""
+    import math
+
+    acc = 0.0
+    for v in values:
+        acc += v * v
+    return math.sqrt(acc)
+
+
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """L2 norm per vector — JVM-side aggregate/transform (SQL-oracled)."""
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -2167,19 +2192,54 @@ def _ivf_seed_anchors(embeddings: DataFrame, n_cells: int,
     return [by_cell[c] for c in sorted(by_cell)]
 
 
-def _nearest_cell_expr(vec, centroids: list):
-    """Per-row argmax-cosine cell assignment over centroid literals —
-    no shuffle, no join; the same expression ann_ivf search uses.
-    Expression size is dim * n_cells literals: right for the small
-    quantizers the registered queries use, wrong past a few thousand
-    values (driver plan build + interpreted HOFs) — _ivf_method picks
-    the Arrow path there."""
+def _dlit(v) -> str:
+    """SQL double literal for a host float: repr() is the shortest
+    round-trip decimal and Spark's parser maps it back to the
+    identical IEEE double (same contract as F.lit)."""
+    return repr(float(v)) + "D"
+
+
+def _arr_lit_sql(values) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in values) + ")"
+
+
+def _cell_scores_sql(vec: str, centroids: list, norm: str) -> str:
+    """SQL text of the array<struct<cos,cell>> per-cell cosine scores
+    over centroid literals. r8 shape — same Catalyst tree the r7
+    Column-builder form produced (aggregate/zip_with fold, identical
+    doubles), minus three per-row re-evaluations and the build cost:
+      - the row norm is the PROJECTED `norm` column (r7 re-evaluated
+        the interpreted _norm(vec) reduction once per CELL per row);
+      - centroid norms are host-computed literals (_norm_lit — r7
+        re-evaluated the constant per cell per row: lambda-bearing
+        expressions never fold);
+      - the whole array is ONE F.expr parse instead of ~40 py4j
+        round trips per cell (the driver spent seconds per Lloyd
+        iteration just BUILDING these trees)."""
     entries = []
     for i, c in enumerate(centroids):
-        a = F.array(*[F.lit(v) for v in c])
-        cos = _dot(vec, a) / (_norm(vec) * _norm(a))
-        entries.append(F.struct(cos.alias("cos"), F.lit(i).alias("cell")))
-    return F.array_max(F.array(*entries)).getField("cell")
+        dot = (f"aggregate(zip_with({vec}, {_arr_lit_sql(c)}, "
+               f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+        entries.append(
+            f"struct({dot} / ({norm} * {_dlit(_norm_lit(c))}) AS cos, "
+            f"{i} AS cell)")
+    return "array(" + ", ".join(entries) + ")"
+
+
+def _cell_scores_expr(vec: str, centroids: list, norm: str):
+    return F.expr(_cell_scores_sql(vec, centroids, norm))
+
+
+def _nearest_cell_expr(vec: str, centroids: list, norm: str):
+    """Per-row argmax-cosine cell assignment over centroid literals —
+    no shuffle, no join; the same expression ann_ivf search uses.
+    `vec`/`norm` are COLUMN NAMES (the norm must be a projected
+    _norm(vec) column); see _cell_scores_sql. Expression size is
+    dim * n_cells literals: right for the small quantizers the
+    registered queries use, wrong past a few thousand values —
+    _ivf_method picks the Arrow path there."""
+    return F.expr(
+        f"array_max({_cell_scores_sql(vec, centroids, norm)}).cell")
 
 
 # literal-expression assignment is the fast zero-shuffle path for the
@@ -2301,7 +2361,9 @@ def _lloyd_iterate(base: DataFrame, centroids: list, dim: int,
             assigned = base.withColumn("cell", cell_of("vec"))
         else:
             assigned = base.withColumn(
-                "cell", _nearest_cell_expr(F.col("vec"), centroids))
+                "nv", _norm(F.col("vec"))
+            ).withColumn(
+                "cell", _nearest_cell_expr("vec", centroids, "nv"))
         stats = assigned.groupBy("cell").agg(
             F.count("*").alias("n"),
             *[
@@ -2355,28 +2417,28 @@ def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
         queries = base.where(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
+            _norm(F.col("vec")).alias("qnorm"),
             F.explode_outer(probes_of("vec")).alias("cell"),
         )
+        corpus = corpus.withColumn("cnorm", _norm(F.col("cvec")))
     else:
-        def cell_scores(vec):
-            entries = []
-            for i, anchor in enumerate(anchors):
-                a = F.array(*[F.lit(v) for v in anchor])
-                cos = _dot(vec, a) / (_norm(vec) * _norm(a))
-                entries.append(F.struct(cos.alias("cos"),
-                                        F.lit(i).alias("cell")))
-            return F.array(*entries)
-
-        scores = cell_scores(F.col("vec"))
-        corpus = base.select(
+        # r8: row norm projected once (nv), centroid norms host
+        # literals, unrolled dots — see _cell_scores_expr; nv rides
+        # into the final scoring as qnorm/cnorm (the r7 form
+        # re-evaluated both norms per joined pair)
+        nbase = base.withColumn("nv", _norm(F.col("vec")))
+        scores = _cell_scores_expr("vec", anchors, "nv")
+        corpus = nbase.select(
             F.col("vec_id").alias("corpus_id"),
             F.col("vec").alias("cvec"),
+            F.col("nv").alias("cnorm"),
             F.array_max(scores).getField("cell").alias("cell"),
         )
         probes = F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
-        queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        queries = nbase.where(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
+            F.col("nv").alias("qnorm"),
             F.explode_outer(
                 F.transform(probes, lambda s: s.getField("cell"))
             ).alias("cell"),
@@ -2387,7 +2449,7 @@ def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
         & (F.col("corpus_id") != F.col("query_id")),
     )
     cos = _dot(F.col("qvec"), F.col("cvec")) / (
-        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+        F.col("qnorm") * F.col("cnorm")
     )
     scored = joined.select(
         "query_id", "corpus_id", F.round(cos, 6).alias("cosine")
@@ -2401,38 +2463,57 @@ def ann_ivf(embeddings: DataFrame, query_ids: list[int], anchors: list,
     )
 
 
-def _unit(vec):
+def _unit(vec, norm=None):
     """L2-normalize a vector expression (zero-safe). On the unit
     sphere ||a-b||^2 == 2 - 2cos(a,b), so PQ's L2 ADC ranking equals
-    the cosine ranking the other ANN operators use."""
-    n = F.greatest(_norm(vec), F.lit(1e-300))
+    the cosine ranking the other ANN operators use.
+
+    Pass `norm` as a PROJECTED greatest(_norm(vec), 1e-300) column
+    from hot callers: the interpreted transform evaluates its lambda
+    body per element, so an inline norm subtree costs O(dim^2) per
+    row (the r8 ann_ivfpq finding)."""
+    n = norm if norm is not None else F.greatest(_norm(vec),
+                                                F.lit(1e-300))
     return F.transform(vec, lambda x: x / n)
 
 
-def _nearest_code_expr(sv, codebook: list):
-    """argmin-L2 code assignment for ONE subvector against one
-    subspace codebook (literals): min of (dist, code) structs — exact
-    ties break to the smallest code."""
-    entries = []
-    for c, cent in enumerate(codebook):
-        ca = F.array(*[F.lit(v) for v in cent])
-        d = F.aggregate(
-            F.zip_with(sv, ca, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(c).alias("code")))
-    return F.array_min(F.array(*entries)).getField("code")
+def _sqdist_sql(sv: str, cent) -> str:
+    """SQL text of the squared-L2 zip_with fold between the projected
+    subvector column `sv` and a literal centroid — the identical
+    Catalyst tree (and doubles) as the r7 Column-builder form."""
+    return (f"aggregate(zip_with({sv}, {_arr_lit_sql(cent)}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)")
 
 
-def _pq_codes_expr(vec, codebooks: list):
-    """array<int> PQ code word for a full vector: per-subspace argmin
-    over the codebook literals, all inside whole-stage codegen."""
-    n_sub = len(codebooks)
-    sub = len(codebooks[0][0])
-    return F.array(*[
-        _nearest_code_expr(F.slice(vec, m * sub + 1, sub), codebooks[m])
-        for m in range(n_sub)
-    ])
+def _nearest_code_sql(sv: str, codebook: list) -> str:
+    """argmin-L2 code assignment for ONE projected subvector column
+    against one subspace codebook: min of (dist, code) structs —
+    exact ties break to the smallest code. `sv` MUST be a projected
+    column: each of the n_codes distances references it, and an
+    inlined slice-of-normalize would re-evaluate the whole upstream
+    chain per CODE (the r8 ann_ivfpq finding)."""
+    entries = ", ".join(
+        f"struct({_sqdist_sql(sv, cent)} AS d, {c} AS code)"
+        for c, cent in enumerate(codebook))
+    return f"array_min(array({entries})).code"
+
+
+def _with_pq_sv(df, vec_col, n_sub: int, sub: int):
+    """Project the n_sub subvector slices of `vec_col` as _sv{m}
+    columns (each is then referenced n_codes times by the distance
+    expressions — CollapseProject keeps multi-use non-cheap aliases,
+    so every slice is computed exactly once per row)."""
+    return df.select(
+        "*", *[F.slice(vec_col, m * sub + 1, sub).alias(f"_sv{m}")
+               for m in range(n_sub)])
+
+
+def _pq_codes_from_sv(codebooks: list):
+    """array<int> PQ code word read from the projected _sv{m}
+    columns (see _with_pq_sv); one F.expr parse for the whole word."""
+    return F.expr("array(" + ", ".join(
+        _nearest_code_sql(f"_sv{m}", codebooks[m])
+        for m in range(len(codebooks))) + ")")
 
 
 def _pq_method(method: str, codebooks: list) -> str:
@@ -2514,8 +2595,15 @@ def pq_fit(embeddings: DataFrame, n_subspaces: int = 8,
         for m in range(n_subspaces)
     ]
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = _spread(embeddings).select(
-        _unit(vec_d).alias("vec")).persist()
+    # norm PROJECTED before the per-element division — see _unit
+    base = (
+        _spread(embeddings)
+        .select(vec_d.alias("rv"))
+        .select("rv", F.greatest(_norm(F.col("rv")),
+                                 F.lit(1e-300)).alias("nv"))
+        .select(_unit(F.col("rv"), F.col("nv")).alias("vec"))
+        .persist()
+    )
     try:
         for _ in range(n_iters):
             if _pq_method(method, codebooks) == "arrow":
@@ -2530,15 +2618,14 @@ def pq_fit(embeddings: DataFrame, n_subspaces: int = 8,
                     for m in range(n_subspaces)
                 ])
             else:
-                src = base
+                # subvector slices projected once per row (_with_pq_sv)
+                src = _with_pq_sv(base, F.col("vec"), n_subspaces, sub)
                 entries = F.array(*[
                     F.struct(
                         F.lit(m).alias("m"),
-                        F.slice("vec", m * sub + 1, sub).alias("sv"),
-                        _nearest_code_expr(
-                            F.slice("vec", m * sub + 1, sub),
-                            codebooks[m]
-                        ).alias("code"),
+                        F.col(f"_sv{m}").alias("sv"),
+                        F.expr(_nearest_code_sql(
+                            f"_sv{m}", codebooks[m])).alias("code"),
                     )
                     for m in range(n_subspaces)
                 ])
@@ -2576,8 +2663,20 @@ def pq_encode(embeddings: DataFrame, codebooks: list,
     if _pq_method(method, codebooks) == "arrow":
         codes_udf, _ = _make_pq_udfs(codebooks)
         return base.select("vec_id", codes_udf(vec_d).alias("codes"))
-    return base.select(
-        "vec_id", _pq_codes_expr(_unit(vec_d), codebooks).alias("codes"))
+    # normalize + slice through projected columns (see _unit /
+    # _with_pq_sv r8 notes)
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    uv = (
+        base.select("vec_id", vec_d.alias("rv"))
+        .select("vec_id", "rv",
+                F.greatest(_norm(F.col("rv")), F.lit(1e-300)).alias("nv"))
+        .select("vec_id", _unit(F.col("rv"), F.col("nv")).alias("uv"))
+    )
+    return (
+        _with_pq_sv(uv, F.col("uv"), n_sub, sub)
+        .select("vec_id", _pq_codes_from_sv(codebooks).alias("codes"))
+    )
 
 
 def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
@@ -2614,49 +2713,52 @@ def ann_ivfpq(embeddings: DataFrame, query_ids: list[int],
                                               with_tables=True)
     if ivf_arrow:
         cell_of, probes_of = _make_cell_udfs(anchors, n_probe)
-    corpus = base.select(
+    # r8: the row norm (nv) and the unit-normalized vector (uv) are
+    # PROJECTED once per row — the r7 form inlined _unit(vec) into
+    # _pq_codes_expr/adc_table, so every one of the n_codes distance
+    # expressions re-evaluated the whole normalize (itself O(dim^2)
+    # when inlined, see _unit), and _nearest_cell_expr re-evaluated
+    # _norm(vec) per cell: 75s -> ~2s for the registered query at
+    # sf1.0. Same doubles (projections only); unused columns are
+    # pruned on the arrow paths.
+    nbase = base.withColumn("nv", _norm(F.col("vec")))
+    ubase = nbase.withColumn(
+        "uv", _unit(F.col("vec"),
+                    F.greatest(F.col("nv"), F.lit(1e-300))))
+    sbase = (ubase if pq_arrow
+             else _with_pq_sv(ubase, F.col("uv"), n_sub, sub))
+    corpus = sbase.select(
         F.col("vec_id").alias("corpus_id"),
         (cell_of("vec") if ivf_arrow
-         else _nearest_cell_expr(F.col("vec"), anchors)).alias("cell"),
+         else _nearest_cell_expr("vec", anchors, "nv")).alias("cell"),
         (codes_udf("vec") if pq_arrow
-         else _pq_codes_expr(_unit(F.col("vec")), codebooks))
+         else _pq_codes_from_sv(codebooks))
         .alias("codes"),
     )
 
-    def cell_scores(vec):
-        entries = []
-        for i, anchor in enumerate(anchors):
-            a = F.array(*[F.lit(v) for v in anchor])
-            cos = _dot(vec, a) / (_norm(vec) * _norm(a))
-            entries.append(F.struct(cos.alias("cos"),
-                                    F.lit(i).alias("cell")))
-        return F.array(*entries)
-
-    def adc_table(vec):
-        rows = []
-        for m in range(n_sub):
-            sv = F.slice(vec, m * sub + 1, sub)
-            dists = []
-            for cent in codebooks[m]:
-                ca = F.array(*[F.lit(v) for v in cent])
-                dists.append(F.aggregate(
-                    F.zip_with(sv, ca, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                ))
-            rows.append(F.array(*dists))
-        return F.array(*rows)
+    def adc_table():
+        # ADC table rows read the PROJECTED _sv{m} columns (each
+        # subspace slice computed once per row, not once per code);
+        # one F.expr parse for the whole n_sub x n_codes table
+        rows = ", ".join(
+            "array(" + ", ".join(
+                _sqdist_sql(f"_sv{m}", cent)
+                for cent in codebooks[m]) + ")"
+            for m in range(n_sub))
+        return F.expr(f"array({rows})")
 
     if ivf_arrow:
         probe_cells = probes_of("vec")
     else:
         probes = F.slice(
-            F.reverse(F.array_sort(cell_scores(F.col("vec")))),
+            F.reverse(F.array_sort(
+                _cell_scores_expr("vec", anchors, "nv"))),
             1, n_probe)
         probe_cells = F.transform(probes, lambda s: s.getField("cell"))
-    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+    queries = sbase.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         (tables_udf("vec") if pq_arrow
-         else adc_table(_unit(F.col("vec")))).alias("tables"),
+         else adc_table()).alias("tables"),
         F.explode_outer(probe_cells).alias("cell"),
     )
     joined = corpus.join(
@@ -3401,13 +3503,19 @@ def strip_dup_passages(documents: DataFrame, n: int = 8) -> DataFrame:
     character span; words are the tokenization this corpus' oracles
     share), total: sub-n-token documents pass through unchanged.
 
-    Scale shape: gram starts explode once (md5 keys, constant shuffle
-    width), doc-frequency is a partial aggregate, covered positions
-    fan out by at most n per duplicated start, and the rebuild is one
-    doc_id aggregate (collect+sort of the SURVIVING words only — no
-    window over the corpus, no driver participation)."""
-    words = F.split(F.col("text"), " ")
-    spine = _spread(documents).select("doc_id", words.alias("w"))
+    Scale shape (r8): gram starts explode once (md5 keys, constant
+    shuffle width), doc-frequency is a partial aggregate, and the
+    duplicated START positions come back as ONE per-doc array — the
+    covered index set and the rebuild are then per-row array
+    expressions (flatten/sequence/filter-with-index/array_join). The
+    r7 form exploded every covered position (n rows per duplicated
+    start), distinct'd that corpus-scale frame, posexploded the full
+    token stream again, anti-joined, and rebuilt via
+    collect_list+sort — three corpus-wide shuffles the array form
+    never performs (output verified tuple-equal at sf0.1; oracle
+    green)."""
+    spine = _spread(documents).select(
+        "doc_id", F.split(F.col("text"), " ").alias("w"))
     starts = spine.select(
         "doc_id",
         F.posexplode(_word_ngrams(F.col("w"), n)).alias("start", "gram"),
@@ -3418,37 +3526,23 @@ def strip_dup_passages(documents: DataFrame, n: int = 8) -> DataFrame:
         .where(F.col("doc_freq") >= 2)
         .select("gkey")
     )
-    covered = (
+    per_doc_cov = (
         starts.join(dup_keys, "gkey")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("start"),
-                                 F.col("start") + (n - 1))).alias("idx"),
-        )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("start").alias("sts"))
+        .select("doc_id", F.array_distinct(F.expr(
+            f"flatten(transform(sts, s -> sequence(s, s + {n - 1})))"
+        )).alias("cov"))
     )
-    toks = spine.select(
-        "doc_id", F.posexplode("w").alias("idx", "word"))
-    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
-    rebuilt = (
-        kept.groupBy("doc_id")
-        .agg(F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("idx", "word"))),
-                lambda s: s["word"],
-            ), " ").alias("clean_text"),
-             F.count("*").cast("int").alias("n_kept"))
-    )
-    return (
-        documents.select("doc_id", F.size(words).alias("n_words"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.col("n_words").cast("int").alias("n_words"),
-            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int").alias("n_removed"),
-        )
+    joined = spine.join(per_doc_cov, "doc_id", "left")
+    cov = F.coalesce(F.col("cov"), F.expr("array()").cast("array<int>"))
+    kept_words = F.filter(
+        F.col("w"), lambda x, i: ~F.array_contains(cov, i))
+    return joined.select(
+        "doc_id",
+        F.array_join(kept_words, " ").alias("clean_text"),
+        F.size("w").cast("int").alias("n_words"),
+        (F.size("w") - F.size(kept_words)).cast("int").alias("n_removed"),
     )
 
 
