@@ -368,8 +368,15 @@ def main():
          and "BroadcastNestedLoopJoin" not in p),
         ("survivor rebuild has no corpus window / global sort",
          lambda p: "rangepartitioning" not in p.lower()),
-        ("kept-token filter is an anti join (left_anti), not a NOT IN",
-         lambda p: "LeftAnti" in p),
+        # r8: the anti-join of exploded covered positions was replaced
+        # by per-doc array math — covered starts come back as ONE
+        # aggregated array per doc and the kept-word filter is a
+        # per-row HOF (filter-with-index), so the invariant is now:
+        # a LEFT join of the per-doc cover frame and NO
+        # corpus-token-scale Generate-join pattern
+        ("cover attach is a keyed left join; rebuild is per-row "
+         "array math (no token-level anti join needed)",
+         lambda p: "LeftOuter" in p and "array_contains" in p),
         ("doc-frequency aggregation is partial",
          lambda p: p.count("HashAggregate") >= 2),
     ])
