@@ -3614,3 +3614,89 @@ def test_dataset_card_and_source_quality_hand_built(spark):
     sq = {r.source: r for r in source_quality(docs).collect()}
     assert sq["srcA"].n_docs == 2 and sq["srcA"].keep_rate == 1.0
     assert sq["srcB"].n_keep == 1 and abs(sq["srcB"].keep_rate - 0.5) < 1e-12
+
+
+def test_r8_minhash_plan_has_no_join_or_docid_shuffle(spark):
+    """r8 invariants of the LSH rewrite: candidate pairs come from ONE
+    band-bucket aggregation (collect_list members) — no join node
+    anywhere in the plan — and signatures are a pure per-row
+    projection, so no doc_id-keyed exchange exists either (the r7
+    form had a banded self-join, a width window, and an explode +
+    32-min doc_id aggregate)."""
+    from html_parser_spark.spark.ops import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h") for i in range(20)],
+        "doc_id long, text string")
+    plan = minhash_lsh_candidates(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "collect_list" in plan
+    phys = minhash_lsh_candidates(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "hashpartitioning(doc_id" not in phys
+
+
+def test_r8_spread_by_noop_on_wide_scans(spark):
+    """_spread_by hash-repartitions on the key ONLY when the scan has
+    fewer partitions than cores — on an already-wide frame it must be
+    an identity (the production-split no-op contract)."""
+    from html_parser_spark.spark.ops import _spread_by
+
+    wide = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "event_id long, user_id long"
+    ).repartition(spark.sparkContext.defaultParallelism + 4)
+    out = _spread_by(wide, "user_id")
+    # identity: _spread_by returns the input frame unchanged
+    assert out is wide
+
+    narrow = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "event_id long, user_id long"
+    ).coalesce(1)
+    out2 = _spread_by(narrow, "user_id")
+    # the keyed repartition is IN THE PLAN (AQE may coalesce the tiny
+    # test shuffle back down at runtime — partition COUNT is not the
+    # invariant, the hash distribution on the key is)
+    plan = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan, plan
+    # values unchanged
+    assert sorted(tuple(r) for r in out2.collect()) == \
+        sorted(tuple(r) for r in narrow.collect())
+
+
+def test_r8_norm_lit_matches_expression_norm_bitwise(spark):
+    """_norm_lit (the host-side literal-centroid norm fold) must equal
+    the r7 per-row _norm(array(lits)) expression BIT-FOR-BIT — the
+    IVF/PQ rewrite substitutes one for the other inside pinned-
+    snapshot queries."""
+    import random
+    import struct
+
+    from html_parser_spark.spark.ops import _norm, _norm_lit
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-3, 3) for _ in range(13)] for _ in range(20)]
+    for v in vecs:
+        expr_val = spark.range(1).select(
+            _norm(F.array(*[F.lit(x) for x in v])).alias("n")
+        ).collect()[0].n
+        host_val = _norm_lit(v)
+        assert struct.pack("<d", expr_val) == struct.pack("<d", host_val)
+
+
+def test_r8_components_fused_probe_counts_iterations(spark):
+    """The fused convergence probe must report the same iteration
+    count as the label-propagation depth (diameter + 1) and the same
+    exact labels as driver-side union-find on a path graph."""
+    from html_parser_spark.spark.ops import _components_min_label
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+    stats = {}
+    got = {(r.node, r.root) for r in _components_min_label(
+        edges, collect_max_edges=0, stats=stats).collect()}
+    assert stats["path"] == "distributed"
+    assert stats["iterations"] == 7  # diameter 6 -> 7 rounds
+    ref = {(r.node, r.root)
+           for r in _components_min_label(edges).collect()}
+    assert got == ref == {(i, 0) for i in range(7)}
